@@ -1,0 +1,223 @@
+"""Adjacency / feature-matrix builders for the user-item bipartite graph.
+
+Host-side constructors return numpy arrays (the graph topology is data, not
+parameters); device-side normalizers are jnp functions so per-epoch graph
+regeneration (DOSE/SGL aug & drop graphs) runs jitted over padded buffers
+without recompilation.
+
+Reference semantics reproduced:
+- symmetric block adjacency [[0, R], [R^T, 0]]      utils.py:42-50
+- D^-1/2 A D^-1/2 with degree clamped >= 1          model.py:89-98
+- self-loop + row-L1 norm (NGCF)                    model.py:4008-4014
+- union with injected edges (dedup)                 utils.py:71-88
+- random-subsample drop graph                       utils.py:91-103
+- union "drop" graph (reference's sample is a no-op
+  -- intentionally reproduced, documented)          utils.py:105-121
+- set-difference drop graph                         utils.py:123-141
+- IGCN template feature matrix + degree row powers  model.py:4139-4175
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# edge-list constructors (host, numpy)
+# ---------------------------------------------------------------------------
+
+
+def _dedupe_edges(train_array: np.ndarray) -> np.ndarray:
+    """Unique (user, item) pairs, order-insensitive (set semantics)."""
+    if len(train_array) == 0:
+        return np.zeros((0, 2), dtype=np.int64)
+    return np.unique(np.asarray(train_array, dtype=np.int64), axis=0)
+
+
+def bipartite_edges(train_array: np.ndarray, n_users: int, n_items: int):
+    """(u, i) interaction pairs -> undirected bipartite edge list.
+
+    Returns (row, col) over the (n_users + n_items)-node graph with both
+    directions present, mirroring utils.py:42-50.
+    """
+    train_array = np.asarray(train_array, dtype=np.int64).reshape(-1, 2)
+    users, items = train_array[:, 0], train_array[:, 1]
+    row = np.concatenate([users, items + n_users])
+    col = np.concatenate([items + n_users, users])
+    return row, col
+
+
+def sym_normalize_values(row, col, n_nodes: int, counts=None):
+    """Edge values of D^-1/2 A D^-1/2 with degree clamped >= 1.
+
+    ``counts`` optionally carries duplicate multiplicities (after coalescing
+    an adjacency with repeated edges the value is the multiplicity). Matches
+    model.py:89-98.
+    """
+    if counts is None:
+        counts = np.ones(len(row), dtype=np.float32)
+    degree = np.zeros(n_nodes, dtype=np.float64)
+    np.add.at(degree, row, counts)
+    degree = np.maximum(1.0, degree)
+    d_inv = np.power(degree, -0.5)
+    return (counts * d_inv[row] * d_inv[col]).astype(np.float32)
+
+
+def sym_normalized_adjacency(train_array: np.ndarray, n_users: int, n_items: int):
+    """Full pipeline: interactions -> sym-normalized bipartite COO (numpy).
+
+    Returns (row, col, val) sorted by row. Interactions are deduped first
+    (ProcessedDataset train files may repeat pairs; torch ``coalesce`` summed
+    them -- we reproduce the summed-multiplicity semantics by carrying counts).
+    """
+    train_array = np.asarray(train_array, dtype=np.int64).reshape(-1, 2)
+    row, col = bipartite_edges(train_array, n_users, n_items)
+    n = n_users + n_items
+    keys = row * n + col
+    uniq, counts = np.unique(keys, return_counts=True)
+    row = (uniq // n).astype(np.int64)
+    col = (uniq % n).astype(np.int64)
+    val = sym_normalize_values(row, col, n, counts.astype(np.float32))
+    order = np.argsort(row, kind="stable")
+    return row[order], col[order], val[order]
+
+
+def row_l1_normalize_values(row, col, n_nodes: int, counts=None):
+    """Row-L1 normalization (used with self loops by NGCF, model.py:4008-4014)."""
+    if counts is None:
+        counts = np.ones(len(row), dtype=np.float32)
+    rowsum = np.zeros(n_nodes, dtype=np.float64)
+    np.add.at(rowsum, row, counts)
+    rowsum = np.where(rowsum == 0.0, 1.0, rowsum)
+    return (counts / rowsum[row]).astype(np.float32)
+
+
+def aug_union_edges(train_array: np.ndarray, aug_idx: np.ndarray) -> np.ndarray:
+    """train ∪ injected edges, deduped (utils.py:71-88)."""
+    train_array = np.asarray(train_array, dtype=np.int64).reshape(-1, 2)
+    aug_idx = np.asarray(aug_idx, dtype=np.int64).reshape(-1, 2)
+    return _dedupe_edges(np.concatenate([train_array, aug_idx], axis=0))
+
+
+def drop_sample_edges(
+    train_array: np.ndarray, aug_rate: float, rng: np.random.Generator
+) -> np.ndarray:
+    """Random subsample keeping ``aug_rate * |E|`` edges (utils.py:91-103)."""
+    train_array = np.asarray(train_array, dtype=np.int64).reshape(-1, 2)
+    n_keep = int(len(train_array) * aug_rate)
+    keep = rng.choice(len(train_array), size=n_keep, replace=False)
+    return train_array[keep]
+
+
+def drop_union_edges(train_array: np.ndarray, aug_idx: np.ndarray) -> np.ndarray:
+    """Reference's ``generate_drop_daj_mat2``: the ``random.sample`` result is
+    discarded (utils.py:110), so the effective graph is the deduped union.
+    We reproduce that effective behavior and document the divergence from the
+    evident intent."""
+    return aug_union_edges(train_array, aug_idx)
+
+
+def drop_difference_edges(train_array: np.ndarray, aug_idx: np.ndarray) -> np.ndarray:
+    """train \\ aug set difference (utils.py:123-141)."""
+    train_array = _dedupe_edges(train_array)
+    aug_idx = np.asarray(aug_idx, dtype=np.int64).reshape(-1, 2)
+    if len(aug_idx) == 0:
+        return train_array
+    n = int(max(train_array[:, 1].max(initial=0), aug_idx[:, 1].max(initial=0))) + 1
+    train_keys = train_array[:, 0] * n + train_array[:, 1]
+    aug_keys = np.unique(aug_idx[:, 0] * n + aug_idx[:, 1])
+    keep = ~np.isin(train_keys, aug_keys)
+    return train_array[keep]
+
+
+# ---------------------------------------------------------------------------
+# IGCN template feature matrix (model.py:4139-4175)
+# ---------------------------------------------------------------------------
+
+
+def build_feat_matrix(
+    train_array: np.ndarray,
+    n_users: int,
+    n_items: int,
+    user_map: np.ndarray,
+    item_map: np.ndarray,
+):
+    """IGCN feature ("template") matrix as COO index arrays + row sums.
+
+    ``user_map``/``item_map`` are dense int arrays of length n_users/n_items
+    mapping node id -> core index, with -1 for non-core nodes (the reference
+    uses python dicts; a dense array is the vectorizable equivalent).
+
+    Layout (matches model.py:4160-4172):
+      shape = (n_users + n_items, user_dim + item_dim + 2)
+      user row u: ones at columns user_dim + item_map[i] for each train item i
+      item row i: ones at columns user_map[u] for each train user u
+      all user rows: a 1 in global column user_dim + item_dim
+      all item rows: a 1 in global column user_dim + item_dim + 1
+
+    Returns (row, col, row_sum): int64 row/col edge arrays (unweighted; edge
+    values come from ``feat_values_for_alpha``) and float32 row_sum of the
+    *unweighted* matrix, used for the degree-powered annealed edge weights.
+    """
+    train_array = np.asarray(train_array, dtype=np.int64).reshape(-1, 2)
+    user_map = np.asarray(user_map, dtype=np.int64)
+    item_map = np.asarray(item_map, dtype=np.int64)
+    user_dim = int((user_map >= 0).sum())
+    item_dim = int((item_map >= 0).sum())
+    users, items = train_array[:, 0], train_array[:, 1]
+
+    # user rows -> core item columns
+    keep_i = item_map[items] >= 0
+    row_u = users[keep_i]
+    col_u = user_dim + item_map[items[keep_i]]
+    # item rows -> core user columns
+    keep_u = user_map[users] >= 0
+    row_i = n_users + items[keep_u]
+    col_i = user_map[users[keep_u]]
+    # global type-token columns
+    row_gu = np.arange(n_users, dtype=np.int64)
+    col_gu = np.full(n_users, user_dim + item_dim, dtype=np.int64)
+    row_gi = np.arange(n_items, dtype=np.int64) + n_users
+    col_gi = np.full(n_items, user_dim + item_dim + 1, dtype=np.int64)
+
+    row = np.concatenate([row_u, row_i, row_gu, row_gi])
+    col = np.concatenate([col_u, col_i, col_gu, col_gi])
+    # coalesce duplicates (repeated train pairs) into multiplicity counts,
+    # mirroring scipy-CSR + torch coalesce in the reference
+    n_cols = user_dim + item_dim + 2
+    keys = row * n_cols + col
+    uniq, counts = np.unique(keys, return_counts=True)
+    row = (uniq // n_cols).astype(np.int64)
+    col = (uniq % n_cols).astype(np.int64)
+    counts = counts.astype(np.float32)
+
+    row_sum = np.zeros(n_users + n_items, dtype=np.float64)
+    np.add.at(row_sum, row, counts)
+    order = np.argsort(row, kind="stable")
+    return row[order], col[order], counts[order], row_sum.astype(np.float32)
+
+
+def feat_values_for_alpha(row, base_counts, row_sum, alpha: float):
+    """Annealed feat-matrix edge weights: row_sum^((alpha-1)/2 - 0.5) per edge,
+    times the coalesced multiplicity (model.py:4127-4130). jnp-friendly."""
+    exponent = (alpha - 1.0) / 2.0 - 0.5
+    return base_counts * jnp.power(row_sum[row], exponent)
+
+
+# ---------------------------------------------------------------------------
+# device-side normalization over padded buffers (jit-friendly)
+# ---------------------------------------------------------------------------
+
+
+def device_sym_normalize(row, col, edge_mask, n_nodes: int):
+    """D^-1/2 A D^-1/2 values for a padded edge buffer, on device.
+
+    ``edge_mask`` is 1.0 for live edges, 0.0 for padding; returned values are
+    0 on padding. Degree clamped >= 1 as in model.py:92. Used by per-epoch
+    regenerated aug/drop graphs so regeneration stays jitted and static-shaped.
+    """
+    degree = jax.ops.segment_sum(edge_mask, row, num_segments=n_nodes)
+    d_inv = jnp.power(jnp.maximum(degree, 1.0), -0.5)
+    return edge_mask * d_inv[row] * d_inv[col]

@@ -1,0 +1,73 @@
+"""Node-importance rankings for IGCN core (template) selection.
+
+Reference: utils.py:186-215 (``graph_rank_nodes``) with three metrics:
+- ``degree``: row sums of the bipartite adjacency
+- ``sort`` / ``greedy``: column sums of the row-L1-normalized adjacency
+- ``page_rank``: PageRank over the undirected bipartite graph (the reference
+  calls networkx; here it is a power iteration, so it runs vectorized and can
+  be lifted onto the device SpMM if graphs grow)
+
+Returns (ranked_users, ranked_items): node ids sorted by descending metric.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from inductive_recommendation_tpu.graph.build import bipartite_edges
+
+
+def _coalesced_bipartite(train_array, n_users, n_items):
+    row, col = bipartite_edges(train_array, n_users, n_items)
+    n = n_users + n_items
+    keys = row * n + col
+    uniq, counts = np.unique(keys, return_counts=True)
+    return (uniq // n).astype(np.int64), (uniq % n).astype(np.int64), counts.astype(np.float64)
+
+
+def pagerank(row, col, weight, n_nodes, alpha=0.85, tol=1e-6, max_iter=100):
+    """Power-iteration PageRank matching networkx defaults (utils.py:205-210).
+
+    networkx's convergence test is sum(|p - p_prev|) < n * tol.
+    """
+    rowsum = np.zeros(n_nodes, dtype=np.float64)
+    np.add.at(rowsum, row, weight)
+    dangling = rowsum == 0.0
+    out_w = weight / np.where(rowsum[row] == 0.0, 1.0, rowsum[row])
+    p = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
+    for _ in range(max_iter):
+        contrib = np.zeros(n_nodes, dtype=np.float64)
+        np.add.at(contrib, col, p[row] * out_w)
+        dangling_mass = p[dangling].sum()
+        p_new = alpha * (contrib + dangling_mass / n_nodes) + (1.0 - alpha) / n_nodes
+        if np.abs(p_new - p).sum() < n_nodes * tol:
+            return p_new
+        p = p_new
+    return p
+
+
+def graph_rank_nodes(dataset, ranking_metric: str):
+    """Rank users and items by descending importance (utils.py:186-215)."""
+    n_users, n_items = dataset.n_users, dataset.n_items
+    row, col, counts = _coalesced_bipartite(dataset.train_array, n_users, n_items)
+    n = n_users + n_items
+
+    if ranking_metric == "degree":
+        metrics = np.zeros(n, dtype=np.float64)
+        np.add.at(metrics, row, counts)
+    elif ranking_metric in ("sort", "greedy"):
+        # column sums of the row-L1-normalized adjacency (utils.py:202-204)
+        rowsum = np.zeros(n, dtype=np.float64)
+        np.add.at(rowsum, row, counts)
+        norm_w = counts / np.where(rowsum[row] == 0.0, 1.0, rowsum[row])
+        metrics = np.zeros(n, dtype=np.float64)
+        np.add.at(metrics, col, norm_w)
+    elif ranking_metric == "page_rank":
+        metrics = pagerank(row, col, counts, n)
+    else:
+        return None
+
+    user_metrics, item_metrics = metrics[:n_users], metrics[n_users:]
+    ranked_users = np.argsort(user_metrics)[::-1].copy()
+    ranked_items = np.argsort(item_metrics)[::-1].copy()
+    return ranked_users, ranked_items

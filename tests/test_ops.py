@@ -1,0 +1,154 @@
+"""Kernel tests: SpMM / softmax / top-k / cosine top-k vs dense oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inductive_recommendation_tpu.graph import (
+    sym_normalized_adjacency,
+    coo_from_edges,
+    coo_to_device,
+    ell_from_coo,
+)
+from inductive_recommendation_tpu.ops import (
+    spmm,
+    propagate_mean,
+    segment_softmax,
+    masked_topk,
+    sharded_topk,
+    blockwise_cosine_topk,
+    sparse_dropout,
+)
+
+
+def _make_adj(tiny_graph, pad=17):
+    train_array, n_users, n_items = tiny_graph
+    row, col, val = sym_normalized_adjacency(train_array, n_users, n_items)
+    n = n_users + n_items
+    prow, pcol, pval = coo_from_edges(row, col, val, (n, n), nnz_pad=len(row) + pad)
+    coo = coo_to_device(prow, pcol, pval, (n, n))
+    ell = ell_from_coo(row, col, val, (n, n))
+    dense = np.asarray(coo.to_dense())
+    return coo, ell, dense, n
+
+
+def test_spmm_matches_dense(tiny_graph, rng):
+    coo, ell, dense, n = _make_adj(tiny_graph)
+    x = rng.standard_normal((n, 64)).astype(np.float32)
+    oracle = dense @ x
+    np.testing.assert_allclose(np.asarray(spmm(coo, x)), oracle, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(spmm(ell, x)), oracle, rtol=1e-4, atol=1e-4)
+
+
+def test_propagate_mean_matches_dense(tiny_graph, rng):
+    coo, _, dense, n = _make_adj(tiny_graph)
+    x0 = rng.standard_normal((n, 32)).astype(np.float32)
+    out = np.asarray(propagate_mean(coo, x0, 3))
+    acc, x = x0.copy(), x0.copy()
+    for _ in range(3):
+        x = dense @ x
+        acc = acc + x
+    np.testing.assert_allclose(out, acc / 4.0, rtol=1e-3, atol=1e-4)
+
+
+def test_segment_softmax(rng):
+    row = jnp.asarray(np.sort(rng.integers(0, 10, 50)).astype(np.int32))
+    scores = jnp.asarray(rng.standard_normal(50).astype(np.float32))
+    out = np.asarray(segment_softmax(scores, row, 10))
+    for r in range(10):
+        m = np.asarray(row) == r
+        if m.sum():
+            e = np.exp(np.asarray(scores)[m] - np.asarray(scores)[m].max())
+            np.testing.assert_allclose(out[m], e / e.sum(), rtol=1e-5)
+    # sums to 1 per non-empty row
+    sums = np.zeros(10)
+    np.add.at(sums, np.asarray(row), out)
+    for r in range(10):
+        if (np.asarray(row) == r).sum():
+            assert abs(sums[r] - 1.0) < 1e-5
+
+
+def test_masked_topk(rng):
+    scores = jnp.asarray(rng.standard_normal((4, 20)).astype(np.float32))
+    exclude = jnp.asarray(
+        np.array([[0, 1, 20], [2, 20, 20], [20, 20, 20], [5, 6, 7]], dtype=np.int32)
+    )
+    banned = np.zeros(20, dtype=bool)
+    banned[10:] = True
+    vals, idx = masked_topk(scores, 5, exclude_idx=exclude, banned_mask=jnp.asarray(banned))
+    idx = np.asarray(idx)
+    assert (idx < 10).all()
+    assert 0 not in idx[0] and 1 not in idx[0]
+    assert 2 not in idx[1]
+    for t in (5, 6, 7):
+        assert t not in idx[3]
+    # parity with numpy oracle
+    s = np.asarray(scores).copy()
+    s[:, banned] = -np.inf
+    s[0, [0, 1]] = -np.inf
+    s[1, 2] = -np.inf
+    s[3, [5, 6, 7]] = -np.inf
+    oracle = np.argsort(-s, axis=1)[:, :5]
+    oracle_vals = np.take_along_axis(s, oracle, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), oracle_vals, rtol=1e-6)
+
+
+def test_sharded_topk_matches_global(rng):
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("model",))
+    scores = rng.standard_normal((6, 64)).astype(np.float32)
+
+    f = jax.shard_map(
+        lambda s: sharded_topk(s, 10, "model"),
+        mesh=mesh,
+        in_specs=P(None, "model"),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    vals, idx = f(jnp.asarray(scores))
+    oracle_idx = np.argsort(-scores, axis=1)[:, :10]
+    oracle_vals = np.take_along_axis(scores, oracle_idx, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), oracle_vals, rtol=1e-6)
+    got = np.take_along_axis(scores, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(got, oracle_vals, rtol=1e-6)
+
+
+def test_blockwise_cosine_topk_matches_bruteforce(rng):
+    users = rng.standard_normal((37, 16)).astype(np.float32)
+    items = rng.standard_normal((23, 16)).astype(np.float32)
+    k = 15
+    vals, uid, iid = blockwise_cosine_topk(
+        jnp.asarray(users), jnp.asarray(items), k, block_rows=8
+    )
+    un = users / np.linalg.norm(users, axis=1, keepdims=True)
+    itn = items / np.linalg.norm(items, axis=1, keepdims=True)
+    sims = un @ itn.T
+    flat = sims.reshape(-1)
+    oracle = np.sort(flat)[::-1][:k]
+    np.testing.assert_allclose(np.sort(np.asarray(vals))[::-1], oracle, rtol=1e-4)
+    # returned pairs actually achieve the returned values
+    got = sims[np.asarray(uid), np.asarray(iid)]
+    np.testing.assert_allclose(got, np.asarray(vals), rtol=1e-4, atol=1e-5)
+
+    # negate_items selects the lowest-similarity pairs (DOSE_aug semantics)
+    vals_n, uid_n, iid_n = blockwise_cosine_topk(
+        jnp.asarray(users), jnp.asarray(items), k, negate_items=True, block_rows=8
+    )
+    oracle_low = np.sort(flat)[:k]
+    np.testing.assert_allclose(
+        np.sort(-np.asarray(vals_n)), np.sort(oracle_low), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sparse_dropout_stats():
+    val = jnp.ones((20000,), dtype=jnp.float32)
+    out = sparse_dropout(val, jax.random.key(0), 0.3, training=True)
+    out = np.asarray(out)
+    kept = out > 0
+    assert abs(kept.mean() - 0.7) < 0.02
+    np.testing.assert_allclose(out[kept], 1.0 / 0.7, rtol=1e-6)
+    # eval mode: identity
+    out_eval = sparse_dropout(val, jax.random.key(0), 0.3, training=False)
+    np.testing.assert_allclose(np.asarray(out_eval), 1.0)
