@@ -1,0 +1,399 @@
+"""Datasets: raw parsers, k-core filtering, chronological split.
+
+Reproduces the semantics of reference dataset.py:
+- ``remove_sparse_ui``: iterative k-core until every kept user/item has
+  >= min_inter interactions, then dense re-indexing   (dataset.py:66-92)
+- ``generate_data``: per-user chronological split      (dataset.py:94-114)
+- ``ProcessedDataset``: pre-split train/val/test.txt,
+  n_items = max id + 1 across splits                   (dataset.py:140-164)
+- raw parsers for Gowalla / Yelp / Amazon-Books        (dataset.py:167-255)
+- ``AuxiliaryDataset``: train interactions remapped
+  into a model's core (template) id space              (dataset.py:258-273)
+
+Host-side data prep is numpy; the per-batch sampling path lives in
+``data/sampling.py`` and runs jitted on device.
+
+Known reference quirk reproduced intentionally: in ``generate_data`` a user
+whose ``int(n_inter * split_ratio[2]) == 0`` gets their *entire* interaction
+list as test data (python ``lst[-0:]`` is the whole list, dataset.py:111).
+With the usual min_inter k-core this path is rare; we mirror it for parity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time as time_mod
+
+import numpy as np
+
+
+def get_dataset(config):
+    """Registry factory keyed by config['name'] (dataset.py:10-14)."""
+    config = dict(config)
+    cls = DATASETS[config["name"]]
+    return cls(config)
+
+
+def update_ui_sets(u, i, user_inter_sets, item_inter_sets):
+    user_inter_sets.setdefault(u, set()).add(i)
+    item_inter_sets.setdefault(i, set()).add(u)
+
+
+def update_user_inter_lists(u, i, t, user_map, item_map, user_inter_lists):
+    """Dedupe repeated (u, i), keeping the earliest timestamp
+    (dataset.py:28-37)."""
+    if u in user_map and i in item_map:
+        lst = user_inter_lists[user_map[u]]
+        for entry in lst:
+            if entry[0] == item_map[i]:
+                entry[1] = min(entry[1], t)
+                return
+        lst.append([item_map[i], t])
+
+
+def output_data(file_path, data):
+    """'user item item ...' rows (dataset.py:40-44)."""
+    with open(file_path, "w") as f:
+        for user in range(len(data)):
+            u_items = [str(user)] + [str(item) for item in data[user]]
+            f.write(" ".join(u_items) + "\n")
+
+
+class BasicDataset:
+    """Base dataset: interaction lists + split + train_array.
+
+    Unlike the reference (a torch ``Dataset`` whose ``__getitem__`` does
+    per-worker negative sampling, dataset.py:119-131), sampling here is a
+    device-side jitted function — see ``data/sampling.py``. ``__len__``
+    still reports len(train_array) so epoch sizes match.
+    """
+
+    def __init__(self, dataset_config):
+        self.config = dataset_config
+        self.name = dataset_config["name"]
+        self.min_interactions = dataset_config.get("min_inter")
+        self.split_ratio = dataset_config.get("split_ratio")
+        self.negative_sample_ratio = dataset_config.get("neg_ratio", 1)
+        self.shuffle = dataset_config.get("shuffle", False)
+        self.n_users = 0
+        self.n_items = 0
+        self.user_inter_lists = None
+        self.train_data = None
+        self.val_data = None
+        self.test_data = None
+        self.train_array = None
+
+    # -- k-core filtering (dataset.py:66-92) --------------------------------
+    def remove_sparse_ui(self, user_inter_sets, item_inter_sets):
+        not_stop = True
+        while not_stop:
+            not_stop = False
+            for user in list(user_inter_sets.keys()):
+                if len(user_inter_sets[user]) < self.min_interactions:
+                    not_stop = True
+                    for item in user_inter_sets[user]:
+                        item_inter_sets[item].remove(user)
+                    user_inter_sets.pop(user)
+            for item in list(item_inter_sets.keys()):
+                if len(item_inter_sets[item]) < self.min_interactions:
+                    not_stop = True
+                    for user in item_inter_sets[item]:
+                        user_inter_sets[user].remove(item)
+                    item_inter_sets.pop(item)
+        user_map = {user: idx for idx, user in enumerate(user_inter_sets)}
+        item_map = {item: idx for idx, item in enumerate(item_inter_sets)}
+        self.n_users = len(user_map)
+        self.n_items = len(item_map)
+        return user_map, item_map
+
+    # -- chronological split (dataset.py:94-114) ----------------------------
+    def generate_data(self):
+        self.train_data = [[] for _ in range(self.n_users)]
+        self.val_data = [[] for _ in range(self.n_users)]
+        self.test_data = [[] for _ in range(self.n_users)]
+        self.train_array = []
+        average_inters = []
+        for user in range(self.n_users):
+            self.user_inter_lists[user].sort(key=lambda entry: entry[1])
+            if self.shuffle:
+                np.random.shuffle(self.user_inter_lists[user])
+            n_inter_items = len(self.user_inter_lists[user])
+            average_inters.append(n_inter_items)
+            n_train_items = int(n_inter_items * self.split_ratio[0])
+            n_test_items = int(n_inter_items * self.split_ratio[2])
+            lst = self.user_inter_lists[user]
+            self.train_data[user] += [it[0] for it in lst[:n_train_items]]
+            self.val_data[user] += [
+                it[0] for it in lst[n_train_items : len(lst) - n_test_items]
+            ]
+            # reference slices lst[-n_test_items:]; for n_test_items == 0
+            # that is the whole list (quirk reproduced, see module docstring)
+            self.test_data[user] += [it[0] for it in lst[-n_test_items:]]
+        for user in range(self.n_users):
+            self.train_array.extend([[user, item] for item in self.train_data[user]])
+        avg = float(np.mean(average_inters)) if average_inters else 0.0
+        print(
+            "Users {:d}, Items {:d}, Average number of interactions {:.3f}, "
+            "Total interactions {:.1f}".format(
+                self.n_users, self.n_items, avg, avg * self.n_users
+            )
+        )
+
+    def __len__(self):
+        return len(self.train_array)
+
+    def output_dataset(self, path):
+        if not os.path.exists(path):
+            os.mkdir(path)
+        output_data(os.path.join(path, "train.txt"), self.train_data)
+        output_data(os.path.join(path, "val.txt"), self.val_data)
+        output_data(os.path.join(path, "test.txt"), self.test_data)
+
+
+class ProcessedDataset(BasicDataset):
+    """Pre-split text files; the only dataset class reachable from the
+    reference config grids (dataset.py:140-164, config.py:2)."""
+
+    def __init__(self, dataset_config):
+        super().__init__(dataset_config)
+        path = dataset_config["path"]
+        self.train_data = self.read_data(os.path.join(path, "train.txt"))
+        self.val_data = self.read_data(os.path.join(path, "val.txt"))
+        self.test_data = self.read_data(os.path.join(path, "test.txt"))
+        assert len(self.train_data) == len(self.val_data)
+        assert len(self.train_data) == len(self.test_data)
+        self.n_users = len(self.train_data)
+        self.train_array = []
+        for user in range(self.n_users):
+            self.train_array.extend([[user, item] for item in self.train_data[user]])
+
+    def read_data(self, file_path):
+        with open(file_path, "r") as f:
+            lines = f.read().strip().split("\n")
+        data = []
+        for line in lines:
+            items = [int(item) for item in line.split(" ")[1:]]
+            if items:
+                self.n_items = max(self.n_items, max(items) + 1)
+            data.append(items)
+        return data
+
+
+class GowallaDataset(BasicDataset):
+    """Gowalla_totalCheckins.txt: TSV (user, time, lat, lon, item)
+    (dataset.py:167-189)."""
+
+    def __init__(self, dataset_config):
+        super().__init__(dataset_config)
+        input_file_path = os.path.join(
+            dataset_config["path"], "Gowalla_totalCheckins.txt"
+        )
+        user_inter_sets, item_inter_sets = {}, {}
+        with open(input_file_path, "r") as f:
+            lines = f.read().strip().split("\n")
+        for line in lines:
+            u, _, _, _, i = line.strip().split("\t")
+            update_ui_sets(int(u), int(i), user_inter_sets, item_inter_sets)
+        user_map, item_map = self.remove_sparse_ui(user_inter_sets, item_inter_sets)
+
+        self.user_inter_lists = [[] for _ in range(self.n_users)]
+        for line in lines:
+            u, t, _, _, i = line.split("\t")
+            t = int(time_mod.mktime(time_mod.strptime(t, "%Y-%m-%dT%H:%M:%SZ")))
+            update_user_inter_lists(
+                int(u), int(i), t, user_map, item_map, self.user_inter_lists
+            )
+        self.generate_data()
+
+
+class YelpDataset(BasicDataset):
+    """yelp_academic_dataset_review.json stream; keep stars > 3
+    (dataset.py:192-225)."""
+
+    def __init__(self, dataset_config):
+        super().__init__(dataset_config)
+        input_file_path = os.path.join(
+            dataset_config["path"], "yelp_academic_dataset_review.json"
+        )
+        user_inter_sets, item_inter_sets = {}, {}
+        with open(input_file_path, "r") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                record = json.loads(line)
+                if float(record["stars"]) > 3.0:
+                    update_ui_sets(
+                        record["user_id"],
+                        record["business_id"],
+                        user_inter_sets,
+                        item_inter_sets,
+                    )
+        user_map, item_map = self.remove_sparse_ui(user_inter_sets, item_inter_sets)
+
+        self.user_inter_lists = [[] for _ in range(self.n_users)]
+        with open(input_file_path, "r") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                record = json.loads(line)
+                if float(record["stars"]) > 3.0:
+                    t = int(
+                        time_mod.mktime(
+                            time_mod.strptime(record["date"], "%Y-%m-%d %H:%M:%S")
+                        )
+                    )
+                    update_user_inter_lists(
+                        record["user_id"],
+                        record["business_id"],
+                        t,
+                        user_map,
+                        item_map,
+                        self.user_inter_lists,
+                    )
+        self.generate_data()
+
+
+class AmazonDataset(BasicDataset):
+    """ratings_Books.csv: (user, item, rating, ts); keep rating > 3
+    (dataset.py:228-255)."""
+
+    def __init__(self, dataset_config):
+        super().__init__(dataset_config)
+        input_file_path = os.path.join(dataset_config["path"], "ratings_Books.csv")
+        user_inter_sets, item_inter_sets = {}, {}
+        with open(input_file_path, "r") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                u, i, r, _ = line.split(",")
+                if float(r) > 3.0:
+                    update_ui_sets(u, i, user_inter_sets, item_inter_sets)
+        user_map, item_map = self.remove_sparse_ui(user_inter_sets, item_inter_sets)
+
+        self.user_inter_lists = [[] for _ in range(self.n_users)]
+        with open(input_file_path, "r") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                u, i, r, t = line.split(",")
+                if float(r) > 3.0:
+                    update_user_inter_lists(
+                        u, i, int(t), user_map, item_map, self.user_inter_lists
+                    )
+        self.generate_data()
+
+
+class SyntheticDataset(BasicDataset):
+    """Power-law random bipartite graph with synthetic timestamps.
+
+    Not in the reference (which ships no data); used by tests and benchmarks
+    to exercise the full BasicDataset pipeline (k-core, chronological split)
+    at any scale without dataset downloads.
+
+    Config keys: n_users, n_items, n_interactions, seed, split_ratio,
+    optional min_inter (k-core applied when set).
+    """
+
+    def __init__(self, dataset_config):
+        super().__init__(dataset_config)
+        rng = np.random.default_rng(dataset_config.get("seed", 0))
+        n_users = dataset_config["n_users"]
+        n_items = dataset_config["n_items"]
+        n_inter = dataset_config["n_interactions"]
+        # zipfian-ish popularity for users and items
+        u_w = (1.0 / np.arange(1, n_users + 1)) ** 0.6
+        i_w = (1.0 / np.arange(1, n_items + 1)) ** 0.8
+        users = rng.choice(n_users, size=n_inter, p=u_w / u_w.sum())
+        items = rng.choice(n_items, size=n_inter, p=i_w / i_w.sum())
+        times = rng.integers(0, 10_000_000, size=n_inter)
+
+        user_inter_sets, item_inter_sets = {}, {}
+        for u, i in zip(users.tolist(), items.tolist()):
+            update_ui_sets(u, i, user_inter_sets, item_inter_sets)
+        if self.min_interactions:
+            user_map, item_map = self.remove_sparse_ui(
+                user_inter_sets, item_inter_sets
+            )
+        else:
+            user_map = {u: idx for idx, u in enumerate(sorted(user_inter_sets))}
+            item_map = {i: idx for idx, i in enumerate(sorted(item_inter_sets))}
+            self.n_users, self.n_items = len(user_map), len(item_map)
+
+        self.user_inter_lists = [[] for _ in range(self.n_users)]
+        for u, i, t in zip(users.tolist(), items.tolist(), times.tolist()):
+            update_user_inter_lists(
+                u, i, int(t), user_map, item_map, self.user_inter_lists
+            )
+        self.generate_data()
+
+
+class AuxiliaryDataset(BasicDataset):
+    """Train interactions remapped to a model's core (template) id space
+    (dataset.py:258-273). ``user_map``/``item_map`` may be dicts (reference
+    form) or dense -1-padded arrays (this framework's form)."""
+
+    def __init__(self, dataset, user_map, item_map):
+        user_map = _as_map_array(user_map, dataset.n_users)
+        item_map = _as_map_array(item_map, dataset.n_items)
+        self.n_users = int((user_map >= 0).sum())
+        self.n_items = int((item_map >= 0).sum())
+        self.negative_sample_ratio = 1
+        self.train_data = [[] for _ in range(self.n_users)]
+        self.length = len(dataset)
+        for o_user in range(dataset.n_users):
+            cu = user_map[o_user]
+            if cu >= 0:
+                for o_item in dataset.train_data[o_user]:
+                    ci = item_map[o_item]
+                    if ci >= 0:
+                        self.train_data[cu].append(int(ci))
+        self.train_array = []
+        for user in range(self.n_users):
+            self.train_array.extend([[user, item] for item in self.train_data[user]])
+
+    def __len__(self):
+        return self.length
+
+
+def _as_map_array(mapping, size):
+    if isinstance(mapping, dict):
+        arr = np.full(size, -1, dtype=np.int64)
+        for k, v in mapping.items():
+            arr[k] = v
+        return arr
+    return np.asarray(mapping, dtype=np.int64)
+
+
+def pad_user_lists(lists, n_items, pad_to=None, sort=True):
+    """Pad ragged per-user item lists to a [n_users, L] int32 array.
+
+    Padding uses the sentinel ``n_items`` so the rows stay sorted and
+    membership tests via searchsorted / -inf scatter through an extra
+    column both work. Returns (padded, lengths).
+    """
+    lengths = np.array([len(l) for l in lists], dtype=np.int32)
+    if pad_to is None:
+        pad_to = max(1, int(lengths.max(initial=0)))
+    padded = np.full((len(lists), pad_to), n_items, dtype=np.int32)
+    for u, l in enumerate(lists):
+        if l:
+            row = np.asarray(l, dtype=np.int32)
+            if sort:
+                row = np.sort(row)
+            padded[u, : len(row)] = row
+    return padded, lengths
+
+
+DATASETS = {
+    "BasicDataset": BasicDataset,
+    "ProcessedDataset": ProcessedDataset,
+    "GowallaDataset": GowallaDataset,
+    "YelpDataset": YelpDataset,
+    "AmazonDataset": AmazonDataset,
+    "SyntheticDataset": SyntheticDataset,
+}

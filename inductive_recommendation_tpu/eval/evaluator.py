@@ -1,0 +1,133 @@
+"""Full-catalog retrieval evaluation + the inductive six-slice protocol.
+
+Mirrors BasicTrainer.eval / inductive_eval (trainer.py:146-253) with the
+TPU-shaped differences:
+
+- the model's full representation is computed ONCE per eval and reused for
+  every user batch (the reference re-propagates the whole graph for every
+  512-user batch, trainer.py:151-153);
+- train/val exclusion masking is a vectorized -inf scatter through padded
+  index rows (the reference builds python index lists per batch,
+  trainer.py:155-167);
+- scoring + masking + top-k run jitted per batch, metrics in one jnp pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from inductive_recommendation_tpu.data.dataset import pad_user_lists
+from inductive_recommendation_tpu.eval.metrics import calculate_metrics
+from inductive_recommendation_tpu.ops.topk import masked_topk
+
+
+def _format_results(metrics, topks):
+    """Exact format of trainer.py:175-182."""
+    precision = "".join("{:.3f}, ".format(metrics["Precision"][k] * 100.0) for k in topks)
+    recall = "".join("{:.3f}, ".format(metrics["Recall"][k] * 100.0) for k in topks)
+    ndcg = "".join("{:.3f}, ".format(metrics["NDCG"][k] * 100.0) for k in topks)
+    return "Precision: {:s}Recall: {:s}NDCG: {:s}".format(precision, recall, ndcg)
+
+
+class Evaluator:
+    def __init__(self, dataset, topks, test_batch_size=512):
+        self.dataset = dataset
+        self.topks = list(topks)
+        self.k_max = max(self.topks)
+        self.test_batch_size = int(test_batch_size)
+        n_items = dataset.n_items
+        # padded exclusion rows (sentinel n_items scatters into a dropped col)
+        self._train_excl, _ = pad_user_lists(dataset.train_data, n_items, sort=False)
+        trainval = [
+            list(t) + list(v) for t, v in zip(dataset.train_data, dataset.val_data)
+        ]
+        self._trainval_excl, _ = pad_user_lists(trainval, n_items, sort=False)
+        self._score_topk = jax.jit(
+            lambda scores, excl, banned: masked_topk(
+                scores, self.k_max, exclude_idx=excl, banned_mask=banned
+            ),
+            static_argnames=(),
+        )
+
+    def recommend(self, model, params, stage, banned_items=None):
+        """Top-k_max recommended items for every user -> [n_users, k_max]."""
+        ds = self.dataset
+        n_users, n_items = ds.n_users, ds.n_items
+        if stage == "test":
+            excl = self._trainval_excl
+        elif stage == "val":
+            excl = self._train_excl
+        else:
+            excl = None
+        banned = None
+        if banned_items is not None:
+            banned = np.zeros(n_items, dtype=bool)
+            banned[np.asarray(banned_items)] = True
+            banned = jnp.asarray(banned)
+
+        state = model.make_scoring_state(params)
+        B = self.test_batch_size
+        rec = []
+        for start in range(0, n_users, B):
+            users = np.arange(start, min(start + B, n_users))
+            pad = B - len(users)
+            users_p = np.concatenate([users, np.zeros(pad, dtype=users.dtype)])
+            scores = model.score(state, jnp.asarray(users_p))
+            e = jnp.asarray(excl[users_p]) if excl is not None else None
+            _, items = self._score_topk(scores, e, banned)
+            rec.append(np.asarray(items[: len(users)]))
+        return np.concatenate(rec, axis=0)
+
+    def evaluate(self, model, params, stage, banned_items=None, eval_data=None):
+        """-> (results_str, metrics dict); parity with trainer.py:146-210."""
+        ds = self.dataset
+        if eval_data is None:
+            eval_data = getattr(ds, stage + "_data")
+        rec_items = self.recommend(model, params, stage, banned_items=banned_items)
+        metrics = calculate_metrics(eval_data, rec_items, self.topks)
+        return _format_results(metrics, self.topks), metrics
+
+    # -- six-slice inductive protocol (trainer.py:212-253) -------------------
+    def inductive_eval(self, model, params, n_old_users, n_old_items, verbose=True):
+        ds = self.dataset
+        test = ds.test_data
+        out = {}
+
+        def run(tag, eval_data, banned=None):
+            results, metrics = self.evaluate(
+                model, params, "test", banned_items=banned, eval_data=eval_data
+            )
+            if verbose:
+                print("{:s} result. {:s}".format(tag, results))
+            out[tag] = metrics
+
+        run("All users and all items", [list(t) for t in test])
+
+        old_u = [list(t) if u < n_old_users else [] for u, t in enumerate(test)]
+        run("Old users and all items", old_u)
+
+        new_u = [[] if u < n_old_users else list(t) for u, t in enumerate(test)]
+        run("New users and all items", new_u)
+
+        old_i = [[i for i in t if i < n_old_items] for t in test]
+        run(
+            "All users and old items",
+            old_i,
+            banned=np.arange(n_old_items, ds.n_items),
+        )
+
+        new_i = [[i for i in t if i >= n_old_items] for t in test]
+        run("All users and new items", new_i, banned=np.arange(n_old_items))
+
+        old_uo = [
+            [i for i in t if i < n_old_items] if u < n_old_users else []
+            for u, t in enumerate(test)
+        ]
+        run(
+            "Old users and old items",
+            old_uo,
+            banned=np.arange(n_old_items, ds.n_items),
+        )
+        return out

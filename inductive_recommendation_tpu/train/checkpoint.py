@@ -1,0 +1,47 @@
+"""Checkpointing: parameter pytrees + auxiliary payloads in one msgpack blob.
+
+Replaces torch.save/load of state_dicts (model.py:49-53) and the IGCN
+family's extended payload (user_map/item_map/alpha, model.py:4208-4220).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path, params, opt_state=None, aux=None):
+    payload = {
+        "params": jax.device_get(params),
+        "aux": aux or {},
+    }
+    if opt_state is not None:
+        payload["opt_state"] = jax.device_get(opt_state)
+    blob = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path):
+    with open(path, "rb") as f:
+        blob = f.read()
+    payload = serialization.msgpack_restore(blob)
+    return payload
+
+
+def restore_like(template, restored):
+    """Coerce a restored (dict-of-numpy) tree onto the dtypes/structure of
+    ``template`` (msgpack loses tuple/list distinctions in opt states)."""
+    flat_t, treedef = jax.tree_util.tree_flatten(template)
+    flat_r = jax.tree_util.tree_leaves(restored)
+    assert len(flat_t) == len(flat_r), "checkpoint structure mismatch"
+    coerced = [
+        np.asarray(r).astype(np.asarray(t).dtype).reshape(np.shape(t))
+        for t, r in zip(flat_t, flat_r)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, coerced)

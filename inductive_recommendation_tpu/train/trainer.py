@@ -1,0 +1,241 @@
+"""Training loops: the framework core.
+
+Mirrors reference trainer.py (BasicTrainer at :25-253) with the TPU-shaped
+execution model:
+
+- the whole step (negative sampling -> forward -> loss -> grad -> optimizer)
+  is ONE jitted, donated function; there are no DataLoader worker processes
+  (trainer.py:407) and no per-batch H2D copies;
+- epochs run a fixed number of full-size steps
+  (ceil(len(train_array)/batch_size), matching the reference's epoch size);
+- early stopping on NDCG@topks[4] with max_patience, best-checkpoint
+  save/delete/reload parity with trainer.py:94-112.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from inductive_recommendation_tpu.data.sampling import (
+    build_sampler_state,
+    sample_bpr_batch,
+)
+from inductive_recommendation_tpu.eval.evaluator import Evaluator
+from inductive_recommendation_tpu.train import losses as L
+from inductive_recommendation_tpu.train.checkpoint import (
+    load_checkpoint,
+    restore_like,
+    save_checkpoint,
+)
+from inductive_recommendation_tpu.train.meters import AverageMeter
+
+OPTIMIZERS = {
+    "Adam": optax.adam,
+    "SGD": optax.sgd,
+}
+
+
+class BasicTrainer:
+    def __init__(self, trainer_config, dataset, model):
+        self.config = dict(trainer_config)
+        self.name = trainer_config["name"]
+        self.dataset = dataset
+        self.model = model
+        self.topks = trainer_config["topks"]
+        self.n_epochs = trainer_config["n_epochs"]
+        self.max_patience = trainer_config.get("max_patience", 50)
+        self.val_interval = trainer_config.get("val_interval", 1)
+        self.batch_size = trainer_config.get("batch_size", 2048)
+        self.epoch = 0
+        self.best_ndcg = -np.inf
+        self.save_path = None
+        self.rng = jax.random.key(trainer_config.get("seed", 0))
+        self.evaluator = Evaluator(
+            dataset, self.topks, trainer_config.get("test_batch_size", 512)
+        )
+        self.params = model.init_params(self._next_rng())
+        self.optimizer = None
+        self.opt_state = None
+        self.steps_per_epoch = max(1, -(-len(dataset) // self.batch_size))
+
+    # -- rng ----------------------------------------------------------------
+    def _next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # -- optimizer (trainer.py:44-46) ---------------------------------------
+    def initialize_optimizer(self):
+        opt_fn = OPTIMIZERS[self.config["optimizer"]]
+        self.optimizer = opt_fn(self.config["lr"])
+        self.opt_state = self.optimizer.init(self.params)
+
+    def train_one_epoch(self):
+        raise NotImplementedError
+
+    # -- logging (trainer.py:51-56) -----------------------------------------
+    def record(self, writer, stage, metrics):
+        for metric in metrics:
+            for k in self.topks:
+                writer.add_scalar(
+                    "{:s}_{:s}/{:s}_{:s}@{:d}".format(
+                        self.model.name, self.name, stage, metric, k
+                    ),
+                    metrics[metric][k],
+                    self.epoch,
+                )
+
+    # -- checkpoint helpers --------------------------------------------------
+    def _save_model(self, path):
+        save_checkpoint(path, self.params, aux=self.model.checkpoint_aux())
+
+    def _load_model(self, path):
+        payload = load_checkpoint(path)
+        self.params = restore_like(self.params, payload["params"])
+        self.model.restore_aux(payload.get("aux", {}))
+
+    # -- main loop (trainer.py:58-113) --------------------------------------
+    def train(self, verbose=True, writer=None):
+        if not self.model.trainable:
+            results, metrics = self.eval("val")
+            if verbose:
+                print("Validation result. {:s}".format(results))
+            # non-trainable models report NDCG@topks[5] (trainer.py:64 quirk)
+            return metrics["NDCG"][self.topks[5]]
+
+        if not os.path.exists("checkpoints"):
+            os.mkdir("checkpoints")
+        patience = self.max_patience
+        for self.epoch in range(self.n_epochs):
+            start_time = time.time()
+            loss = self.train_one_epoch()
+            if writer:
+                # train-set metrics are logging-only in the reference
+                # (trainer.py:73); computed here only when a writer wants them
+                _, train_metrics = self.eval("train")
+                writer.add_scalar(
+                    "{:s}_{:s}/train_loss".format(self.model.name, self.name),
+                    loss,
+                    self.epoch,
+                )
+                self.record(writer, "train", train_metrics)
+            consumed_time = time.time() - start_time
+            if verbose:
+                print(
+                    "Epoch {:d}/{:d}, Loss: {:.6f}, Time: {:.3f}s".format(
+                        self.epoch, self.n_epochs, loss, consumed_time
+                    )
+                )
+
+            if (self.epoch + 1) % self.val_interval != 0:
+                continue
+
+            start_time = time.time()
+            results, metrics = self.eval("val")
+            consumed_time = time.time() - start_time
+            if verbose:
+                print(
+                    "Validation result. {:s}Time: {:.3f}s".format(
+                        results, consumed_time
+                    )
+                )
+            if writer:
+                self.record(writer, "validation", metrics)
+
+            ndcg = metrics["NDCG"][self.topks[4]]
+            if ndcg > self.best_ndcg:
+                if self.save_path:
+                    os.remove(self.save_path)
+                self.save_path = os.path.join(
+                    "checkpoints",
+                    "{:s}_{:s}_{:s}_{:.3f}.ckpt".format(
+                        self.model.name,
+                        self.name,
+                        self.dataset.name,
+                        ndcg * 100,
+                    ),
+                )
+                self.best_ndcg = ndcg
+                self._save_model(self.save_path)
+                patience = self.max_patience
+                if verbose:
+                    print("Best NDCG, save model to {:s}".format(self.save_path))
+            else:
+                patience -= self.val_interval
+                if patience <= 0:
+                    if verbose:
+                        print("Early stopping!")
+                    break
+
+        if self.save_path:
+            self._load_model(self.save_path)
+        return self.best_ndcg
+
+    # -- evaluation (delegates; trainer.py:146-210) -------------------------
+    def eval(self, val_or_test, banned_items=None):
+        return self.evaluator.evaluate(
+            self.model, self.params, val_or_test, banned_items=banned_items
+        )
+
+    def inductive_eval(self, n_old_users, n_old_items):
+        return self.evaluator.inductive_eval(
+            self.model, self.params, n_old_users, n_old_items
+        )
+
+
+class BPRTrainer(BasicTrainer):
+    """Plain BPR + L2 (trainer.py:403-429); MF/LightGCN/NGCF/IMCGAE."""
+
+    def __init__(self, trainer_config, dataset, model):
+        super().__init__(trainer_config, dataset, model)
+        self.l2_reg = trainer_config["l2_reg"]
+        self.initialize_optimizer()
+        self.sampler = build_sampler_state(dataset.train_data, dataset.n_items)
+        model_ref = self.model
+        l2_reg = self.l2_reg
+        batch_size = self.batch_size
+        sampler = self.sampler
+        optimizer = self.optimizer
+
+        def step(params, opt_state, rng):
+            rng_s, rng_m = jax.random.split(rng)
+            users, pos, neg = sample_bpr_batch(sampler, rng_s, batch_size)
+
+            def loss_fn(p):
+                u_r, p_r, n_r, l2 = model_ref.bpr_forward(
+                    p, users, pos, neg[:, 0], rng=rng_m, training=True
+                )
+                return L.bpr_loss(u_r, p_r, n_r) + l2_reg * l2.mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    def train_one_epoch(self):
+        losses = AverageMeter()
+        for _ in range(self.steps_per_epoch):
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, self._next_rng()
+            )
+            losses.update(float(loss), self.batch_size)
+        return losses.avg
+
+
+TRAINERS = {
+    "BasicTrainer": BasicTrainer,
+    "BPRTrainer": BPRTrainer,
+}
+
+
+def get_trainer(trainer_config, dataset, model):
+    """Registry factory (trainer.py:16-22)."""
+    cls = TRAINERS[trainer_config["name"]]
+    return cls(trainer_config, dataset, model)
