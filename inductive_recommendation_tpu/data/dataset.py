@@ -376,17 +376,73 @@ def pad_user_lists(lists, n_items, pad_to=None, sort=True):
     membership tests via searchsorted / -inf scatter through an extra
     column both work. Returns (padded, lengths).
     """
-    lengths = np.array([len(l) for l in lists], dtype=np.int32)
+    lengths = np.fromiter((len(l) for l in lists), dtype=np.int32, count=len(lists))
     if pad_to is None:
         pad_to = max(1, int(lengths.max(initial=0)))
     padded = np.full((len(lists), pad_to), n_items, dtype=np.int32)
-    for u, l in enumerate(lists):
-        if l:
-            row = np.asarray(l, dtype=np.int32)
-            if sort:
-                row = np.sort(row)
-            padded[u, : len(row)] = row
+    if lengths.sum() > 0:
+        flat = np.concatenate(
+            [np.asarray(l, dtype=np.int32) for l in lists if len(l)]
+        )
+        rows = np.repeat(np.arange(len(lists)), lengths)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1].astype(np.int64)])
+        slots = np.arange(len(flat)) - starts[rows]
+        padded[rows, slots] = flat
+        if sort:
+            padded.sort(axis=1)
     return padded, lengths
+
+
+def quick_synthetic_dataset(
+    n_users,
+    n_items,
+    n_interactions,
+    seed=0,
+    split_ratio=(0.8, 0.1, 0.1),
+    name="QuickSynthetic",
+):
+    """Vectorized synthetic dataset for benchmarks / dry runs.
+
+    Unlike ``SyntheticDataset`` (which exercises the reference-parity k-core
+    + chronological pipeline and is O(E * deg) in python), this builds a
+    deduped random bipartite graph and per-user random split entirely in
+    numpy — millions of edges in well under a second.
+    """
+    rng = np.random.default_rng(seed)
+    u_w = (1.0 / np.arange(1, n_users + 1)) ** 0.6
+    i_w = (1.0 / np.arange(1, n_items + 1)) ** 0.8
+    users = rng.choice(n_users, size=n_interactions, p=u_w / u_w.sum())
+    items = rng.choice(n_items, size=n_interactions, p=i_w / i_w.sum())
+    pairs = np.unique(users.astype(np.int64) * n_items + items.astype(np.int64))
+    rng.shuffle(pairs)
+    users, items = pairs // n_items, pairs % n_items
+    order = np.argsort(users, kind="stable")
+    users, items = users[order], items[order]
+    counts = np.bincount(users, minlength=n_users)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+
+    ds = BasicDataset({"name": name, "split_ratio": list(split_ratio)})
+    ds.n_users, ds.n_items = n_users, n_items
+    ds.train_data = [[] for _ in range(n_users)]
+    ds.val_data = [[] for _ in range(n_users)]
+    ds.test_data = [[] for _ in range(n_users)]
+    train_rows = []
+    for u in range(n_users):
+        row = items[starts[u] : starts[u + 1]]
+        n = len(row)
+        n_tr = int(n * split_ratio[0])
+        n_te = int(n * split_ratio[2])
+        ds.train_data[u] = row[:n_tr].tolist()
+        ds.val_data[u] = row[n_tr : n - n_te].tolist()
+        ds.test_data[u] = row[n - n_te :].tolist()
+        if n_tr:
+            train_rows.append(
+                np.stack([np.full(n_tr, u, dtype=np.int64), row[:n_tr]], axis=1)
+            )
+    ds.train_array = (
+        np.concatenate(train_rows, axis=0) if train_rows else np.zeros((0, 2), np.int64)
+    )
+    return ds
 
 
 DATASETS = {

@@ -7,11 +7,20 @@ negatives. Here the whole batch is drawn on device by one jitted function —
 no host workers, no per-batch H2D traffic, and the sampler composes into the
 same jit as the train step.
 
+Data structure: a CSR-style flat layout, O(|E|) memory —
+- ``items_flat``: train items grouped by user, each user's slice sorted
+- ``offsets``/``deg``: per-user slice bounds
+- membership of (u, i) is a fixed-iteration binary search inside u's slice
+  (vectorized over the batch; 32 iterations covers any |E| < 2^32). This
+  avoids both padded per-user rows (O(n_users * max_degree) memory on
+  power-law graphs) and 64-bit flat keys (int64 is unavailable without
+  jax_enable_x64 and would silently truncate for large catalogs).
+
 Divergence (documented): the reference's rejection loop is unbounded; XLA
 needs static shapes, so we use ``n_tries`` fixed resampling rounds and keep
-the last candidate if all rounds hit positives. For the neg_ratio=1,
-|pos(u)| << n_items regimes here the residual false-negative probability is
-(deg/n_items)^n_tries ~ 1e-20 — unmeasurable in training.
+the last candidate if all rounds hit positives. For |pos(u)| << n_items the
+residual false-negative probability is (deg/n_items)^n_tries — unmeasurable
+in training.
 """
 
 from __future__ import annotations
@@ -23,54 +32,74 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from inductive_recommendation_tpu.data.dataset import pad_user_lists
-
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["pos_sorted", "deg", "valid_users"],
-    meta_fields=["n_items", "max_deg"],
+    data_fields=["items_flat", "offsets", "deg", "valid_users"],
+    meta_fields=["n_items"],
 )
 @dataclasses.dataclass(frozen=True)
 class SamplerState:
-    """Static per-dataset tensors the sampler needs.
+    """Static per-dataset tensors the sampler needs (see module docstring).
 
-    pos_sorted: [n_users, max_deg] sorted train items, padded with n_items
-    deg:        [n_users] train degree
-    valid_users:[n_valid] users with deg > 0 (reference resamples until it
-                hits one, dataset.py:120-122; sampling uniformly from this
-                list is the closed form of that loop)
+    valid_users: users with deg > 0; the reference resamples until it hits
+    one (dataset.py:120-122) — uniform choice from this list is the closed
+    form of that loop.
     """
 
-    pos_sorted: jnp.ndarray
-    deg: jnp.ndarray
-    valid_users: jnp.ndarray
+    items_flat: jnp.ndarray  # [E] int32, per-user slices sorted
+    offsets: jnp.ndarray  # [n_users + 1] int32
+    deg: jnp.ndarray  # [n_users] int32
+    valid_users: jnp.ndarray  # [n_valid] int32
     n_items: int
-    max_deg: int
 
 
 def build_sampler_state(train_data, n_items) -> SamplerState:
-    padded, lengths = pad_user_lists(train_data, n_items, sort=True)
+    lengths = np.fromiter(
+        (len(l) for l in train_data), dtype=np.int64, count=len(train_data)
+    )
+    offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+    if offsets[-1] > 0:
+        items_flat = np.concatenate(
+            [np.sort(np.asarray(l, dtype=np.int64)) for l in train_data if len(l)]
+        )
+    else:
+        items_flat = np.zeros((0,), dtype=np.int64)
     valid = np.nonzero(lengths > 0)[0].astype(np.int32)
     return SamplerState(
-        pos_sorted=jnp.asarray(padded),
-        deg=jnp.asarray(lengths),
+        items_flat=jnp.asarray(items_flat, dtype=jnp.int32),
+        offsets=jnp.asarray(offsets, dtype=jnp.int32),
+        deg=jnp.asarray(lengths, dtype=jnp.int32),
         valid_users=jnp.asarray(valid),
         n_items=int(n_items),
-        max_deg=int(padded.shape[1]),
     )
 
 
 def _is_member(state: SamplerState, users: jnp.ndarray, cands: jnp.ndarray):
-    """Vectorized membership test: cands[b] in train(users[b])?
+    """Vectorized membership: (users[b], cands[b]) in the train set?
 
-    Rows are sorted and padded with the n_items sentinel, so a binary search
-    per row suffices (vmapped searchsorted).
+    Fixed-iteration lower-bound binary search within each user's sorted
+    slice of ``items_flat``.
     """
-    rows = state.pos_sorted[users]  # [B, max_deg]
-    pos = jax.vmap(jnp.searchsorted)(rows, cands)
-    pos = jnp.clip(pos, 0, state.max_deg - 1)
-    return jnp.take_along_axis(rows, pos[:, None], axis=1)[:, 0] == cands
+    E = state.items_flat.shape[0]
+    if E == 0:
+        return jnp.zeros(users.shape, dtype=bool)
+    lo = state.offsets[users]
+    hi = lo + state.deg[users]
+    n_iter = max(1, int(np.ceil(np.log2(max(E, 2)))) + 1)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        v = state.items_flat[jnp.clip(mid, 0, E - 1)]
+        go_right = v < cands
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    in_range = lo < state.offsets[users] + state.deg[users]
+    return jnp.logical_and(
+        in_range, state.items_flat[jnp.clip(lo, 0, E - 1)] == cands
+    )
 
 
 def sample_bpr_batch(
@@ -90,9 +119,7 @@ def sample_bpr_batch(
     uidx = jax.random.randint(rng_u, (batch_size,), 0, state.valid_users.shape[0])
     users = state.valid_users[uidx]
     pos_slot = jax.random.randint(rng_p, (batch_size,), 0, 1 << 30) % state.deg[users]
-    pos_items = jnp.take_along_axis(
-        state.pos_sorted[users], pos_slot[:, None], axis=1
-    )[:, 0]
+    pos_items = state.items_flat[state.offsets[users] + pos_slot]
 
     flat_users = jnp.repeat(users, neg_ratio)
 
@@ -102,11 +129,8 @@ def sample_bpr_batch(
             rng_t, (batch_size * neg_ratio,), 0, state.n_items
         ).astype(neg.dtype)
         member = _is_member(state, flat_users, cand)
-        take = jnp.logical_and(~done, ~member)
-        neg = jnp.where(take, cand, neg)
-        # also overwrite still-undone slots with the latest candidate as a
-        # fallback so the final value is at least uniform (bias documented)
-        neg = jnp.where(jnp.logical_and(~done, member), cand, neg)
+        # overwrite not-yet-done slots with the candidate; mark non-members done
+        neg = jnp.where(done, neg, cand)
         done = jnp.logical_or(done, ~member)
         return (neg, done), None
 

@@ -3,13 +3,14 @@
 Mirrors BasicTrainer.eval / inductive_eval (trainer.py:146-253) with the
 TPU-shaped differences:
 
-- the model's full representation is computed ONCE per eval and reused for
-  every user batch (the reference re-propagates the whole graph for every
-  512-user batch, trainer.py:151-153);
-- train/val exclusion masking is a vectorized -inf scatter through padded
-  index rows (the reference builds python index lists per batch,
-  trainer.py:155-167);
-- scoring + masking + top-k run jitted per batch, metrics in one jnp pass.
+- the model's full representation is computed ONCE per eval (jitted) and
+  reused for every user batch (the reference re-propagates the whole graph
+  for every 512-user batch, trainer.py:151-153);
+- scoring + exclusion masking (-inf scatter through padded index rows,
+  replacing the per-batch python lists of trainer.py:155-167) + top-k run
+  in a single jitted function per batch, with all large arrays passed as
+  jit arguments (remote-compile friendly);
+- metrics are one vectorized host pass (eval/metrics.py).
 """
 
 from __future__ import annotations
@@ -44,12 +45,32 @@ class Evaluator:
             list(t) + list(v) for t, v in zip(dataset.train_data, dataset.val_data)
         ]
         self._trainval_excl, _ = pad_user_lists(trainval, n_items, sort=False)
-        self._score_topk = jax.jit(
-            lambda scores, excl, banned: masked_topk(
-                scores, self.k_max, exclude_idx=excl, banned_mask=banned
-            ),
-            static_argnames=(),
-        )
+        # jit caches keyed per model object (the evaluator outlives none of
+        # them, but stays correct if several models share one dataset)
+        self._fn_cache = {}
+
+    def _fns(self, model):
+        key = id(model)
+        if key not in self._fn_cache:
+            k_max = self.k_max
+
+            def scoring_state(params, buffers):
+                return model.make_scoring_state(params, buffers=buffers)
+
+            def rec_masked(state, users, excl, banned):
+                scores = model.score(state, users)
+                return masked_topk(scores, k_max, exclude_idx=excl, banned_mask=banned)[1]
+
+            def rec_plain(state, users):
+                scores = model.score(state, users)
+                return jax.lax.top_k(scores, k_max)[1]
+
+            self._fn_cache[key] = (
+                jax.jit(scoring_state),
+                jax.jit(rec_masked),
+                jax.jit(rec_plain),
+            )
+        return self._fn_cache[key]
 
     def recommend(self, model, params, stage, banned_items=None):
         """Top-k_max recommended items for every user -> [n_users, k_max]."""
@@ -63,20 +84,28 @@ class Evaluator:
             excl = None
         banned = None
         if banned_items is not None:
-            banned = np.zeros(n_items, dtype=bool)
-            banned[np.asarray(banned_items)] = True
-            banned = jnp.asarray(banned)
+            b = np.zeros(n_items, dtype=bool)
+            b[np.asarray(banned_items)] = True
+            banned = jnp.asarray(b)
 
-        state = model.make_scoring_state(params)
+        state_fn, rec_masked, rec_plain = self._fns(model)
+        state = state_fn(params, model.buffers)
         B = self.test_batch_size
         rec = []
         for start in range(0, n_users, B):
             users = np.arange(start, min(start + B, n_users))
             pad = B - len(users)
             users_p = np.concatenate([users, np.zeros(pad, dtype=users.dtype)])
-            scores = model.score(state, jnp.asarray(users_p))
-            e = jnp.asarray(excl[users_p]) if excl is not None else None
-            _, items = self._score_topk(scores, e, banned)
+            if excl is None and banned is None:
+                items = rec_plain(state, jnp.asarray(users_p))
+            else:
+                e = (
+                    jnp.asarray(excl[users_p])
+                    if excl is not None
+                    else jnp.zeros((B, 1), jnp.int32) + n_items
+                )
+                bb = banned if banned is not None else jnp.zeros(n_items, bool)
+                items = rec_masked(state, jnp.asarray(users_p), e, bb)
             rec.append(np.asarray(items[: len(users)]))
         return np.concatenate(rec, axis=0)
 

@@ -1,4 +1,4 @@
-"""Vectorized top-k ranking metrics.
+"""Vectorized top-k ranking metrics (host-side numpy).
 
 Exact-parity re-derivation of the reference's per-user python loops
 (trainer.py:115-144):
@@ -10,31 +10,38 @@ Exact-parity re-derivation of the reference's per-user python loops
 - every mean is over users with |gt| > 0 only (trainer.py:140-143; the
   reference's mask is min(|gt|, k) > 0 which equals |gt| > 0 for k >= 1)
 
-The whole computation is one jnp pass over [n_users, K] instead of the
-reference's O(n_users * K) python loops.
+Membership is one flat binary search: gt pairs are encoded as sorted
+``u * S + i`` keys, so the hit matrix for [n_users, K] recommendations costs
+O(nK log E) with no python loops. Runs on the host because it is a
+once-per-eval O(nK) pass over data that already lives there.
 """
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
-from inductive_recommendation_tpu.data.dataset import pad_user_lists
 
-
-def _hit_matrix(rec_items: jnp.ndarray, gt_sorted: jnp.ndarray) -> jnp.ndarray:
-    """[n_users, K] membership of recommended items in per-user sorted gt
-    rows (padded with a large sentinel)."""
+def _hit_matrix(rec_items: np.ndarray, eval_data) -> np.ndarray:
     n_users, K = rec_items.shape
-    L = gt_sorted.shape[1]
-
-    def row_hits(row_gt, row_rec):
-        pos = jnp.clip(jnp.searchsorted(row_gt, row_rec), 0, L - 1)
-        return row_gt[pos] == row_rec
-
-    import jax
-
-    return jax.vmap(row_hits)(gt_sorted, rec_items).astype(jnp.float32)
+    S = np.int64(rec_items.max(initial=0)) + 2
+    lengths = np.fromiter((len(l) for l in eval_data), dtype=np.int64, count=n_users)
+    if lengths.sum() == 0:
+        return np.zeros((n_users, K), dtype=np.float32)
+    users_flat = np.repeat(np.arange(n_users, dtype=np.int64), lengths)
+    items_flat = np.concatenate(
+        [np.asarray(l, dtype=np.int64) for l in eval_data if len(l)]
+    )
+    # clip gt items beyond the rec id range into the sentinel space so keys
+    # stay unique per user but cannot collide with rec keys
+    items_flat = np.minimum(items_flat, S - 1)
+    gt_keys = np.sort(users_flat * S + items_flat)
+    rec_keys = (
+        np.arange(n_users, dtype=np.int64)[:, None] * S + rec_items.astype(np.int64)
+    ).reshape(-1)
+    pos = np.searchsorted(gt_keys, rec_keys)
+    pos = np.clip(pos, 0, len(gt_keys) - 1)
+    hits = (gt_keys[pos] == rec_keys).astype(np.float32)
+    return hits.reshape(n_users, K)
 
 
 def calculate_metrics(eval_data, rec_items, topks):
@@ -42,31 +49,32 @@ def calculate_metrics(eval_data, rec_items, topks):
     rec_items: [n_users, K>=max(topks)] recommended item ids.
     Returns {'Precision': {k: float}, 'Recall': {...}, 'NDCG': {...}}.
     """
-    rec_items = jnp.asarray(np.asarray(rec_items, dtype=np.int64))
+    rec_items = np.asarray(rec_items, dtype=np.int64)
     n_users, K = rec_items.shape
-    n_sentinel = int(rec_items.max(initial=0)) + 2
-    gt_padded, gt_len = pad_user_lists(eval_data, n_sentinel, sort=True)
-    gt_sorted = jnp.asarray(gt_padded)
-    gt_len = jnp.asarray(gt_len.astype(np.float32))
+    gt_len = np.fromiter(
+        (len(l) for l in eval_data), dtype=np.float64, count=n_users
+    )
 
-    hits = _hit_matrix(rec_items, gt_sorted)  # [n_users, K]
-    denom = 1.0 / jnp.log2(jnp.arange(2, K + 2, dtype=jnp.float32))
-    dcg_cum = jnp.cumsum(hits * denom[None, :], axis=1)  # [n_users, K]
-    hit_cum = jnp.cumsum(hits, axis=1)
-    ideal_cum = jnp.cumsum(denom)  # [K]
+    hits = _hit_matrix(rec_items, eval_data)  # [n_users, K]
+    denom = 1.0 / np.log2(np.arange(2, K + 2, dtype=np.float64))
+    dcg_cum = np.cumsum(hits * denom[None, :], axis=1)
+    hit_cum = np.cumsum(hits, axis=1)
+    ideal_cum = np.cumsum(denom)
 
-    user_mask = gt_len > 0
-    n_valid = jnp.maximum(user_mask.sum(), 1)
+    mask = gt_len > 0
+    n_valid = max(int(mask.sum()), 1)
 
     results = {"Precision": {}, "Recall": {}, "NDCG": {}}
     for k in topks:
         hit_num = hit_cum[:, k - 1]
         precision = hit_num / k
-        recall = jnp.where(gt_len > 0, hit_num / jnp.maximum(gt_len, 1.0), 0.0)
-        max_hit = jnp.minimum(gt_len, float(k)).astype(jnp.int32)
-        idcg = ideal_cum[jnp.clip(max_hit - 1, 0, K - 1)]
-        ndcg = jnp.where(gt_len > 0, dcg_cum[:, k - 1] / jnp.maximum(idcg, 1e-12), 0.0)
-        results["Precision"][k] = float(jnp.where(user_mask, precision, 0.0).sum() / n_valid)
-        results["Recall"][k] = float(jnp.where(user_mask, recall, 0.0).sum() / n_valid)
-        results["NDCG"][k] = float(jnp.where(user_mask, ndcg, 0.0).sum() / n_valid)
+        recall = np.divide(hit_num, gt_len, out=np.zeros_like(hit_num), where=mask)
+        max_hit = np.minimum(gt_len, k).astype(np.int64)
+        idcg = ideal_cum[np.clip(max_hit - 1, 0, K - 1)]
+        ndcg = np.divide(
+            dcg_cum[:, k - 1], idcg, out=np.zeros_like(hit_num), where=idcg > 0
+        )
+        results["Precision"][k] = float(precision[mask].sum() / n_valid)
+        results["Recall"][k] = float(recall[mask].sum() / n_valid)
+        results["NDCG"][k] = float(ndcg[mask].sum() / n_valid)
     return results

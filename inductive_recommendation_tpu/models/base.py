@@ -23,7 +23,16 @@ import jax.numpy as jnp
 
 
 class BasicModel:
-    """Base: name/shape bookkeeping + default scoring (model.py:35-53)."""
+    """Base: name/shape bookkeeping + default scoring (model.py:35-53).
+
+    ``self.buffers`` holds the model's static device arrays (adjacency,
+    feature matrices, ...). Methods accept them as an explicit argument so
+    trainers/evaluators can pass them INTO jitted functions — large buffers
+    must be jit *arguments*, not closure constants (closure constants get
+    baked into the compiled payload, which both bloats executables and
+    breaks remote-compile size limits). ``buffers=None`` falls back to
+    ``self.buffers`` for convenience in eager/small contexts.
+    """
 
     trainable = True
 
@@ -33,25 +42,32 @@ class BasicModel:
         self.dataset = dataset
         self.n_users = dataset.n_users
         self.n_items = dataset.n_items
+        self.buffers = {}
+
+    def _buf(self, buffers):
+        return self.buffers if buffers is None else buffers
 
     # -- parameters ----------------------------------------------------------
     def init_params(self, rng):
         raise NotImplementedError
 
     # -- representations -----------------------------------------------------
-    def get_rep(self, params, rng=None, training=False):
+    def get_rep(self, params, rng=None, training=False, buffers=None):
         """Full [(n_users + n_items), d] representation matrix."""
         raise NotImplementedError
 
     # -- training forward ----------------------------------------------------
-    def bpr_forward(self, params, users, pos_items, neg_items, rng=None, training=True):
+    def bpr_forward(
+        self, params, users, pos_items, neg_items, rng=None, training=True, buffers=None
+    ):
         """-> (users_r, pos_r, neg_r, l2_norm_sq[, extras...])."""
         raise NotImplementedError
 
     # -- scoring (evaluation path) ------------------------------------------
-    def make_scoring_state(self, params):
-        """Computed once per eval; default: the full representation."""
-        return self.get_rep(params, training=False)
+    def make_scoring_state(self, params, buffers=None):
+        """Computed once per eval; default: the full representation.
+        Must be jit-safe with (params, buffers) as arguments."""
+        return self.get_rep(params, training=False, buffers=buffers)
 
     def score(self, state, users):
         """[B, n_items] scores; default dot product against item reps

@@ -23,14 +23,16 @@ class MF(BasicModel):
             "item_embedding": normal_init(r2, (self.n_items, self.embedding_size)),
         }
 
-    def bpr_forward(self, params, users, pos_items, neg_items, rng=None, training=True):
+    def bpr_forward(
+        self, params, users, pos_items, neg_items, rng=None, training=True, buffers=None
+    ):
         users_e = params["user_embedding"][users]
         pos_e = params["item_embedding"][pos_items]
         neg_e = params["item_embedding"][neg_items]
         l2 = l2_sq_rows(users_e, pos_e, neg_e)
         return users_e, pos_e, neg_e, l2
 
-    def make_scoring_state(self, params):
+    def make_scoring_state(self, params, buffers=None):
         return params
 
     def score(self, state, users):

@@ -13,11 +13,19 @@ from inductive_recommendation_tpu.ops.spmm import (
     propagate_mean,
     segment_softmax,
 )
+from inductive_recommendation_tpu.ops.bucketed_spmm import (
+    BucketedSpMM,
+    build_bucketed_spmm,
+    spmm_bucketed,
+)
 from inductive_recommendation_tpu.ops.dropout import sparse_dropout, node_dropout_mask
 from inductive_recommendation_tpu.ops.topk import topk_scores, masked_topk, sharded_topk
 from inductive_recommendation_tpu.ops.cosine_topk import blockwise_cosine_topk
 
 __all__ = [
+    "BucketedSpMM",
+    "build_bucketed_spmm",
+    "spmm_bucketed",
     "spmm",
     "spmm_coo",
     "spmm_ell",

@@ -1,0 +1,244 @@
+"""Degree-bucketed ELL SpMM with transpose-SpMM backward — the TPU fast path.
+
+Why: XLA lowers ``segment_sum``/scatter-add poorly on TPU (measured 21 ms
+forward / ~45 ms backward for a 1.8M-edge, d=64 SpMM on v5e vs a ~1-3 ms
+random-gather roofline). Two structural fixes:
+
+1. **No scatter anywhere.** Rows are grouped into power-of-two degree
+   buckets; each bucket is a dense [rows, k] neighbor table reduced over the
+   k axis (gather + einsum — pure gathers and dense reductions). Bucket
+   outputs are concatenated and *gathered* back into row order through a
+   precomputed inverse permutation (a gather, not a scatter).
+2. **Backward is a forward.** grad_x of ``out = A @ x`` is ``A^T @ g``; we
+   pre-build the transpose's bucketed layout and register a ``custom_vjp``
+   so the backward pass is another gather-reduce instead of XLA's
+   scatter-add of the gather adjoint.
+
+Per-edge dynamic scales (edge dropout masks, IGCN's annealed feat-matrix
+weights) are handled by an *edge-id indirection*: both layouts store the
+originating edge id, and a caller-supplied ``edge_scale [nnz]`` vector is
+gathered into either layout — so a mask sampled once in edge space is
+consistent between forward and transpose (a requirement for correct
+dropout gradients).
+
+Measured on TPU v5e (Gowalla-scale, 1.8M edges, d=64): forward 21 ms -> ~11
+ms, and the backward scatter (~30 ms) becomes another ~11 ms forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["idx", "val", "eid"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class _Bucket:
+    idx: jnp.ndarray  # [rows, k] neighbor column ids (0 padded)
+    val: jnp.ndarray  # [rows, k] edge values (0 padded)
+    eid: jnp.ndarray  # [rows, k] originating edge id (0 padded; val==0 kills it)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["buckets", "inv_perm"],
+    meta_fields=["n_rows", "n_cols", "nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class _OneSide:
+    buckets: tuple  # tuple[_Bucket, ...]
+    inv_perm: jnp.ndarray  # [n_rows] gather map from concat-bucket order
+    n_rows: int
+    n_cols: int
+    nnz: int
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["fwd", "bwd"],
+    meta_fields=["symmetric"],
+)
+@dataclasses.dataclass(frozen=True)
+class BucketedSpMM:
+    """Forward layout of A and (shared when symmetric) layout of A^T."""
+
+    fwd: _OneSide
+    bwd: _OneSide
+    symmetric: bool
+
+    @property
+    def shape(self):
+        return (self.fwd.n_rows, self.fwd.n_cols)
+
+    @property
+    def nnz(self) -> int:
+        return self.fwd.nnz
+
+
+def _build_one_side(row, col, val, eid, n_rows, n_cols, min_bucket_rows=256):
+    """Host-side: rows -> power-of-two degree buckets (small buckets merged
+    upward to limit kernel count)."""
+    deg = np.bincount(row, minlength=n_rows)
+    order_e = np.argsort(row, kind="stable")
+    re_, ce_, ve_, ee_ = row[order_e], col[order_e], val[order_e], eid[order_e]
+    starts = np.concatenate([[0], np.cumsum(deg)])
+
+    max_deg = int(deg.max(initial=0))
+    caps = []
+    c = 1
+    while c < max(max_deg, 1):
+        caps.append(c)
+        c *= 2
+    caps.append(max(max_deg, 1))
+
+    # assign each row the smallest cap >= its degree, then merge sparse caps
+    nonzero_rows = np.nonzero(deg > 0)[0]
+    row_cap = np.empty(len(nonzero_rows), dtype=np.int64)
+    for i, cap in enumerate(caps):
+        lo = caps[i - 1] if i else 0
+        sel = (deg[nonzero_rows] > lo) & (deg[nonzero_rows] <= cap)
+        row_cap[sel] = cap
+    uniq_caps = sorted(set(row_cap.tolist()))
+    merged = []
+    pending = []
+    for cap in uniq_caps:
+        members = nonzero_rows[row_cap == cap]
+        pending.append((cap, members))
+        total = sum(len(m) for _, m in pending)
+        if total >= min_bucket_rows or cap == uniq_caps[-1]:
+            cap_m = pending[-1][0]
+            rows_m = np.concatenate([m for _, m in pending])
+            merged.append((cap_m, rows_m))
+            pending = []
+    if pending:
+        cap_m = pending[-1][0]
+        rows_m = np.concatenate([m for _, m in pending])
+        merged.append((cap_m, rows_m))
+
+    buckets = []
+    perm = []
+    for cap, rows_m in merged:
+        m = len(rows_m)
+        idx = np.zeros((m, cap), dtype=np.int32)
+        v = np.zeros((m, cap), dtype=np.float32)
+        e = np.zeros((m, cap), dtype=np.int32)
+        lens = deg[rows_m]
+        rows_rep = np.repeat(np.arange(m), lens)
+        flat_pos = np.concatenate(
+            [np.arange(starts[r], starts[r] + deg[r]) for r in rows_m]
+        ).astype(np.int64) if m else np.zeros(0, np.int64)
+        slot = (
+            np.arange(len(flat_pos))
+            - np.concatenate([[0], np.cumsum(lens)[:-1]])[rows_rep]
+        )
+        idx[rows_rep, slot] = ce_[flat_pos]
+        v[rows_rep, slot] = ve_[flat_pos]
+        e[rows_rep, slot] = ee_[flat_pos]
+        buckets.append(
+            _Bucket(idx=jnp.asarray(idx), val=jnp.asarray(v), eid=jnp.asarray(e))
+        )
+        perm.append(rows_m)
+
+    zero_rows = np.nonzero(deg == 0)[0]
+    perm.append(zero_rows)  # mapped to an appended zero block
+    perm = np.concatenate(perm) if perm else np.zeros(0, np.int64)
+    inv_perm = np.empty(n_rows, dtype=np.int64)
+    inv_perm[perm] = np.arange(n_rows)
+    return _OneSide(
+        buckets=tuple(buckets),
+        inv_perm=jnp.asarray(inv_perm, dtype=jnp.int32),
+        n_rows=int(n_rows),
+        n_cols=int(n_cols),
+        nnz=int(len(row)),
+    )
+
+
+def build_bucketed_spmm(
+    row, col, val, shape, symmetric: bool = False, min_bucket_rows: int = 256
+) -> BucketedSpMM:
+    """Host-side constructor from (coalesced) COO arrays.
+
+    ``symmetric=True`` asserts A == A^T (e.g. the sym-normalized bipartite
+    adjacency) and shares one layout for forward and backward. Edge ids are
+    assigned in the given COO order; ``edge_scale`` vectors passed to
+    :func:`spmm_bucketed` must use that order.
+    """
+    row = np.asarray(row, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    val = np.asarray(val, dtype=np.float32)
+    nz = val != 0.0
+    row, col, val = row[nz], col[nz], val[nz]
+    eid = np.arange(len(row), dtype=np.int64)
+    n_rows, n_cols = shape
+    fwd = _build_one_side(row, col, val, eid, n_rows, n_cols, min_bucket_rows)
+    if symmetric:
+        bwd = fwd
+    else:
+        bwd = _build_one_side(col, row, val, eid, n_cols, n_rows, min_bucket_rows)
+    return BucketedSpMM(fwd=fwd, bwd=bwd, symmetric=symmetric)
+
+
+def _apply_one_side(side: _OneSide, x: jnp.ndarray, edge_scale) -> jnp.ndarray:
+    parts = []
+    for b in side.buckets:
+        v = b.val
+        if edge_scale is not None:
+            v = v * edge_scale[b.eid]
+        g = jnp.take(x, b.idx, axis=0)  # [rows, k, d]
+        parts.append(jnp.einsum("rk,rkd->rd", v, g))
+    d = x.shape[-1]
+    n_have = sum(p.shape[0] for p in parts)
+    n_zero = side.n_rows - n_have
+    if n_zero > 0:
+        parts.append(jnp.zeros((n_zero, d), x.dtype))
+    stacked = jnp.concatenate(parts, axis=0) if parts else jnp.zeros((0, d), x.dtype)
+    return jnp.take(stacked, side.inv_perm, axis=0)
+
+
+@jax.custom_vjp
+def _spmm_bucketed(mat: BucketedSpMM, edge_scale, x):
+    return _apply_one_side(mat.fwd, x, edge_scale)
+
+
+def _spmm_fwd(mat, edge_scale, x):
+    return _apply_one_side(mat.fwd, x, edge_scale), (mat, edge_scale)
+
+
+def _spmm_bwd(res, g):
+    mat, edge_scale = res
+    dx = _apply_one_side(mat.bwd, g, edge_scale)
+    zeros_mat = jax.tree_util.tree_map(jnp.zeros_like, mat)
+    zeros_scale = None if edge_scale is None else jnp.zeros_like(edge_scale)
+    return (zeros_mat, zeros_scale, dx)
+
+
+_spmm_bucketed.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def spmm_bucketed(mat: BucketedSpMM, x: jnp.ndarray, edge_scale=None) -> jnp.ndarray:
+    """out = (A ∘ scale) @ x with gather-only forward AND backward.
+
+    ``edge_scale``: optional [nnz] per-edge multiplier in the COO order used
+    at construction (dropout mask, annealed weights). Gradients flow to
+    ``x`` only — edge values are graph buffers, not parameters.
+
+    A matrix built with ``symmetric=True`` shares one layout for A and A^T,
+    which is only valid when every edge's scale is 1 — an arbitrary
+    per-edge scale breaks the symmetry ((A∘S)^T = A^T∘S^T != A∘S). Build
+    with ``symmetric=False`` to get the explicit transpose layout (whose
+    edge-id indirection maps the SAME scale vector correctly on both sides).
+    """
+    if edge_scale is not None and mat.symmetric:
+        raise ValueError(
+            "edge_scale with a shared-symmetric layout is incorrect; build "
+            "with symmetric=False"
+        )
+    return _spmm_bucketed(mat, edge_scale, x)

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from inductive_recommendation_tpu.graph.sparse import SparseCOO, SparseELL
+from inductive_recommendation_tpu.ops.bucketed_spmm import BucketedSpMM, spmm_bucketed
 
 
 def spmm_coo(adj: SparseCOO, x: jnp.ndarray) -> jnp.ndarray:
@@ -42,6 +43,8 @@ def spmm(adj, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
         if not isinstance(adj, SparseELL):
             raise TypeError("pallas impl requires SparseELL")
         return spmm_ell_pallas(adj, x)
+    if isinstance(adj, BucketedSpMM):
+        return spmm_bucketed(adj, x)
     if isinstance(adj, SparseCOO):
         return spmm_coo(adj, x)
     if isinstance(adj, SparseELL):

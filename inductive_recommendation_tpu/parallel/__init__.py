@@ -1,0 +1,19 @@
+"""Distributed execution: device meshes, sharded embedding tables, sharded
+train/eval steps.
+
+The reference is single-device (SURVEY §2.7: no torch.distributed anywhere);
+this package supplies the north-star parallelism for the TPU build:
+
+- mesh axes ('data', 'model'): batch data-parallelism x row-sharded
+  user/item embedding tables
+- shardings are expressed as NamedSharding / sharding constraints inside one
+  jit — XLA inserts the all-to-all / all-gather / psum collectives over ICI
+  (the "pick a mesh, annotate, let XLA do collectives" recipe)
+- exact sharded top-k retrieval with k-way merge lives in ops/topk.py and is
+  driven from eval via shard_map
+"""
+
+from inductive_recommendation_tpu.parallel.mesh import make_mesh, shard_params
+from inductive_recommendation_tpu.parallel.step import make_sharded_bpr_step
+
+__all__ = ["make_mesh", "shard_params", "make_sharded_bpr_step"]

@@ -55,19 +55,23 @@ class BasicTrainer:
         self.epoch = 0
         self.best_ndcg = -np.inf
         self.save_path = None
-        self.rng = jax.random.key(trainer_config.get("seed", 0))
+        # integer step counter folded into a fixed base seed INSIDE jitted
+        # steps — per-step eager jax.random.split calls are surprisingly
+        # expensive on remote-dispatch backends (one round trip each)
+        self.seed = int(trainer_config.get("seed", 0))
+        self._step_counter = 0
         self.evaluator = Evaluator(
             dataset, self.topks, trainer_config.get("test_batch_size", 512)
         )
-        self.params = model.init_params(self._next_rng())
+        self.params = model.init_params(jax.random.key(self.seed))
         self.optimizer = None
         self.opt_state = None
         self.steps_per_epoch = max(1, -(-len(dataset) // self.batch_size))
 
     # -- rng ----------------------------------------------------------------
-    def _next_rng(self):
-        self.rng, sub = jax.random.split(self.rng)
-        return sub
+    def _next_seed(self):
+        self._step_counter += 1
+        return np.int64(self._step_counter)
 
     # -- optimizer (trainer.py:44-46) ---------------------------------------
     def initialize_optimizer(self):
@@ -199,16 +203,17 @@ class BPRTrainer(BasicTrainer):
         model_ref = self.model
         l2_reg = self.l2_reg
         batch_size = self.batch_size
-        sampler = self.sampler
+        base_seed = self.seed
         optimizer = self.optimizer
 
-        def step(params, opt_state, rng):
+        def step(params, opt_state, buffers, sampler, step_seed):
+            rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
             rng_s, rng_m = jax.random.split(rng)
             users, pos, neg = sample_bpr_batch(sampler, rng_s, batch_size)
 
             def loss_fn(p):
                 u_r, p_r, n_r, l2 = model_ref.bpr_forward(
-                    p, users, pos, neg[:, 0], rng=rng_m, training=True
+                    p, users, pos, neg[:, 0], rng=rng_m, training=True, buffers=buffers
                 )
                 return L.bpr_loss(u_r, p_r, n_r) + l2_reg * l2.mean()
 
@@ -223,7 +228,11 @@ class BPRTrainer(BasicTrainer):
         losses = AverageMeter()
         for _ in range(self.steps_per_epoch):
             self.params, self.opt_state, loss = self._step(
-                self.params, self.opt_state, self._next_rng()
+                self.params,
+                self.opt_state,
+                self.model.buffers,
+                self.sampler,
+                self._next_seed(),
             )
             losses.update(float(loss), self.batch_size)
         return losses.avg
