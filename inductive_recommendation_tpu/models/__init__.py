@@ -7,6 +7,7 @@ The registry is keyed by the reference's class names so its config grids map
 from inductive_recommendation_tpu.models.base import BasicModel
 from inductive_recommendation_tpu.models.mf import MF
 from inductive_recommendation_tpu.models.lightgcn import LightGCN
+from inductive_recommendation_tpu.models.igcn import IGCN, IMF
 
 MODELS = {}
 
@@ -16,7 +17,7 @@ def register(cls):
     return cls
 
 
-for _cls in [MF, LightGCN]:
+for _cls in [MF, LightGCN, IGCN, IMF]:
     MODELS[_cls.__name__] = _cls
 
 

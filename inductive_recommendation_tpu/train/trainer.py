@@ -238,9 +238,79 @@ class BPRTrainer(BasicTrainer):
         return losses.avg
 
 
+class IGCNTrainer(BasicTrainer):
+    """BPR + L2 + aux BPR on the raw core embeddings weighted by the model's
+    per-dim ``w`` (trainer.py:518-561); anneals the feature matrix at the end
+    of every epoch (trainer.py:559)."""
+
+    def __init__(self, trainer_config, dataset, model):
+        super().__init__(trainer_config, dataset, model)
+        self.l2_reg = trainer_config["l2_reg"]
+        self.aux_reg = trainer_config["aux_reg"]
+        self.initialize_optimizer()
+        self.sampler = build_sampler_state(dataset.train_data, dataset.n_items)
+
+        from inductive_recommendation_tpu.data.dataset import AuxiliaryDataset
+
+        aux = AuxiliaryDataset(dataset, model.user_map, model.item_map)
+        self.aux_sampler = build_sampler_state(aux.train_data, aux.n_items)
+
+        model_ref = self.model
+        l2_reg, aux_reg = self.l2_reg, self.aux_reg
+        batch_size = self.batch_size
+        base_seed = self.seed
+        optimizer = self.optimizer
+        user_dim = model.user_dim
+
+        def step(params, opt_state, buffers, sampler, aux_sampler, step_seed):
+            rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
+            rng_s, rng_a, rng_m = jax.random.split(rng, 3)
+            users, pos, neg = sample_bpr_batch(sampler, rng_s, batch_size)
+            a_users, a_pos, a_neg = sample_bpr_batch(aux_sampler, rng_a, batch_size)
+
+            def loss_fn(p):
+                u_r, p_r, n_r, l2 = model_ref.bpr_forward(
+                    p, users, pos, neg[:, 0], rng=rng_m, training=True, buffers=buffers
+                )
+                bpr = L.bpr_loss(u_r, p_r, n_r)
+                # aux BPR on raw core embeddings scored with w
+                # (trainer.py:542-549)
+                emb, w = p["embedding"], p["w"]
+                au = emb[a_users]
+                ap = emb[user_dim + a_pos]
+                an = emb[user_dim + a_neg[:, 0]]
+                pos_s = jnp.sum(au * ap * w[None, :], axis=1)
+                neg_s = jnp.sum(au * an * w[None, :], axis=1)
+                aux_loss = jnp.mean(jax.nn.softplus(neg_s - pos_s))
+                return bpr + l2_reg * l2.mean() + aux_reg * aux_loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    def train_one_epoch(self):
+        losses = AverageMeter()
+        for _ in range(self.steps_per_epoch):
+            self.params, self.opt_state, loss = self._step(
+                self.params,
+                self.opt_state,
+                self.model.buffers,
+                self.sampler,
+                self.aux_sampler,
+                self._next_seed(),
+            )
+            losses.update(float(loss), self.batch_size)
+        self.model.feat_mat_anneal()
+        return losses.avg
+
+
 TRAINERS = {
     "BasicTrainer": BasicTrainer,
     "BPRTrainer": BPRTrainer,
+    "IGCNTrainer": IGCNTrainer,
 }
 
 
