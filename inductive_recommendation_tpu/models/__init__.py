@@ -8,6 +8,13 @@ from inductive_recommendation_tpu.models.base import BasicModel
 from inductive_recommendation_tpu.models.mf import MF
 from inductive_recommendation_tpu.models.lightgcn import LightGCN
 from inductive_recommendation_tpu.models.igcn import IGCN, IMF
+from inductive_recommendation_tpu.models.ngcf import NGCF
+from inductive_recommendation_tpu.models.imcgae import IMCGAE
+from inductive_recommendation_tpu.models.itemknn import ItemKNN
+from inductive_recommendation_tpu.models.popularity import Popularity
+from inductive_recommendation_tpu.models.multivae import MultiVAE
+from inductive_recommendation_tpu.models.neumf import NeuMF
+from inductive_recommendation_tpu.models.idcf import IDCF_LGCN
 
 MODELS = {}
 
@@ -17,7 +24,19 @@ def register(cls):
     return cls
 
 
-for _cls in [MF, LightGCN, IGCN, IMF]:
+for _cls in [
+    MF,
+    LightGCN,
+    IGCN,
+    IMF,
+    NGCF,
+    IMCGAE,
+    ItemKNN,
+    Popularity,
+    MultiVAE,
+    NeuMF,
+    IDCF_LGCN,
+]:
     MODELS[_cls.__name__] = _cls
 
 

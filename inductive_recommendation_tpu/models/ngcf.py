@@ -1,0 +1,99 @@
+"""NGCF (reference model.py:3986-4055): self-loop row-L1 adjacency, per-layer
+gc/bi linear transforms, leaky-relu, dropout, L2-normalized layer concat."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from inductive_recommendation_tpu.graph import bipartite_edges, row_l1_normalize_values
+from inductive_recommendation_tpu.models.base import (
+    BasicModel,
+    apply_linear,
+    init_linear,
+    kaiming_uniform_init,
+    l2_sq_rows,
+)
+from inductive_recommendation_tpu.ops import build_bucketed_spmm, spmm_bucketed
+from inductive_recommendation_tpu.ops.dropout import sparse_dropout
+
+
+def build_selfloop_l1_adj(dataset):
+    """A + I, row-L1 normalized (model.py:4008-4014). Built symmetric=False:
+    training-time edge dropout needs the explicit transpose layout."""
+    n = dataset.n_users + dataset.n_items
+    row, col = bipartite_edges(dataset.train_array, dataset.n_users, dataset.n_items)
+    row = np.concatenate([row, np.arange(n)])
+    col = np.concatenate([col, np.arange(n)])
+    keys = row * n + col
+    uniq, counts = np.unique(keys, return_counts=True)
+    row = (uniq // n).astype(np.int64)
+    col = (uniq % n).astype(np.int64)
+    val = row_l1_normalize_values(row, col, n, counts.astype(np.float32))
+    return build_bucketed_spmm(row, col, val, (n, n), symmetric=False)
+
+
+class NGCF(BasicModel):
+    def __init__(self, model_config, dataset):
+        super().__init__(model_config, dataset)
+        self.dropout = model_config["dropout"]
+        self.embedding_size = model_config["embedding_size"]
+        self.layer_sizes = list(model_config["layer_sizes"])
+        self.n_layers = len(self.layer_sizes)
+        self.buffers = {"norm_adj": build_selfloop_l1_adj(dataset)}
+
+    def init_params(self, rng):
+        keys = jax.random.split(rng, 1 + 2 * self.n_layers)
+        sizes = [self.embedding_size] + self.layer_sizes
+        params = {
+            "embedding": kaiming_uniform_init(
+                keys[0], (self.n_users + self.n_items, self.embedding_size)
+            ),
+            "gc_layers": [
+                init_linear(keys[1 + i], sizes[i], sizes[i + 1])
+                for i in range(self.n_layers)
+            ],
+            "bi_layers": [
+                init_linear(keys[1 + self.n_layers + i], sizes[i], sizes[i + 1])
+                for i in range(self.n_layers)
+            ],
+        }
+        return params
+
+    def get_rep(self, params, rng=None, training=False, buffers=None):
+        b = self._buf(buffers)
+        adj = b["norm_adj"]
+        h = params["embedding"]
+        all_layers = [h]
+        if training and rng is not None:
+            rng_edge, rng_feat = jax.random.split(rng)
+            edge_scale = sparse_dropout(
+                jnp.ones((adj.nnz,), jnp.float32), rng_edge, self.dropout, True
+            )
+        else:
+            rng_feat = rng
+            edge_scale = None
+        for i in range(self.n_layers):
+            m0 = spmm_bucketed(adj, h, edge_scale=edge_scale)
+            m1 = h * m0
+            m0 = apply_linear(params["gc_layers"][i], m0)
+            m1 = apply_linear(params["bi_layers"][i], m1)
+            h = jax.nn.leaky_relu(m0 + m1, negative_slope=0.2)
+            if training and rng_feat is not None and self.dropout > 0:
+                rng_feat, sub = jax.random.split(rng_feat)
+                keep = jax.random.uniform(sub, h.shape) >= self.dropout
+                h = jnp.where(keep, h / (1.0 - self.dropout), 0.0)
+            norm = jnp.maximum(jnp.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+            all_layers.append(h / norm)
+        return jnp.concatenate(all_layers, axis=1)
+
+    def bpr_forward(
+        self, params, users, pos_items, neg_items, rng=None, training=True, buffers=None
+    ):
+        rep = self.get_rep(params, rng=rng, training=training, buffers=buffers)
+        users_r = rep[users]
+        pos_r = rep[self.n_users + pos_items]
+        neg_r = rep[self.n_users + neg_items]
+        l2 = l2_sq_rows(users_r, pos_r, neg_r)
+        return users_r, pos_r, neg_r, l2

@@ -307,10 +307,203 @@ class IGCNTrainer(BasicTrainer):
         return losses.avg
 
 
+class IDCFTrainer(BasicTrainer):
+    """BPR + L2 + contrastive regularizer (trainer.py:488-515)."""
+
+    def __init__(self, trainer_config, dataset, model):
+        super().__init__(trainer_config, dataset, model)
+        self.l2_reg = trainer_config["l2_reg"]
+        self.contrastive_reg = trainer_config["contrastive_reg"]
+        self.initialize_optimizer()
+        self.sampler = build_sampler_state(dataset.train_data, dataset.n_items)
+        model_ref = self.model
+        l2_reg, c_reg = self.l2_reg, self.contrastive_reg
+        batch_size = self.batch_size
+        base_seed = self.seed
+        optimizer = self.optimizer
+
+        def step(params, opt_state, buffers, sampler, step_seed):
+            rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
+            rng_s, rng_m = jax.random.split(rng)
+            users, pos, neg = sample_bpr_batch(sampler, rng_s, batch_size)
+
+            def loss_fn(p):
+                u_r, p_r, n_r, l2, closs = model_ref.bpr_forward(
+                    p, users, pos, neg[:, 0], rng=rng_m, training=True, buffers=buffers
+                )
+                return (
+                    L.bpr_loss(u_r, p_r, n_r)
+                    + l2_reg * l2.mean()
+                    + c_reg * closs.mean()
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    def train_one_epoch(self):
+        losses = AverageMeter()
+        for _ in range(self.steps_per_epoch):
+            self.params, self.opt_state, loss = self._step(
+                self.params,
+                self.opt_state,
+                self.model.buffers,
+                self.sampler,
+                self._next_seed(),
+            )
+            losses.update(float(loss), self.batch_size)
+        return losses.avg
+
+
+class BCETrainer(BasicTrainer):
+    """NeuMF 3-phase pretrain: 'gmf' -> 'mlp' (reload best, reset opt) ->
+    'neumf' (reload, re-init MLP+fusion); softplus BCE on one positive +
+    neg_ratio negatives (trainer.py:564-607)."""
+
+    def __init__(self, trainer_config, dataset, model):
+        super().__init__(trainer_config, dataset, model)
+        self.l2_reg = trainer_config["l2_reg"]
+        self.mf_pretrain_epochs = trainer_config["mf_pretrain_epochs"]
+        self.mlp_pretrain_epochs = trainer_config["mlp_pretrain_epochs"]
+        self.neg_ratio = dataset.negative_sample_ratio
+        self.initialize_optimizer()
+        self.sampler = build_sampler_state(dataset.train_data, dataset.n_items)
+        self._arch_steps = {}
+
+    def _make_step(self, arch):
+        model_ref = self.model
+        l2_reg = self.l2_reg
+        batch_size = self.batch_size
+        base_seed = self.seed
+        optimizer = self.optimizer
+        neg_ratio = self.neg_ratio
+
+        def step(params, opt_state, sampler, step_seed):
+            rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
+            users, pos, neg = sample_bpr_batch(
+                sampler, rng, batch_size, neg_ratio=neg_ratio
+            )
+
+            def loss_fn(p):
+                pos_logits, l2_p = model_ref.bce_forward(p, users, pos, arch=arch)
+                u_rep = jnp.repeat(users, neg_ratio)
+                neg_logits, l2_n = model_ref.bce_forward(
+                    p, u_rep, neg.reshape(-1), arch=arch
+                )
+                bce = L.bce_losses(pos_logits, neg_logits).mean()
+                l2 = jnp.concatenate([l2_p, l2_n], axis=0)
+                return bce + l2_reg * l2.mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def train_one_epoch(self):
+        # phase switches (trainer.py:576-586)
+        if self.epoch == self.mf_pretrain_epochs:
+            self.model.arch = "mlp"
+            self.initialize_optimizer()
+            self.best_ndcg = -np.inf
+            if self.save_path:
+                self._load_model(self.save_path)
+        if self.epoch == self.mf_pretrain_epochs + self.mlp_pretrain_epochs:
+            self.model.arch = "neumf"
+            self.initialize_optimizer()
+            self.best_ndcg = -np.inf
+            if self.save_path:
+                self._load_model(self.save_path)
+            self.params = self.model.init_mlp_layers(
+                self.params, jax.random.key(self.seed + 7)
+            )
+            self.opt_state = self.optimizer.init(self.params)
+        arch = self.model.arch
+        if arch not in self._arch_steps:
+            self._arch_steps[arch] = self._make_step(arch)
+        step = self._arch_steps[arch]
+        losses = AverageMeter()
+        for _ in range(self.steps_per_epoch):
+            self.params, self.opt_state, loss = step(
+                self.params, self.opt_state, self.sampler, self._next_seed()
+            )
+            losses.update(float(loss), self.batch_size * (1 + self.neg_ratio))
+        return losses.avg
+
+
+class MLTrainer(BasicTrainer):
+    """MultiVAE: shuffled user batches; multinomial log-likelihood +
+    annealed KL + weight L2 (trainer.py:610-642)."""
+
+    def __init__(self, trainer_config, dataset, model):
+        super().__init__(trainer_config, dataset, model)
+        self.l2_reg = trainer_config["l2_reg"]
+        self.kl_reg = trainer_config["kl_reg"]
+        self.initialize_optimizer()
+        model_ref = self.model
+        l2_reg = self.l2_reg
+        base_seed = self.seed
+        optimizer = self.optimizer
+
+        def step(params, opt_state, buffers, users, valid, kl_reg_t, step_seed):
+            rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
+
+            def loss_fn(p):
+                scores, kl, l2 = model_ref.ml_forward(
+                    p, users, rng=rng, training=True, buffers=buffers
+                )
+                profiles = model_ref._profiles(buffers, users, normalized=False)
+                log_probs = jax.nn.log_softmax(scores, axis=1)
+                ml = -jnp.sum(profiles * log_probs, axis=1)
+                n_valid = jnp.maximum(valid.sum(), 1.0)
+                ml_loss = jnp.sum(ml * valid) / n_valid
+                kl_loss = jnp.sum(kl * valid) / n_valid
+                return ml_loss + kl_reg_t * kl_loss + l2_reg * l2.mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+        self.steps_per_epoch = max(1, -(-dataset.n_users // self.batch_size))
+
+    def train_one_epoch(self):
+        kl_reg = min(self.kl_reg, 1.0 * self.epoch / max(self.n_epochs, 1))
+        perm = np.random.permutation(self.dataset.n_users)
+        losses = AverageMeter()
+        B = self.batch_size
+        for start in range(0, len(perm), B):
+            users = perm[start : start + B]
+            n = len(users)
+            users_p = np.concatenate([users, np.zeros(B - n, users.dtype)])
+            valid = np.concatenate(
+                [np.ones(n, np.float32), np.zeros(B - n, np.float32)]
+            )
+            self.params, self.opt_state, loss = self._step(
+                self.params,
+                self.opt_state,
+                self.model.buffers,
+                jnp.asarray(users_p),
+                jnp.asarray(valid),
+                np.float32(kl_reg),
+                self._next_seed(),
+            )
+            losses.update(float(loss), n)
+        return losses.avg
+
+
 TRAINERS = {
     "BasicTrainer": BasicTrainer,
     "BPRTrainer": BPRTrainer,
     "IGCNTrainer": IGCNTrainer,
+    "IDCFTrainer": IDCFTrainer,
+    "BCETrainer": BCETrainer,
+    "MLTrainer": MLTrainer,
 }
 
 
