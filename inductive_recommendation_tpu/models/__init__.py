@@ -15,6 +15,22 @@ from inductive_recommendation_tpu.models.popularity import Popularity
 from inductive_recommendation_tpu.models.multivae import MultiVAE
 from inductive_recommendation_tpu.models.neumf import NeuMF
 from inductive_recommendation_tpu.models.idcf import IDCF_LGCN
+from inductive_recommendation_tpu.models.sgl import SGL, HALF
+from inductive_recommendation_tpu.models.dose import (
+    DOSE_aug,
+    DOSE_aug2,
+    DOSE_aug3,
+    DOSE_aug4,
+    DOSE_drop,
+    DOSE_drop2,
+    DOSE_drop3,
+    DOSE_aug_drop,
+    DOSE_aug_drop2,
+    DOSE_aug_drop3,
+    DOSE_test,
+    TEST,
+    TEST2,
+)
 
 MODELS = {}
 
@@ -36,6 +52,21 @@ for _cls in [
     MultiVAE,
     NeuMF,
     IDCF_LGCN,
+    SGL,
+    HALF,
+    DOSE_aug,
+    DOSE_aug2,
+    DOSE_aug3,
+    DOSE_aug4,
+    DOSE_drop,
+    DOSE_drop2,
+    DOSE_drop3,
+    DOSE_aug_drop,
+    DOSE_aug_drop2,
+    DOSE_aug_drop3,
+    DOSE_test,
+    TEST,
+    TEST2,
 ]:
     MODELS[_cls.__name__] = _cls
 

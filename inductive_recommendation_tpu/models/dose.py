@@ -1,0 +1,470 @@
+"""DOSE family (reference model.py:367-3877): IGCN + graph data augmentation
++ InfoNCE contrastive learning. Thirteen variants differing only in
+
+1. how candidate (u, i) pairs are selected — cosine-similarity extremes
+   (blockwise streamed top-k here), random pairs, degree-tail-restricted
+   pairs, or a similarity threshold;
+2. which auxiliary graph(s) are built — edge injection (union), random
+   subsample, set difference, or the reference's no-op "drop" (union);
+3. which representations feed the InfoNCE term.
+
+The reference repeats ~290 LoC per variant; here each variant is a small
+subclass of ``_DOSEBase`` declaring its selection + graph recipe.
+
+Static-shape discipline: every auxiliary view lives in a FIXED-size padded
+COO buffer sized at construction, so per-epoch regeneration
+(``update_aug_adj``) swaps buffer contents without retracing the jitted
+train step. Selection runs on device (blockwise cosine top-k — the
+reference materializes the full n_u x n_i matrix on CPU via sklearn,
+model.py:503-545); the graph set-algebra runs on host once per epoch.
+
+Documented divergences from the reference (intended-semantics fixes):
+- cos-sim selection is one exact global top-k; the reference splits the
+  flattened matrix in two halves and mis-offsets the second half's indices
+  by aug_num//2 instead of numel//2 (model.py:537-540);
+- ``DOSE_aug.update_aug_adj`` regenerates the AUG graph (the reference calls
+  a nonexistent ``generate_drop_graph`` -> AttributeError, model.py:571-575);
+- ``DOSE_aug_drop2`` gets an ``update_aug_adj`` (the reference has none but
+  its trainer calls it -> AttributeError at the first epoch end);
+- selection uses eval-mode representations (no feature dropout); the
+  reference leaves train-mode dropout on during epoch-end selection;
+- ``DOSE_aug4``'s threshold selection keeps the top ``aug_num`` pairs with
+  cos >= pai (the reference's unbounded torch.where list would be
+  dynamically sized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from inductive_recommendation_tpu.graph.build import (
+    aug_union_edges,
+    drop_difference_edges,
+    drop_sample_edges,
+    drop_union_edges,
+)
+from inductive_recommendation_tpu.graph.ranking import graph_rank_nodes
+from inductive_recommendation_tpu.models.base import l2_sq_rows
+from inductive_recommendation_tpu.models.igcn import IGCN
+from inductive_recommendation_tpu.models.sgl import padded_view_coo
+from inductive_recommendation_tpu.ops import blockwise_cosine_topk, propagate_mean
+from inductive_recommendation_tpu.train.losses import info_nce
+
+
+class _DOSEBase(IGCN):
+    """IGCN + auxiliary contrastive views."""
+
+    #: view buffer names regenerated each epoch
+    view_keys: tuple = ("aug_adj",)
+
+    def __init__(self, model_config, dataset):
+        super().__init__(model_config, dataset)
+        self.aug_num = int(model_config.get("aug_num", 0))
+        self.aug_rate = model_config.get("aug_rate", 0.2)
+        self.aug_ratio = model_config.get("aug_ratio", 0.2)
+        self.pai = model_config.get("pai", 0.9)
+        self.taugh = model_config.get("taugh", 0.2)
+        self._np_rng = np.random.default_rng(model_config.get("aug_seed", 0))
+        self._dedup_train = np.unique(
+            np.asarray(dataset.train_array, dtype=np.int64), axis=0
+        )
+        self._budgets = {k: self._view_budget(k) for k in self.view_keys}
+        # initial views use the INITIAL parameters in the reference (views are
+        # built in __init__ before training); selection-based variants defer
+        # to the first update_aug_adj call and start from a random view seeded
+        # by uniform selection over train edges
+        self.buffers = dict(self.buffers)
+        for k in self.view_keys:
+            self.buffers[k] = self._pack_view(self._initial_pairs(k), k)
+
+    # -- per-variant recipe ---------------------------------------------------
+    def _view_budget(self, key) -> int:
+        """Fixed nnz budget (both edge directions) for a view buffer."""
+        raise NotImplementedError
+
+    def _view_pairs(self, key, params) -> np.ndarray:
+        """(u, i) pair list for view ``key`` given current params."""
+        raise NotImplementedError
+
+    def _initial_pairs(self, key) -> np.ndarray:
+        """Pairs for the initial view (params not yet available)."""
+        return self._dedup_train
+
+    # -- machinery ------------------------------------------------------------
+    def _pack_view(self, pairs, key):
+        return padded_view_coo(
+            pairs, self.n_users, self.n_items, self._budgets[key]
+        )
+
+    def update_aug_adj(self, params=None):
+        new = dict(self.buffers)
+        for k in self.view_keys:
+            new[k] = self._pack_view(self._view_pairs(k, params), k)
+        self.buffers = new
+
+    def _cos_pairs(self, params, k, negate_items, restrict=None):
+        """Top-k (u, i) pairs by (optionally negated-item) cosine similarity
+        of the current main representations, streamed blockwise."""
+        rep = self.get_rep(params, training=False)
+        users_r = rep[: self.n_users]
+        items_r = rep[self.n_users :]
+        if restrict is not None:
+            r_users, r_items = restrict
+            users_r = users_r[jnp.asarray(r_users)]
+            items_r = items_r[jnp.asarray(r_items)]
+        _, uid, iid = blockwise_cosine_topk(
+            users_r, items_r, k, negate_items=negate_items
+        )
+        uid, iid = np.asarray(uid), np.asarray(iid)
+        if restrict is not None:
+            uid = np.asarray(restrict[0])[uid]
+            iid = np.asarray(restrict[1])[iid]
+        return np.stack([uid, iid], axis=1)
+
+    def _random_pairs(self, n):
+        user_id = self._np_rng.integers(0, self.n_users, n)
+        item_id = self._np_rng.integers(0, self.n_items, n)
+        return np.stack([user_id, item_id], axis=1)
+
+    def view_users(self, params, buffers, key, users, rng, training):
+        """User rows of the representation propagated over view ``key``;
+        feature-matrix dropout is re-drawn per view, as each reference
+        get_*_rep call re-applies dropout (model.py:488-501)."""
+        x0 = self.inductive_rep_layer(params, buffers, rng=rng, training=training)
+        rep = propagate_mean(buffers[key], x0, self.n_layers)
+        return rep[users]
+
+    # -- forward --------------------------------------------------------------
+    def _main_forward(self, params, users, pos_items, neg_items, rng, training, b):
+        rep = self.get_rep(params, rng=rng, training=training, buffers=b)
+        users_r = rep[users]
+        pos_r = rep[self.n_users + pos_items]
+        neg_r = rep[self.n_users + neg_items]
+        return users_r, pos_r, neg_r, l2_sq_rows(users_r, pos_r, neg_r)
+
+    def bpr_forward(
+        self, params, users, pos_items, neg_items, rng=None, training=True, buffers=None
+    ):
+        b = self._buf(buffers)
+        rng = rng if rng is not None else jax.random.key(0)
+        r_main, r_view = jax.random.split(rng)
+        users_r, pos_r, neg_r, l2 = self._main_forward(
+            params, users, pos_items, neg_items, r_main, training, b
+        )
+        contrastive = self._contrastive(
+            params, b, users, users_r, r_view, training
+        )
+        return users_r, pos_r, neg_r, l2, contrastive
+
+    def _contrastive(self, params, b, users, users_r, rng, training):
+        v = self.view_users(params, b, self.view_keys[0], users, rng, training)
+        return info_nce(users_r, v, v)
+
+
+# ---------------------------------------------------------------------------
+# injection variants
+# ---------------------------------------------------------------------------
+
+
+class DOSE_aug(_DOSEBase):
+    """Inject the aug_num LOWEST-cos-sim pairs (items negated before the
+    top-k, model.py:503-545) into the adjacency (union)."""
+
+    view_keys = ("aug_adj",)
+
+    def _view_budget(self, key):
+        return 2 * (len(self._dedup_train) + self.aug_num)
+
+    def _view_pairs(self, key, params):
+        pairs = self._cos_pairs(params, self.aug_num, negate_items=True)
+        return aug_union_edges(self._dedup_train, pairs)
+
+
+class DOSE_aug2(DOSE_aug):
+    """DOSE_aug whose selection takes the HIGHEST-similarity pairs
+    (model.py:1034-1051 has no negation) and which also rebuilds the feature
+    matrix over the augmented graph (model.py:935-978).
+
+    The aug feature matrix reuses the same core maps; its SpMM shares the
+    main feat layout budget by rebuilding into a fresh bucketed layout once
+    per epoch — this is the one DOSE variant whose epoch update retraces
+    (the reference rebuilds the same object; documented cost)."""
+
+    def _view_pairs(self, key, params):
+        pairs = self._cos_pairs(params, self.aug_num, negate_items=False)
+        self._last_aug_union = aug_union_edges(self._dedup_train, pairs)
+        return self._last_aug_union
+
+    def update_aug_adj(self, params=None):
+        super().update_aug_adj(params)
+        # aug feature matrix over train ∪ aug (model.py:935-978)
+        from inductive_recommendation_tpu.graph import build_feat_matrix
+        from inductive_recommendation_tpu.ops import build_bucketed_spmm
+
+        row, col, counts, row_sum = build_feat_matrix(
+            self._last_aug_union,
+            self.n_users,
+            self.n_items,
+            self.user_map,
+            self.item_map,
+        )
+        self.buffers = dict(
+            self.buffers,
+            aug_feat=build_bucketed_spmm(
+                row,
+                col,
+                counts,
+                (self.n_users + self.n_items, self.feat_n_cols),
+                symmetric=False,
+            ),
+            aug_feat_row=jnp.asarray(row, dtype=jnp.int32),
+            aug_feat_row_sum=jnp.asarray(row_sum),
+        )
+
+    def view_users(self, params, buffers, key, users, rng, training):
+        if "aug_feat" in buffers:
+            from inductive_recommendation_tpu.ops import spmm_bucketed
+            from inductive_recommendation_tpu.ops.dropout import sparse_dropout
+
+            expo = (buffers["alpha"] - 1.0) / 2.0 - 0.5
+            scale = jnp.power(
+                buffers["aug_feat_row_sum"][buffers["aug_feat_row"]], expo
+            )
+            if training and self.dropout > 0.0:
+                scale = sparse_dropout(scale, rng, self.dropout, training=True)
+            x0 = spmm_bucketed(
+                buffers["aug_feat"], params["embedding"], edge_scale=scale
+            )
+        else:
+            x0 = self.inductive_rep_layer(
+                params, buffers, rng=rng, training=training
+            )
+        rep = propagate_mean(buffers[key], x0, self.n_layers)
+        return rep[users]
+
+
+class DOSE_aug3(_DOSEBase):
+    """Random edge injection (model.py:1162-1176)."""
+
+    view_keys = ("aug_adj",)
+
+    def _view_budget(self, key):
+        return 2 * (len(self._dedup_train) + self.aug_num)
+
+    def _view_pairs(self, key, params):
+        return aug_union_edges(self._dedup_train, self._random_pairs(self.aug_num))
+
+    def _initial_pairs(self, key):
+        return aug_union_edges(self._dedup_train, self._random_pairs(self.aug_num))
+
+
+class DOSE_aug4(_DOSEBase):
+    """Threshold injection: pairs with cos >= pai (model.py:750-769), capped
+    at aug_num (see module docstring)."""
+
+    view_keys = ("aug_adj",)
+
+    def _view_budget(self, key):
+        return 2 * (len(self._dedup_train) + max(self.aug_num, 1))
+
+    def _view_pairs(self, key, params):
+        k = max(self.aug_num, 1)
+        rep = self.get_rep(params, training=False)
+        vals, uid, iid = blockwise_cosine_topk(
+            rep[: self.n_users], rep[self.n_users :], k, negate_items=False
+        )
+        keep = np.asarray(vals) >= self.pai
+        pairs = np.stack([np.asarray(uid)[keep], np.asarray(iid)[keep]], axis=1)
+        return aug_union_edges(self._dedup_train, pairs)
+
+
+# ---------------------------------------------------------------------------
+# drop variants
+# ---------------------------------------------------------------------------
+
+
+class DOSE_drop(_DOSEBase):
+    """Drop the aug_num HIGHEST-cos-sim train pairs (set difference,
+    model.py:1407-1418 + utils.py:123-141)."""
+
+    view_keys = ("aug_adj",)
+
+    def _view_budget(self, key):
+        return 2 * max(len(self._dedup_train), 1)
+
+    def _view_pairs(self, key, params):
+        pairs = self._cos_pairs(params, self.aug_num, negate_items=False)
+        return drop_difference_edges(self._dedup_train, pairs)
+
+
+class DOSE_drop2(_DOSEBase):
+    """Random drop keeping aug_rate of the train edges (model.py:1726-1736)."""
+
+    view_keys = ("aug_adj",)
+
+    def _view_budget(self, key):
+        n_keep = int(len(np.asarray(self.dataset.train_array)) * self.aug_rate)
+        return 2 * max(n_keep, 1)
+
+    def _view_pairs(self, key, params):
+        return drop_sample_edges(
+            self.dataset.train_array, self.aug_rate, self._np_rng
+        )
+
+    def _initial_pairs(self, key):
+        return drop_sample_edges(
+            self.dataset.train_array, self.aug_rate, self._np_rng
+        )
+
+
+class DOSE_drop3(DOSE_drop):
+    """Drop the aug_num LOWEST-cos-sim pairs (items negated before top-k,
+    model.py:2748-2790)."""
+
+    def _view_pairs(self, key, params):
+        pairs = self._cos_pairs(params, self.aug_num, negate_items=True)
+        return drop_difference_edges(self._dedup_train, pairs)
+
+
+class TEST(DOSE_drop2):
+    """DOSE_drop2 variant whose MAIN adjacency is also a random-drop graph
+    (model.py:1989-1990)."""
+
+    def __init__(self, model_config, dataset):
+        super().__init__(model_config, dataset)
+        pairs = drop_sample_edges(dataset.train_array, self.aug_rate, self._np_rng)
+        main_budget = self._view_budget("aug_adj")
+        self.buffers = dict(
+            self.buffers,
+            norm_adj=padded_view_coo(pairs, self.n_users, self.n_items, main_budget),
+        )
+
+
+class TEST2(DOSE_drop2):
+    """Two random-drop views; InfoNCE BETWEEN the views (SGL-style on the
+    IGCN base, model.py:2279-2280 + 2499-2514)."""
+
+    view_keys = ("aug_adj", "aug_adj2")
+
+    def _contrastive(self, params, b, users, users_r, rng, training):
+        r1, r2 = jax.random.split(rng)
+        v1 = self.view_users(params, b, "aug_adj", users, r1, training)
+        v2 = self.view_users(params, b, "aug_adj2", users, r2, training)
+        return info_nce(v1, v2, v2)
+
+
+# ---------------------------------------------------------------------------
+# combined variants
+# ---------------------------------------------------------------------------
+
+
+class DOSE_aug_drop(_DOSEBase):
+    """Random-inject graph + random-drop graph, two InfoNCE terms summed.
+
+    Reference quirk reproduced: BOTH view reps are propagated over the AUG
+    graph (model.py:3140-3142 passes norm_aug_adj to get_drop_rep too), so
+    the two terms differ only by feature-dropout noise; the drop graph is
+    still built and regenerated."""
+
+    view_keys = ("aug_adj", "drop_adj")
+
+    def _view_budget(self, key):
+        if key == "aug_adj":
+            return 2 * (len(self._dedup_train) + self.aug_num)
+        return 2 * max(int(len(np.asarray(self.dataset.train_array)) * self.aug_rate), 1)
+
+    def _view_pairs(self, key, params):
+        if key == "aug_adj":
+            return aug_union_edges(self._dedup_train, self._random_pairs(self.aug_num))
+        return drop_sample_edges(self.dataset.train_array, self.aug_rate, self._np_rng)
+
+    def _initial_pairs(self, key):
+        return self._view_pairs(key, None)
+
+    def _contrastive(self, params, b, users, users_r, rng, training):
+        r1, r2 = jax.random.split(rng)
+        v_aug = self.view_users(params, b, "aug_adj", users, r1, training)
+        v_drop = self.view_users(params, b, "aug_adj", users, r2, training)
+        return info_nce(users_r, v_aug, v_aug) + info_nce(users_r, v_drop, v_drop)
+
+
+class DOSE_aug_drop2(_DOSEBase):
+    """Degree-ranked TAIL (cold) users/items only: inject the top-cos pairs
+    among them (model.py:3291-3325); the 'drop' graph uses the reference's
+    no-op drop (union, utils.py:105-121); loss uses the drop view only
+    (model.py:3394-3407)."""
+
+    view_keys = ("aug_adj", "drop_adj")
+
+    def __init__(self, model_config, dataset):
+        ranked_users, ranked_items = graph_rank_nodes(dataset, "degree")
+        aug_ratio = model_config.get("aug_ratio", 0.2)
+        self._tail_users = ranked_users[int(dataset.n_users * aug_ratio) :].copy()
+        self._tail_items = ranked_items[int(dataset.n_items * aug_ratio) :].copy()
+        super().__init__(model_config, dataset)
+
+    def _view_budget(self, key):
+        return 2 * (len(self._dedup_train) + self.aug_num)
+
+    def _select(self, params):
+        return self._cos_pairs(
+            params,
+            self.aug_num,
+            negate_items=False,
+            restrict=(self._tail_users, self._tail_items),
+        )
+
+    def _view_pairs(self, key, params):
+        pairs = self._select(params)
+        if key == "aug_adj":
+            return aug_union_edges(self._dedup_train, pairs)
+        return drop_union_edges(self._dedup_train, pairs)
+
+    def _contrastive(self, params, b, users, users_r, rng, training):
+        v = self.view_users(params, b, "drop_adj", users, rng, training)
+        return info_nce(users_r, v, v)
+
+
+class DOSE_aug_drop3(_DOSEBase):
+    """One top-cos selection feeds BOTH an injection graph and a difference
+    drop graph (model.py:3473-3497); loss uses the drop view only
+    (model.py:3626-3639)."""
+
+    view_keys = ("aug_adj", "drop_adj")
+
+    def _view_budget(self, key):
+        if key == "aug_adj":
+            return 2 * (len(self._dedup_train) + self.aug_num)
+        return 2 * max(len(self._dedup_train), 1)
+
+    def _view_pairs(self, key, params):
+        pairs = self._cos_pairs(params, self.aug_num, negate_items=False)
+        if key == "aug_adj":
+            return aug_union_edges(self._dedup_train, pairs)
+        return drop_difference_edges(self._dedup_train, pairs)
+
+    def _contrastive(self, params, b, users, users_r, rng, training):
+        v = self.view_users(params, b, "drop_adj", users, rng, training)
+        return info_nce(users_r, v, v)
+
+
+class DOSE_test(DOSE_aug):
+    """DOSE_aug variant whose bpr_forward returns the aug-view user reps in
+    the contrastive slot (model.py:3843-3855); DOSEtestTrainer then takes
+    .mean() of it as the 'contrastive' regularizer — reproduced literally."""
+
+    def bpr_forward(
+        self, params, users, pos_items, neg_items, rng=None, training=True, buffers=None
+    ):
+        b = self._buf(buffers)
+        rng = rng if rng is not None else jax.random.key(0)
+        r_main, r_view = jax.random.split(rng)
+        users_r, pos_r, neg_r, l2 = self._main_forward(
+            params, users, pos_items, neg_items, r_main, training, b
+        )
+        aug_users_r = self.view_users(
+            params, b, "aug_adj", users, r_view, training
+        )
+        return users_r, pos_r, neg_r, l2, aug_users_r

@@ -28,7 +28,10 @@ def bpr_loss(users_r, pos_r, neg_r):
 
 
 def _l2n(x, eps=1e-12):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+    # clamp under the sqrt: grad of ||x|| at x=0 is NaN, and all-zero rows
+    # occur legitimately (e.g. users isolated by an edge-drop view)
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 def info_nce(query, positive_key, negative_keys, temperature: float = 0.1):

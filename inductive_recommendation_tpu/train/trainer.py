@@ -269,9 +269,13 @@ class IGCNTrainer(BasicTrainer):
             a_users, a_pos, a_neg = sample_bpr_batch(aux_sampler, rng_a, batch_size)
 
             def loss_fn(p):
-                u_r, p_r, n_r, l2 = model_ref.bpr_forward(
+                # tolerant unpack: the reference pairs DOSE_drop2 (5-tuple)
+                # with IGCNTrainer (4-tuple unpack -> crash, config.py:146-151);
+                # intended semantics = ignore the contrastive slot
+                out = model_ref.bpr_forward(
                     p, users, pos, neg[:, 0], rng=rng_m, training=True, buffers=buffers
                 )
+                u_r, p_r, n_r, l2 = out[:4]
                 bpr = L.bpr_loss(u_r, p_r, n_r)
                 # aux BPR on raw core embeddings scored with w
                 # (trainer.py:542-549)
@@ -305,6 +309,145 @@ class IGCNTrainer(BasicTrainer):
             losses.update(float(loss), self.batch_size)
         self.model.feat_mat_anneal()
         return losses.avg
+
+
+class SGLTrainer(BasicTrainer):
+    """BPR + L2 + contrastive; regenerates the drop views every epoch
+    (trainer.py:432-459)."""
+
+    def __init__(self, trainer_config, dataset, model):
+        super().__init__(trainer_config, dataset, model)
+        self.l2_reg = trainer_config["l2_reg"]
+        self.contrastive_reg = trainer_config["contrastive_reg"]
+        self.initialize_optimizer()
+        self.sampler = build_sampler_state(dataset.train_data, dataset.n_items)
+        model_ref = self.model
+        l2_reg, c_reg = self.l2_reg, self.contrastive_reg
+        batch_size = self.batch_size
+        base_seed = self.seed
+        optimizer = self.optimizer
+
+        def step(params, opt_state, buffers, sampler, step_seed):
+            rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
+            rng_s, rng_m = jax.random.split(rng)
+            users, pos, neg = sample_bpr_batch(sampler, rng_s, batch_size)
+
+            def loss_fn(p):
+                u_r, p_r, n_r, l2, closs = model_ref.bpr_forward(
+                    p, users, pos, neg[:, 0], rng=rng_m, training=True, buffers=buffers
+                )
+                return (
+                    L.bpr_loss(u_r, p_r, n_r)
+                    + l2_reg * l2.mean()
+                    + c_reg * closs.mean()
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    def train_one_epoch(self):
+        losses = AverageMeter()
+        for _ in range(self.steps_per_epoch):
+            self.params, self.opt_state, loss = self._step(
+                self.params,
+                self.opt_state,
+                self.model.buffers,
+                self.sampler,
+                self._next_seed(),
+            )
+            losses.update(float(loss), self.batch_size)
+        self.model.update_aug_adj(self.params)
+        return losses.avg
+
+
+class HALFTrainer(SGLTrainer):
+    """Identical loss shape to SGLTrainer (trainer.py:460-487)."""
+
+
+class DOSEaugTrainer(BasicTrainer):
+    """IGCN aux loss + InfoNCE contrastive; epoch end: feature-matrix anneal
+    + view regeneration (trainer.py:255-306)."""
+
+    def __init__(self, trainer_config, dataset, model):
+        super().__init__(trainer_config, dataset, model)
+        self.l2_reg = trainer_config["l2_reg"]
+        self.aux_reg = trainer_config["aux_reg"]
+        self.contrastive_reg = trainer_config["contrastive_reg"]
+        self.initialize_optimizer()
+        self.sampler = build_sampler_state(dataset.train_data, dataset.n_items)
+
+        from inductive_recommendation_tpu.data.dataset import AuxiliaryDataset
+
+        aux = AuxiliaryDataset(dataset, model.user_map, model.item_map)
+        self.aux_sampler = build_sampler_state(aux.train_data, aux.n_items)
+
+        model_ref = self.model
+        l2_reg, aux_reg, c_reg = self.l2_reg, self.aux_reg, self.contrastive_reg
+        batch_size = self.batch_size
+        base_seed = self.seed
+        optimizer = self.optimizer
+        user_dim = model.user_dim
+
+        def step(params, opt_state, buffers, sampler, aux_sampler, step_seed):
+            rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
+            rng_s, rng_a, rng_m = jax.random.split(rng, 3)
+            users, pos, neg = sample_bpr_batch(sampler, rng_s, batch_size)
+            a_users, a_pos, a_neg = sample_bpr_batch(aux_sampler, rng_a, batch_size)
+
+            def loss_fn(p):
+                u_r, p_r, n_r, l2, closs = model_ref.bpr_forward(
+                    p, users, pos, neg[:, 0], rng=rng_m, training=True, buffers=buffers
+                )
+                bpr = L.bpr_loss(u_r, p_r, n_r)
+                emb, w = p["embedding"], p["w"]
+                au = emb[a_users]
+                ap = emb[user_dim + a_pos]
+                an = emb[user_dim + a_neg[:, 0]]
+                pos_s = jnp.sum(au * ap * w[None, :], axis=1)
+                neg_s = jnp.sum(au * an * w[None, :], axis=1)
+                aux_loss = jnp.mean(jax.nn.softplus(neg_s - pos_s))
+                return (
+                    bpr
+                    + l2_reg * l2.mean()
+                    + aux_reg * aux_loss
+                    + c_reg * closs.mean()
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    def train_one_epoch(self):
+        losses = AverageMeter()
+        for _ in range(self.steps_per_epoch):
+            self.params, self.opt_state, loss = self._step(
+                self.params,
+                self.opt_state,
+                self.model.buffers,
+                self.sampler,
+                self.aux_sampler,
+                self._next_seed(),
+            )
+            losses.update(float(loss), self.batch_size)
+        self.model.feat_mat_anneal()
+        self.model.update_aug_adj(self.params)
+        return losses.avg
+
+
+class DOSEdropTrainer(DOSEaugTrainer):
+    """Identical loss shape (trainer.py:307-353)."""
+
+
+class DOSEtestTrainer(DOSEaugTrainer):
+    """Identical loss shape (trainer.py:355-402); its paired model returns
+    the aug-view user reps in the contrastive slot (reproduced literally)."""
 
 
 class IDCFTrainer(BasicTrainer):
@@ -504,6 +647,11 @@ TRAINERS = {
     "IDCFTrainer": IDCFTrainer,
     "BCETrainer": BCETrainer,
     "MLTrainer": MLTrainer,
+    "SGLTrainer": SGLTrainer,
+    "HALFTrainer": HALFTrainer,
+    "DOSEaugTrainer": DOSEaugTrainer,
+    "DOSEdropTrainer": DOSEdropTrainer,
+    "DOSEtestTrainer": DOSEtestTrainer,
 }
 
 

@@ -1,0 +1,160 @@
+"""SGL/HALF + DOSE family: every variant trains a few epochs through its
+trainer, views regenerate without shape changes (no retrace), and the
+selection/graph recipes behave as specified."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from inductive_recommendation_tpu import get_dataset, get_model, get_trainer
+from inductive_recommendation_tpu.models.dose import _DOSEBase
+
+TOPKS = [1, 5, 10, 15, 20, 25]
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 50,
+            "n_items": 40,
+            "n_interactions": 700,
+            "seed": 11,
+            "split_ratio": [0.7, 0.15, 0.15],
+            "min_inter": 3,
+        }
+    )
+
+
+def _tcfg(name, **kw):
+    cfg = {
+        "name": name,
+        "optimizer": "Adam",
+        "lr": 1.0e-2,
+        "l2_reg": 0.0,
+        "n_epochs": 3,
+        "batch_size": 128,
+        "test_batch_size": 32,
+        "topks": TOPKS,
+        "val_interval": 1,
+        "seed": 0,
+    }
+    cfg.update(kw)
+    return cfg
+
+
+def _mcfg(name, **kw):
+    cfg = {
+        "name": name,
+        "embedding_size": 16,
+        "n_layers": 2,
+        "dropout": 0.3,
+        "feature_ratio": 1.0,
+        "aug_num": 40,
+        "aug_rate": 0.5,
+    }
+    cfg.update(kw)
+    return cfg
+
+
+DOSE_CASES = [
+    ("DOSE_aug", "DOSEaugTrainer", {}),
+    ("DOSE_aug2", "DOSEaugTrainer", {}),
+    ("DOSE_aug3", "DOSEaugTrainer", {}),
+    ("DOSE_aug4", "DOSEaugTrainer", {"pai": 0.0}),
+    ("DOSE_drop", "DOSEdropTrainer", {}),
+    ("DOSE_drop2", "DOSEdropTrainer", {}),
+    ("DOSE_drop3", "DOSEdropTrainer", {}),
+    ("DOSE_aug_drop", "DOSEdropTrainer", {}),
+    ("DOSE_aug_drop2", "DOSEdropTrainer", {}),
+    ("DOSE_aug_drop3", "DOSEdropTrainer", {}),
+    ("DOSE_test", "DOSEtestTrainer", {}),
+    ("TEST", "DOSEdropTrainer", {}),
+    ("TEST2", "DOSEdropTrainer", {}),
+    ("DOSE_drop2", "IGCNTrainer", {}),  # yelp config pairing (tolerant unpack)
+]
+
+
+@pytest.mark.parametrize("model_name,trainer_name,extra", DOSE_CASES)
+def test_dose_variant_trains(ds, tmp_path, model_name, trainer_name, extra):
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model = get_model(_mcfg(model_name, **extra), ds)
+        tcfg = _tcfg(trainer_name, contrastive_reg=0.1, aux_reg=0.01)
+        if trainer_name == "IGCNTrainer":
+            tcfg.pop("contrastive_reg", None)
+        trainer = get_trainer(tcfg, ds, model)
+        first = trainer.train_one_epoch()
+        shapes_before = jax.tree_util.tree_map(
+            lambda x: getattr(x, "shape", None), model.buffers
+        )
+        last = trainer.train_one_epoch()
+        shapes_after = jax.tree_util.tree_map(
+            lambda x: getattr(x, "shape", None), model.buffers
+        )
+        # view regeneration must keep buffer shapes static (no jit retrace)
+        if model_name != "DOSE_aug2":  # aug2's aug-feat layout may reshape
+            assert shapes_before == shapes_after, model_name
+        assert np.isfinite(first) and np.isfinite(last)
+        _, m = trainer.eval("val")
+        assert np.isfinite(m["NDCG"][TOPKS[4]])
+        if isinstance(model, _DOSEBase):
+            assert model.alpha < 1.0  # annealed each epoch
+    finally:
+        os.chdir(cwd)
+
+
+@pytest.mark.parametrize("model_name", ["SGL", "HALF"])
+def test_sgl_half_train(ds, tmp_path, model_name):
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model = get_model(
+            {"name": model_name, "embedding_size": 16, "n_layers": 2, "aug_rate": 0.7},
+            ds,
+        )
+        trainer = get_trainer(
+            _tcfg(model_name + "Trainer", contrastive_reg=0.1, l2_reg=1e-4),
+            ds,
+            model,
+        )
+        first = trainer.train_one_epoch()
+        a1_before = np.asarray(model.buffers["aug_adj1"].val).copy()
+        last = trainer.train_one_epoch()
+        a1_after = np.asarray(model.buffers["aug_adj1"].val)
+        assert a1_before.shape == a1_after.shape
+        assert not np.array_equal(a1_before, a1_after)  # regenerated
+        assert np.isfinite(first) and np.isfinite(last)
+    finally:
+        os.chdir(cwd)
+
+
+def test_dose_selection_semantics(ds):
+    """aug (negate) selects low-sim pairs; drop (no negate) selects high-sim
+    pairs; difference removes exactly the selected train pairs."""
+    model = get_model(_mcfg("DOSE_drop", aug_num=20), ds)
+    params = model.init_params(jax.random.key(0))
+    pairs_high = model._cos_pairs(params, 20, negate_items=False)
+    pairs_low = model._cos_pairs(params, 20, negate_items=True)
+    rep = np.asarray(model.get_rep(params, training=False))
+    u = rep[: ds.n_users]
+    i = rep[ds.n_users :]
+    un = u / np.linalg.norm(u, axis=1, keepdims=True)
+    inn = i / np.linalg.norm(i, axis=1, keepdims=True)
+    sims = un @ inn.T
+    high_vals = sims[pairs_high[:, 0], pairs_high[:, 1]]
+    low_vals = sims[pairs_low[:, 0], pairs_low[:, 1]]
+    assert high_vals.min() >= np.sort(sims.reshape(-1))[-20]
+    assert low_vals.max() <= np.sort(sims.reshape(-1))[19]
+
+    from inductive_recommendation_tpu.graph.build import drop_difference_edges
+
+    train = model._dedup_train
+    dropped = drop_difference_edges(train, pairs_high)
+    dropped_set = {tuple(e) for e in dropped}
+    for e in pairs_high:
+        assert tuple(e) not in dropped_set
