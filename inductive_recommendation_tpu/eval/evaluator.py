@@ -36,7 +36,8 @@ class Evaluator:
     def __init__(self, dataset, topks, test_batch_size=512):
         self.dataset = dataset
         self.topks = list(topks)
-        self.k_max = max(self.topks)
+        # small catalogs: cannot retrieve more items than exist
+        self.k_max = min(max(self.topks), dataset.n_items)
         self.test_batch_size = int(test_batch_size)
         n_items = dataset.n_items
         # padded exclusion rows (sentinel n_items scatters into a dropped col)

@@ -66,13 +66,16 @@ def calculate_metrics(eval_data, rec_items, topks):
 
     results = {"Precision": {}, "Recall": {}, "NDCG": {}}
     for k in topks:
-        hit_num = hit_cum[:, k - 1]
+        # catalogs smaller than k: the recommendation list ends at K items;
+        # cumulative stats saturate there (precision still divides by k)
+        kk = min(k, K)
+        hit_num = hit_cum[:, kk - 1]
         precision = hit_num / k
         recall = np.divide(hit_num, gt_len, out=np.zeros_like(hit_num), where=mask)
         max_hit = np.minimum(gt_len, k).astype(np.int64)
         idcg = ideal_cum[np.clip(max_hit - 1, 0, K - 1)]
         ndcg = np.divide(
-            dcg_cum[:, k - 1], idcg, out=np.zeros_like(hit_num), where=idcg > 0
+            dcg_cum[:, kk - 1], idcg, out=np.zeros_like(hit_num), where=idcg > 0
         )
         results["Precision"][k] = float(precision[mask].sum() / n_valid)
         results["Recall"][k] = float(recall[mask].sum() / n_valid)

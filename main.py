@@ -1,0 +1,99 @@
+"""Experiment driver.
+
+The reference ships no entry script (SURVEY §3: the driver is implied —
+init_run -> get_*_config -> get_dataset/get_model/get_trainer -> train ->
+inductive_eval). This is that driver, as a thin CLI:
+
+    python main.py --grid gowalla --index 1                # LightGCN
+    python main.py --grid gowalla --index 2 --stage test   # IGCN, test eval
+    python main.py --grid ml --list                        # show the grid
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="TPU inductive-recommendation runner")
+    p.add_argument(
+        "--grid",
+        choices=["gowalla", "yelp", "amazon", "alibaba", "ml"],
+        default="gowalla",
+    )
+    p.add_argument("--index", type=int, default=0, help="grid entry index")
+    p.add_argument("--list", action="store_true", help="print the grid and exit")
+    p.add_argument("--log-path", default=None, help="redirect output via init_run")
+    p.add_argument("--seed", type=int, default=2021)
+    p.add_argument("--n-epochs", type=int, default=None, help="override epochs")
+    p.add_argument(
+        "--stage", choices=["val", "test"], default="val", help="final eval split"
+    )
+    p.add_argument(
+        "--inductive",
+        nargs=2,
+        type=int,
+        metavar=("N_OLD_USERS", "N_OLD_ITEMS"),
+        default=None,
+        help="run the six-slice inductive evaluation after training",
+    )
+    p.add_argument("--writer", action="store_true", help="TensorBoard logging")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    from inductive_recommendation_tpu import configs, get_dataset, get_model, get_trainer
+    from inductive_recommendation_tpu.utils import init_run, set_seed
+
+    grid = getattr(configs, f"get_{args.grid}_config")(None)
+    if args.list:
+        for i, (d, m, t) in enumerate(grid):
+            print(f"[{i}] {m['name']} + {t['name']} on {d['path']}")
+        return None
+
+    if args.log_path:
+        init_run(args.log_path, args.seed)
+    else:
+        set_seed(args.seed)
+
+    dataset_config, model_config, trainer_config = grid[args.index]
+    trainer_config = dict(trainer_config, seed=args.seed)
+    if args.n_epochs is not None:
+        trainer_config["n_epochs"] = args.n_epochs
+
+    dataset = get_dataset(dataset_config)
+    model = get_model(model_config, dataset)
+    trainer = get_trainer(trainer_config, dataset, model)
+
+    writer = None
+    if args.writer:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter()
+
+    best_ndcg = trainer.train(verbose=True, writer=writer)
+    print(f"Best NDCG: {best_ndcg:.5f}")
+
+    results, metrics = trainer.eval(args.stage)
+    print(f"{args.stage} result. {results}")
+    if args.inductive:
+        trainer.inductive_eval(*args.inductive)
+    print(
+        json.dumps(
+            {
+                "model": model_config["name"],
+                "trainer": trainer_config["name"],
+                "best_val_ndcg": float(best_ndcg),
+                f"{args.stage}_ndcg@20": metrics["NDCG"].get(20),
+                f"{args.stage}_recall@20": metrics["Recall"].get(20),
+            }
+        )
+    )
+    return best_ndcg
+
+
+if __name__ == "__main__":
+    main()
