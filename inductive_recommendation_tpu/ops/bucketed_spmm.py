@@ -83,9 +83,17 @@ class BucketedSpMM:
         return self.fwd.nnz
 
 
-def _build_one_side(row, col, val, eid, n_rows, n_cols, min_bucket_rows=256):
-    """Host-side: rows -> power-of-two degree buckets (small buckets merged
-    upward to limit kernel count)."""
+def _build_one_side(row, col, val, eid, n_rows, n_cols, min_bucket_rows=0):
+    """Host-side: rows -> ~1.5x-stepped degree-cap buckets.
+
+    The cap ladder bounds padding waste at ~1.2x of nnz on power-law
+    graphs (a pure power-of-two ladder costs ~1.4x; merging small caps
+    upward is catastrophic — degree-1 rows padded into large-cap buckets
+    dominated the gather count in early measurements). Tiny buckets cost
+    one small fused kernel each, which is cheaper than any padding.
+    ``min_bucket_rows`` is kept for API compatibility and ignored.
+    """
+    del min_bucket_rows
     deg = np.bincount(row, minlength=n_rows)
     order_e = np.argsort(row, kind="stable")
     re_, ce_, ve_, ee_ = row[order_e], col[order_e], val[order_e], eid[order_e]
@@ -96,32 +104,16 @@ def _build_one_side(row, col, val, eid, n_rows, n_cols, min_bucket_rows=256):
     c = 1
     while c < max(max_deg, 1):
         caps.append(c)
-        c *= 2
+        c = max(c + 1, int(c * 1.5))
     caps.append(max(max_deg, 1))
 
-    # assign each row the smallest cap >= its degree, then merge sparse caps
     nonzero_rows = np.nonzero(deg > 0)[0]
-    row_cap = np.empty(len(nonzero_rows), dtype=np.int64)
+    merged = []
     for i, cap in enumerate(caps):
         lo = caps[i - 1] if i else 0
-        sel = (deg[nonzero_rows] > lo) & (deg[nonzero_rows] <= cap)
-        row_cap[sel] = cap
-    uniq_caps = sorted(set(row_cap.tolist()))
-    merged = []
-    pending = []
-    for cap in uniq_caps:
-        members = nonzero_rows[row_cap == cap]
-        pending.append((cap, members))
-        total = sum(len(m) for _, m in pending)
-        if total >= min_bucket_rows or cap == uniq_caps[-1]:
-            cap_m = pending[-1][0]
-            rows_m = np.concatenate([m for _, m in pending])
-            merged.append((cap_m, rows_m))
-            pending = []
-    if pending:
-        cap_m = pending[-1][0]
-        rows_m = np.concatenate([m for _, m in pending])
-        merged.append((cap_m, rows_m))
+        members = nonzero_rows[(deg[nonzero_rows] > lo) & (deg[nonzero_rows] <= cap)]
+        if len(members):
+            merged.append((cap, members))
 
     buckets = []
     perm = []
