@@ -8,6 +8,7 @@ from inductive_recommendation_tpu.models.base import BasicModel
 from inductive_recommendation_tpu.models.mf import MF
 from inductive_recommendation_tpu.models.lightgcn import LightGCN
 from inductive_recommendation_tpu.models.igcn import IGCN, IMF
+from inductive_recommendation_tpu.models.att_igcn import AttIGCN
 from inductive_recommendation_tpu.models.ngcf import NGCF
 from inductive_recommendation_tpu.models.imcgae import IMCGAE
 from inductive_recommendation_tpu.models.itemknn import ItemKNN
@@ -45,6 +46,7 @@ for _cls in [
     LightGCN,
     IGCN,
     IMF,
+    AttIGCN,
     NGCF,
     IMCGAE,
     ItemKNN,

@@ -1,0 +1,89 @@
+"""AttIGCN: IGCN with attention-weighted feature aggregation.
+
+The reference ships this class commented out (model.py:4224-4287) but it is
+the "attention-weighted SpMM" capability the TPU build targets — we treat
+that code as the spec:
+
+- q = Wq(feat @ sg(emb)), k = Wk(sg(emb)) with n_heads heads (sg = detach,
+  model.py:4258-4264);
+- per-edge scores q[row].k[col], edge softmax per row at temperature
+  sqrt(d) * 10 averaged over heads (model.py:4270-4275);
+- final aggregation uses the attention as edge weights over the
+  NON-detached embedding (model.py:4279);
+- feature_ratio fixed to 1 and alpha to 0 (model.py:4231-4232), so the
+  feat edge weights for the query aggregation are row_sum^-1;
+- L2 regularization adds ||Wq||^2 + ||Wk||^2 (model.py:4283-4286).
+
+The edge softmax runs as a dense masked row softmax over the bucketed ELL
+slot axis (ops/attention_spmm.py) — no segment reductions, no DGL-style
+chunked masked_mm (model.py:4246-4255), no gradient checkpointing needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from inductive_recommendation_tpu.models.base import kaiming_uniform_init, normal_init
+from inductive_recommendation_tpu.models.igcn import IGCN
+from inductive_recommendation_tpu.ops import propagate_mean, spmm_bucketed
+from inductive_recommendation_tpu.ops.attention_spmm import attention_spmm
+
+
+class AttIGCN(IGCN):
+    def __init__(self, model_config, dataset):
+        model_config = dict(model_config, feature_ratio=1.0)
+        super().__init__(model_config, dataset)
+        self.n_heads = model_config.get("n_heads", 4)
+        self.alpha = 0.0
+        self.buffers = dict(self.buffers, alpha=jnp.asarray(0.0, dtype=jnp.float32))
+        self.temperature = float(np.sqrt(self.embedding_size) * 10.0)
+
+    def init_params(self, rng):
+        r_emb, r_q, r_k = jax.random.split(rng, 3)
+        d, h = self.embedding_size, 4
+        h = getattr(self, "n_heads", 4)
+        return {
+            "embedding": kaiming_uniform_init(
+                r_emb, (self.feat_n_cols, self.embedding_size)
+            ),
+            "weight_q": {
+                "w": kaiming_uniform_init(r_q, (d * h, d)).T,
+                "b": jnp.zeros((d * h,), jnp.float32),
+            },
+            "weight_k": {
+                "w": kaiming_uniform_init(r_k, (d * h, d)).T,
+                "b": jnp.zeros((d * h,), jnp.float32),
+            },
+            "w": jnp.ones((self.embedding_size,), dtype=jnp.float32),
+        }
+
+    def inductive_rep_layer(self, params, buffers, rng=None, training=False):
+        d, h = self.embedding_size, self.n_heads
+        emb = params["embedding"]
+        emb_sg = jax.lax.stop_gradient(emb)
+        # query: feat aggregation of detached embeddings at alpha=0 weights
+        scale = self._feat_edge_scale(buffers, rng, training=False)
+        x_q = spmm_bucketed(buffers["feat"], emb_sg, edge_scale=scale)
+        q = (x_q @ params["weight_q"]["w"] + params["weight_q"]["b"]).reshape(
+            -1, h, d
+        )
+        k_table = emb_sg @ params["weight_k"]["w"] + params["weight_k"]["b"]
+        return attention_spmm(
+            buffers["feat"], q, k_table, emb, self.temperature
+        )
+
+    def bpr_forward(
+        self, params, users, pos_items, neg_items, rng=None, training=True, buffers=None
+    ):
+        users_r, pos_r, neg_r, l2 = super().bpr_forward(
+            params, users, pos_items, neg_items, rng=rng, training=training,
+            buffers=buffers,
+        )
+        l2 = (
+            l2
+            + jnp.sum(params["weight_q"]["w"] ** 2)
+            + jnp.sum(params["weight_k"]["w"] ** 2)
+        )
+        return users_r, pos_r, neg_r, l2

@@ -49,13 +49,14 @@ class _Bucket:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["buckets", "inv_perm"],
+    data_fields=["buckets", "inv_perm", "perm"],
     meta_fields=["n_rows", "n_cols", "nnz"],
 )
 @dataclasses.dataclass(frozen=True)
 class _OneSide:
     buckets: tuple  # tuple[_Bucket, ...]
     inv_perm: jnp.ndarray  # [n_rows] gather map from concat-bucket order
+    perm: jnp.ndarray  # [n_rows] original row id at each concat-bucket slot
     n_rows: int
     n_cols: int
     nnz: int
@@ -147,6 +148,7 @@ def _build_one_side(row, col, val, eid, n_rows, n_cols, min_bucket_rows=0):
     return _OneSide(
         buckets=tuple(buckets),
         inv_perm=jnp.asarray(inv_perm, dtype=jnp.int32),
+        perm=jnp.asarray(perm, dtype=jnp.int32),
         n_rows=int(n_rows),
         n_cols=int(n_cols),
         nnz=int(len(row)),

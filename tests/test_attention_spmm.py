@@ -1,0 +1,159 @@
+"""Attention-SpMM: jnp ELL path vs dense oracle; Pallas tile kernel parity;
+AttIGCN end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inductive_recommendation_tpu.graph import sym_normalized_adjacency
+from inductive_recommendation_tpu.ops import build_bucketed_spmm
+from inductive_recommendation_tpu.ops.attention_spmm import (
+    attention_spmm,
+    attention_spmm_pallas_tile,
+)
+
+
+def _dense_attention_oracle(adj_dense, q, k_tab, v_tab, temperature):
+    """Per-row softmax over nonzero columns, mean over heads."""
+    n_rows, n_cols = adj_dense.shape
+    h = q.shape[1]
+    out = np.zeros((n_rows, v_tab.shape[1]))
+    for r in range(n_rows):
+        cols = np.nonzero(adj_dense[r])[0]
+        if len(cols) == 0:
+            continue
+        scores = np.einsum("hd,chd->ch", q[r], k_tab[cols].reshape(len(cols), h, -1))
+        smax = scores.max(axis=0, keepdims=True)
+        ex = np.exp((scores - smax) / temperature)
+        attn = (ex / ex.sum(axis=0, keepdims=True)).mean(axis=1)
+        out[r] = attn @ v_tab[cols]
+    return out
+
+
+def test_attention_spmm_matches_dense(tiny_graph, rng):
+    train_array, n_users, n_items = tiny_graph
+    row, col, val = sym_normalized_adjacency(train_array, n_users, n_items)
+    n = n_users + n_items
+    mat = build_bucketed_spmm(row, col, val, (n, n), symmetric=False)
+    dense = np.zeros((n, n))
+    np.add.at(dense, (row, col), val)
+
+    h, dh, dv = 2, 8, 16
+    q = rng.standard_normal((n, h, dh)).astype(np.float32)
+    k_tab = rng.standard_normal((n, h * dh)).astype(np.float32)
+    v_tab = rng.standard_normal((n, dv)).astype(np.float32)
+    temperature = 3.0
+
+    out = np.asarray(
+        attention_spmm(mat, jnp.asarray(q), jnp.asarray(k_tab), jnp.asarray(v_tab), temperature)
+    )
+    oracle = _dense_attention_oracle(dense, q, k_tab, v_tab, temperature)
+    np.testing.assert_allclose(out, oracle, rtol=1e-3, atol=1e-4)
+
+
+def test_attention_spmm_grad_flows(tiny_graph, rng):
+    train_array, n_users, n_items = tiny_graph
+    row, col, val = sym_normalized_adjacency(train_array, n_users, n_items)
+    n = n_users + n_items
+    mat = build_bucketed_spmm(row, col, val, (n, n), symmetric=False)
+    q = jnp.asarray(rng.standard_normal((n, 1, 8)).astype(np.float32))
+    k_tab = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    v_tab = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+
+    def loss(v):
+        return jnp.sum(attention_spmm(mat, q, k_tab, v, 2.0) ** 2)
+
+    g = jax.grad(loss)(v_tab)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_pallas_tile_kernel_parity(rng):
+    """Single-head flash-style tile kernel vs direct computation
+    (interpreter-friendly on CPU via interpret fallback is not needed: the
+    kernel runs on the TPU in real runs; here we exercise the math with
+    jax's pallas interpret mode)."""
+    T, K, d = 8, 256, 16
+    q = rng.standard_normal((T, 1, d)).astype(np.float32)
+    keys = rng.standard_normal((T, K, 1, d)).astype(np.float32)
+    vals = rng.standard_normal((T, K, d)).astype(np.float32)
+    mask = (rng.random((T, K)) > 0.3).astype(np.float32)
+    mask[:, 0] = 1.0  # at least one live slot per row
+    temperature = 4.0
+
+    from jax.experimental import pallas as pl
+    from inductive_recommendation_tpu.ops import attention_spmm as A
+
+    def run_interpret(q, keys, vals, mask):
+        temp = jnp.asarray([temperature], jnp.float32)
+        return pl.pallas_call(
+            A._attn_kernel,
+            out_shape=jax.ShapeDtypeStruct((T, d), jnp.float32),
+            interpret=True,
+        )(q, keys, vals, mask, temp)
+
+    out = np.asarray(run_interpret(q, keys, vals, mask))
+
+    # oracle
+    scores = np.einsum("thd,tkhd->tkh", q, keys)[..., 0]
+    scores = np.where(mask > 0, scores, -1e30)
+    smax = scores.max(axis=1, keepdims=True)
+    ex = np.exp((scores - smax) / temperature) * mask
+    attn = ex / np.maximum(ex.sum(axis=1, keepdims=True), 1e-12)
+    oracle = np.einsum("tk,tkd->td", attn, vals)
+    np.testing.assert_allclose(out, oracle, rtol=1e-3, atol=1e-4)
+
+
+def test_att_igcn_end_to_end():
+    from inductive_recommendation_tpu import get_dataset, get_model, get_trainer
+    import os, tempfile
+
+    ds = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 40,
+            "n_items": 30,
+            "n_interactions": 500,
+            "seed": 3,
+            "split_ratio": [0.7, 0.15, 0.15],
+            "min_inter": 2,
+        }
+    )
+    model = get_model(
+        {
+            "name": "AttIGCN",
+            "embedding_size": 16,
+            "n_layers": 2,
+            "dropout": 0.0,
+            "feature_ratio": 1,
+            "n_heads": 2,
+        },
+        ds,
+    )
+    cwd = os.getcwd()
+    os.chdir(tempfile.mkdtemp())
+    try:
+        trainer = get_trainer(
+            {
+                "name": "IGCNTrainer",
+                "optimizer": "Adam",
+                "lr": 1e-2,
+                "l2_reg": 0.0,
+                "aux_reg": 0.01,
+                "n_epochs": 3,
+                "batch_size": 128,
+                "test_batch_size": 32,
+                "topks": [1, 5, 10, 15, 20, 25],
+                "val_interval": 1,
+            },
+            ds,
+            model,
+        )
+        first = trainer.train_one_epoch()
+        last = trainer.train_one_epoch()
+        assert np.isfinite(first) and np.isfinite(last)
+        _, m = trainer.eval("val")
+        assert np.isfinite(m["NDCG"][20])
+    finally:
+        os.chdir(cwd)
