@@ -61,7 +61,7 @@ class AttIGCN(IGCN):
 
     def inductive_rep_layer(self, params, buffers, rng=None, training=False):
         d, h = self.embedding_size, self.n_heads
-        emb = params["embedding"]
+        emb = params["embedding"][: self.feat_n_cols]
         emb_sg = jax.lax.stop_gradient(emb)
         # query: feat aggregation of detached embeddings at alpha=0 weights
         scale = self._feat_edge_scale(buffers, rng, training=False)

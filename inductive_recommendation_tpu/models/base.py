@@ -43,6 +43,14 @@ class BasicModel:
         self.n_users = dataset.n_users
         self.n_items = dataset.n_items
         self.buffers = {}
+        # row-shardable tables round up to a multiple of this (mesh 'model'
+        # axis size); padding rows are never indexed, so they only cost
+        # memory and keep NamedSharding's divisibility requirement satisfied
+        self.table_align = int(model_config.get("table_align", 1))
+
+    def _align_rows(self, n: int) -> int:
+        a = max(self.table_align, 1)
+        return -(-n // a) * a
 
     def _buf(self, buffers):
         return self.buffers if buffers is None else buffers

@@ -235,7 +235,9 @@ class DOSE_aug2(DOSE_aug):
             if training and self.dropout > 0.0:
                 scale = sparse_dropout(scale, rng, self.dropout, training=True)
             x0 = spmm_bucketed(
-                buffers["aug_feat"], params["embedding"], edge_scale=scale
+                buffers["aug_feat"],
+                params["embedding"][: self.feat_n_cols],
+                edge_scale=scale,
             )
         else:
             x0 = self.inductive_rep_layer(

@@ -135,14 +135,17 @@ class IGCN(BasicModel):
     def init_params(self, rng):
         r1, _ = jax.random.split(rng)
         return {
-            "embedding": normal_init(r1, (self.feat_n_cols, self.embedding_size)),
+            "embedding": normal_init(
+                r1, (self._align_rows(self.feat_n_cols), self.embedding_size)
+            ),
             "w": jnp.ones((self.embedding_size,), dtype=jnp.float32),
         }
 
     # -- representations -----------------------------------------------------
     def inductive_rep_layer(self, params, buffers, rng=None, training=False):
         scale = self._feat_edge_scale(buffers, rng, training)
-        return spmm_bucketed(buffers["feat"], params["embedding"], edge_scale=scale)
+        emb = params["embedding"][: self.feat_n_cols]
+        return spmm_bucketed(buffers["feat"], emb, edge_scale=scale)
 
     def get_rep(self, params, rng=None, training=False, buffers=None):
         b = self._buf(buffers)

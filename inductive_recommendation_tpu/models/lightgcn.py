@@ -50,13 +50,15 @@ class LightGCN(BasicModel):
     def init_params(self, rng):
         return {
             "embedding": normal_init(
-                rng, (self.n_users + self.n_items, self.embedding_size)
+                rng,
+                (self._align_rows(self.n_users + self.n_items), self.embedding_size),
             )
         }
 
     def get_rep(self, params, rng=None, training=False, buffers=None):
         b = self._buf(buffers)
-        return propagate_mean(b["norm_adj"], params["embedding"], self.n_layers)
+        emb = params["embedding"][: self.n_users + self.n_items]
+        return propagate_mean(b["norm_adj"], emb, self.n_layers)
 
     def bpr_forward(
         self, params, users, pos_items, neg_items, rng=None, training=True, buffers=None

@@ -72,7 +72,8 @@ class SGL(LightGCN):
         )
 
     def _view_users(self, params, buffers, key, users):
-        rep = propagate_mean(buffers[key], params["embedding"], self.n_layers)
+        emb = params["embedding"][: self.n_users + self.n_items]
+        rep = propagate_mean(buffers[key], emb, self.n_layers)
         return rep[users]
 
     def bpr_forward(

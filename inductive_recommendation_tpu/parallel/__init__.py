@@ -14,6 +14,20 @@ this package supplies the north-star parallelism for the TPU build:
 """
 
 from inductive_recommendation_tpu.parallel.mesh import make_mesh, shard_params
-from inductive_recommendation_tpu.parallel.step import make_sharded_bpr_step
+from inductive_recommendation_tpu.parallel.step import (
+    make_sharded_bpr_step,
+    make_sharded_igcn_step,
+)
+from inductive_recommendation_tpu.parallel.eval import (
+    make_sharded_recommender,
+    sharded_recommend_all_users,
+)
 
-__all__ = ["make_mesh", "shard_params", "make_sharded_bpr_step"]
+__all__ = [
+    "make_mesh",
+    "shard_params",
+    "make_sharded_bpr_step",
+    "make_sharded_igcn_step",
+    "make_sharded_recommender",
+    "sharded_recommend_all_users",
+]

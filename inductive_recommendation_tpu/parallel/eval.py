@@ -1,0 +1,106 @@
+"""Sharded exact retrieval: score against item-sharded representations and
+merge per-device top-k candidates.
+
+The north-star serving path: item embeddings live row-sharded over the
+'model' mesh axis; each device scores its item shard for the user batch,
+takes a LOCAL masked top-k, and only the k candidates per device cross the
+interconnect (all-gather + k-way merge, ops/topk.py::sharded_topk) —
+communication O(n_dev * k) instead of O(n_items) per user row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from inductive_recommendation_tpu.ops.topk import sharded_topk
+
+
+def pad_items_to_mesh(n_items: int, mesh: Mesh) -> int:
+    n_model = mesh.shape["model"]
+    return -(-n_items // n_model) * n_model
+
+
+def make_sharded_recommender(mesh: Mesh, n_items: int, k: int):
+    """-> fn(users_rep [B, d], items_rep [n_items_pad, d], exclude [B, L],
+    banned [n_items_pad] bool) -> [B, k] global item ids.
+
+    ``items_rep``/``banned`` must be padded to a multiple of the 'model'
+    axis size (pad rows scored -inf via ``banned``). ``exclude`` uses global
+    item ids padded with n_items_pad (out-of-range = no-op).
+    """
+    n_pad = pad_items_to_mesh(n_items, mesh)
+    n_local = n_pad // mesh.shape["model"]
+
+    def local_fn(users_rep, items_local, exclude, banned_local):
+        shard = jax.lax.axis_index("model")
+        scores = users_rep @ items_local.T  # [B, n_local]
+        scores = jnp.where(banned_local[None, :], -jnp.inf, scores)
+        # exclusion: map global ids into this shard's local range
+        local_e = exclude - shard * n_local
+        B = scores.shape[0]
+        padded = jnp.concatenate(
+            [scores, jnp.zeros((B, 1), scores.dtype)], axis=1
+        )
+        safe_e = jnp.where((local_e >= 0) & (local_e < n_local), local_e, n_local)
+        padded = padded.at[jnp.arange(B)[:, None], safe_e].set(-jnp.inf)
+        scores = padded[:, :n_local]
+        _, idx = sharded_topk(scores, k, "model")
+        return idx
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, None), P("model", None), P(None, None), P("model")),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_recommend_all_users(
+    mesh: Mesh,
+    rep: jnp.ndarray,
+    n_users: int,
+    n_items: int,
+    k: int,
+    exclude_rows: np.ndarray | None = None,
+    banned_items=None,
+    batch_size: int = 512,
+):
+    """Full-catalog top-k for every user with item-sharded scoring.
+
+    ``rep`` is the [(n_users+n_items), d] representation matrix;
+    ``exclude_rows`` the padded per-user exclusion index matrix.
+    """
+    n_pad = pad_items_to_mesh(n_items, mesh)
+    items_rep = jnp.zeros((n_pad, rep.shape[1]), rep.dtype)
+    items_rep = items_rep.at[:n_items].set(rep[n_users:])
+    banned = np.zeros(n_pad, dtype=bool)
+    banned[n_items:] = True  # padding rows never retrievable
+    if banned_items is not None:
+        banned[np.asarray(banned_items)] = True
+    banned = jnp.asarray(banned)
+    items_rep = jax.device_put(
+        items_rep, jax.sharding.NamedSharding(mesh, P("model", None))
+    )
+    banned = jax.device_put(banned, jax.sharding.NamedSharding(mesh, P("model")))
+
+    kk = min(k, n_items)
+    recommender = make_sharded_recommender(mesh, n_items, kk)
+    L = exclude_rows.shape[1] if exclude_rows is not None else 1
+    out = []
+    for start in range(0, n_users, batch_size):
+        users = np.arange(start, min(start + batch_size, n_users))
+        pad = batch_size - len(users)
+        users_p = np.concatenate([users, np.zeros(pad, users.dtype)])
+        users_rep = rep[jnp.asarray(users_p)]
+        if exclude_rows is not None:
+            e = jnp.asarray(exclude_rows[users_p].astype(np.int32))
+        else:
+            e = jnp.full((batch_size, 1), n_pad, jnp.int32)
+        idx = recommender(users_rep, items_rep, e, banned)
+        out.append(np.asarray(idx[: len(users)]))
+    return np.concatenate(out, axis=0)

@@ -50,3 +50,53 @@ def make_sharded_bpr_step(model, optimizer, sampler, batch_size, l2_reg, mesh):
         return jitted(params, opt_state, model.buffers, sampler, rng)
 
     return run
+
+
+def make_sharded_igcn_step(
+    model, optimizer, sampler, aux_sampler, batch_size, l2_reg, aux_reg, mesh
+):
+    """Sharded FULL IGCN training step: main BPR over the inductive rep +
+    aux BPR on the row-sharded core embedding table weighted by w.
+
+    The embedding table is sharded over 'model'; the feature-matrix SpMM
+    gathers against it, which XLA turns into all-to-all/all-gather
+    collectives; data-parallel gradients psum over 'data'.
+    """
+
+    def constrain_batch(x):
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("data")))
+
+    user_dim = model.user_dim
+
+    def step(params, opt_state, buffers, smp, aux_smp, rng):
+        rng_s, rng_a, rng_m = jax.random.split(rng, 3)
+        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+        a_users, a_pos, a_neg = sample_bpr_batch(aux_smp, rng_a, batch_size)
+        users, pos = constrain_batch(users), constrain_batch(pos)
+        a_users, a_pos = constrain_batch(a_users), constrain_batch(a_pos)
+
+        def loss_fn(p):
+            u_r, p_r, n_r, l2 = model.bpr_forward(
+                p, users, pos, neg[:, 0], rng=rng_m, training=True, buffers=buffers
+            )[:4]
+            bpr = L.bpr_loss(u_r, p_r, n_r)
+            emb, w = p["embedding"], p["w"]
+            au = emb[a_users]
+            ap = emb[user_dim + a_pos]
+            an = emb[user_dim + a_neg[:, 0]]
+            pos_s = jnp.sum(au * ap * w[None, :], axis=1)
+            neg_s = jnp.sum(au * an * w[None, :], axis=1)
+            aux_loss = jnp.mean(jax.nn.softplus(neg_s - pos_s))
+            return bpr + l2_reg * l2.mean() + aux_reg * aux_loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+
+    def run(params, opt_state, rng):
+        return jitted(params, opt_state, model.buffers, sampler, aux_sampler, rng)
+
+    return run

@@ -1,0 +1,156 @@
+"""Distributed paths on the 8-device virtual CPU mesh: sharded retrieval
+bitwise-matches the single-device evaluator; sharded IGCN/BPR steps run with
+actually-sharded tables."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from inductive_recommendation_tpu import get_dataset, get_model
+from inductive_recommendation_tpu.data.dataset import AuxiliaryDataset, pad_user_lists
+from inductive_recommendation_tpu.data.sampling import build_sampler_state
+from inductive_recommendation_tpu.eval.evaluator import Evaluator
+from inductive_recommendation_tpu.parallel import (
+    make_mesh,
+    make_sharded_bpr_step,
+    make_sharded_igcn_step,
+    shard_params,
+    sharded_recommend_all_users,
+)
+
+
+def _dataset():
+    return get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 50,
+            "n_items": 44,
+            "n_interactions": 700,
+            "seed": 9,
+            "split_ratio": [0.7, 0.15, 0.15],
+            "min_inter": 3,
+        }
+    )
+
+
+def test_sharded_retrieval_matches_single_device():
+    ds = _dataset()
+    model = get_model({"name": "LightGCN", "embedding_size": 16, "n_layers": 2}, ds)
+    params = model.init_params(jax.random.key(0))
+    rep = model.get_rep(params)
+
+    ev = Evaluator(ds, [1, 5, 10], test_batch_size=16)
+    rec_single = ev.recommend(model, params, "val")
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    excl, _ = pad_user_lists(ds.train_data, ds.n_items, sort=False)
+    rec_sharded = sharded_recommend_all_users(
+        mesh,
+        rep,
+        ds.n_users,
+        ds.n_items,
+        k=ev.k_max,
+        exclude_rows=excl,
+        batch_size=16,
+    )
+    np.testing.assert_array_equal(rec_single, rec_sharded)
+
+
+def test_sharded_retrieval_banned_matches():
+    ds = _dataset()
+    model = get_model({"name": "MF", "embedding_size": 16}, ds)
+    params = model.init_params(jax.random.key(1))
+    ev = Evaluator(ds, [1, 5, 10], test_batch_size=16)
+    banned = np.arange(0, ds.n_items, 3)
+    rec_single = ev.recommend(model, params, "test", banned_items=banned)
+
+    rep = jnp.concatenate([params["user_embedding"], params["item_embedding"]], axis=0)
+    mesh = make_mesh(n_data=1, n_model=8)
+    trainval = [
+        list(t) + list(v) for t, v in zip(ds.train_data, ds.val_data)
+    ]
+    excl, _ = pad_user_lists(trainval, ds.n_items, sort=False)
+    rec_sharded = sharded_recommend_all_users(
+        mesh,
+        rep,
+        ds.n_users,
+        ds.n_items,
+        k=ev.k_max,
+        exclude_rows=excl,
+        banned_items=banned,
+        batch_size=16,
+    )
+    np.testing.assert_array_equal(rec_single, rec_sharded)
+
+
+def test_sharded_igcn_step_runs_and_shards():
+    ds = _dataset()
+    model = get_model(
+        {
+            "name": "IGCN",
+            "embedding_size": 16,
+            "n_layers": 2,
+            "dropout": 0.1,
+            "feature_ratio": 1,
+            "table_align": 8,
+        },
+        ds,
+    )
+    mesh = make_mesh(n_data=2, n_model=4)
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    aux = AuxiliaryDataset(ds, model.user_map, model.item_map)
+    aux_sampler = build_sampler_state(aux.train_data, aux.n_items)
+    optimizer = optax.adam(1e-2)
+    params = shard_params(model.init_params(jax.random.key(0)), mesh)
+    # table really sharded over 'model'
+    sh = params["embedding"].sharding
+    assert "model" in str(sh.spec) or sh.is_fully_replicated is False
+    opt_state = optimizer.init(params)
+    step = make_sharded_igcn_step(
+        model, optimizer, sampler, aux_sampler, 64, 1e-4, 0.01, mesh
+    )
+    with mesh:
+        losses = []
+        for i in range(3):
+            params, opt_state, loss = step(params, opt_state, jax.random.key(i))
+            losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0] + 1.0  # sanity: not exploding
+
+
+def test_sharded_bpr_matches_unsharded_loss():
+    """Same seed => the sharded step computes the same loss as single-device
+    (collectives are exact)."""
+    ds = _dataset()
+    model = get_model(
+        {"name": "LightGCN", "embedding_size": 16, "n_layers": 2, "table_align": 8},
+        ds,
+    )
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    optimizer = optax.adam(1e-2)
+    params0 = model.init_params(jax.random.key(0))
+
+    mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    step1 = make_sharded_bpr_step(model, optimizer, sampler, 64, 1e-4, mesh1)
+    p1 = shard_params(jax.tree_util.tree_map(jnp.copy, params0), mesh1)
+    with mesh1:
+        _, _, loss1 = step1(p1, optimizer.init(p1), jax.random.key(5))
+
+    mesh8 = make_mesh(n_data=2, n_model=4)
+    step8 = make_sharded_bpr_step(model, optimizer, sampler, 64, 1e-4, mesh8)
+    p8 = shard_params(jax.tree_util.tree_map(jnp.copy, params0), mesh8)
+    with mesh8:
+        _, _, loss8 = step8(p8, optimizer.init(p8), jax.random.key(5))
+
+    assert abs(float(loss1) - float(loss8)) < 1e-5
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(float(out))
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(1)
