@@ -86,23 +86,40 @@ class BasicDataset:
 
     # -- k-core filtering (dataset.py:66-92) --------------------------------
     def remove_sparse_ui(self, user_inter_sets, item_inter_sets):
-        not_stop = True
-        while not_stop:
-            not_stop = False
-            for user in list(user_inter_sets.keys()):
-                if len(user_inter_sets[user]) < self.min_interactions:
-                    not_stop = True
-                    for item in user_inter_sets[user]:
-                        item_inter_sets[item].remove(user)
-                    user_inter_sets.pop(user)
-            for item in list(item_inter_sets.keys()):
-                if len(item_inter_sets[item]) < self.min_interactions:
-                    not_stop = True
-                    for user in item_inter_sets[item]:
-                        user_inter_sets[user].remove(item)
-                    item_inter_sets.pop(item)
-        user_map = {user: idx for idx, user in enumerate(user_inter_sets)}
-        item_map = {item: idx for idx, item in enumerate(item_inter_sets)}
+        """Iterative k-core: drop users/items with < min_inter interactions
+        until a fixed point, then dense re-index in first-seen order.
+
+        The k-core of a graph is unique, so peeling order doesn't change the
+        surviving set; the surviving ids are numbered in the dicts' insertion
+        order exactly as the reference's dict iteration does. The peeling
+        itself runs in the native graph-core (C++, O(E)); the reference's
+        python dict loops take minutes on raw Gowalla/Yelp/Amazon scale.
+        """
+        from inductive_recommendation_tpu.native import kcore_masks
+
+        users_order = list(user_inter_sets.keys())
+        items_order = list(item_inter_sets.keys())
+        uidx = {u: j for j, u in enumerate(users_order)}
+        iidx = {i: j for j, i in enumerate(items_order)}
+        eu = np.empty(sum(len(s) for s in user_inter_sets.values()), dtype=np.int64)
+        ei = np.empty_like(eu)
+        pos = 0
+        for u, s in user_inter_sets.items():
+            for i in s:
+                eu[pos] = uidx[u]
+                ei[pos] = iidx[i]
+                pos += 1
+        keep_u, keep_i = kcore_masks(
+            eu, ei, len(users_order), len(items_order), self.min_interactions
+        )
+        user_map = {}
+        for j, u in enumerate(users_order):
+            if keep_u[j]:
+                user_map[u] = len(user_map)
+        item_map = {}
+        for j, i in enumerate(items_order):
+            if keep_i[j]:
+                item_map[i] = len(item_map)
         self.n_users = len(user_map)
         self.n_items = len(item_map)
         return user_map, item_map

@@ -125,13 +125,8 @@ def _build_one_side(row, col, val, eid, n_rows, n_cols, min_bucket_rows=0):
         e = np.zeros((m, cap), dtype=np.int32)
         lens = deg[rows_m]
         rows_rep = np.repeat(np.arange(m), lens)
-        flat_pos = np.concatenate(
-            [np.arange(starts[r], starts[r] + deg[r]) for r in rows_m]
-        ).astype(np.int64) if m else np.zeros(0, np.int64)
-        slot = (
-            np.arange(len(flat_pos))
-            - np.concatenate([[0], np.cumsum(lens)[:-1]])[rows_rep]
-        )
+        slot = np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
+        flat_pos = starts[rows_m][rows_rep] + slot
         idx[rows_rep, slot] = ce_[flat_pos]
         v[rows_rep, slot] = ve_[flat_pos]
         e[rows_rep, slot] = ee_[flat_pos]
