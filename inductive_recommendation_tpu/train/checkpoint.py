@@ -15,11 +15,13 @@ from flax import serialization
 
 def save_checkpoint(path, params, opt_state=None, aux=None):
     payload = {
-        "params": jax.device_get(params),
-        "aux": aux or {},
+        "params": serialization.to_state_dict(jax.device_get(params)),
+        "aux": serialization.to_state_dict(aux or {}),
     }
     if opt_state is not None:
-        payload["opt_state"] = jax.device_get(opt_state)
+        # optax states are (nested) NamedTuples; to_state_dict flattens them
+        # into msgpack-serializable dicts, restore_like re-shapes on load
+        payload["opt_state"] = serialization.to_state_dict(jax.device_get(opt_state))
     blob = serialization.msgpack_serialize(payload)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

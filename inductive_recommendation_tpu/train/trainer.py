@@ -103,6 +103,31 @@ class BasicTrainer:
         self.params = restore_like(self.params, payload["params"])
         self.model.restore_aux(payload.get("aux", {}))
 
+    # -- full training-state resume (beyond the reference's best-params-only
+    # checkpointing, trainer.py:94-112) --------------------------------------
+    def save_state(self, path):
+        aux = dict(self.model.checkpoint_aux())
+        aux["__trainer__"] = {
+            "epoch": self.epoch,
+            "best_ndcg": float(self.best_ndcg),
+            "step_counter": self._step_counter,
+            "save_path": self.save_path or "",
+        }
+        save_checkpoint(path, self.params, opt_state=self.opt_state, aux=aux)
+
+    def load_state(self, path):
+        payload = load_checkpoint(path)
+        self.params = restore_like(self.params, payload["params"])
+        if self.opt_state is not None and "opt_state" in payload:
+            self.opt_state = restore_like(self.opt_state, payload["opt_state"])
+        aux = dict(payload.get("aux", {}))
+        ts = aux.pop("__trainer__", {})
+        self.model.restore_aux(aux)
+        self.epoch = int(ts.get("epoch", 0))
+        self.best_ndcg = float(ts.get("best_ndcg", -np.inf))
+        self._step_counter = int(ts.get("step_counter", 0))
+        self.save_path = ts.get("save_path") or None
+
     # -- main loop (trainer.py:58-113) --------------------------------------
     def train(self, verbose=True, writer=None):
         if not self.model.trainable:

@@ -1,0 +1,101 @@
+"""Trainer full-state resume; SoL accounting; NaN audit utility."""
+
+import os
+
+import numpy as np
+
+from inductive_recommendation_tpu import get_dataset, get_model, get_trainer
+from inductive_recommendation_tpu.ops.sol import spmm_cost
+from inductive_recommendation_tpu.utils.profiling import StepTimer, nan_check
+
+TOPKS = [1, 5, 10, 15, 20, 25]
+
+
+def test_trainer_save_load_state(tmp_path):
+    ds = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 40,
+            "n_items": 30,
+            "n_interactions": 500,
+            "seed": 3,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        def make():
+            model = get_model(
+                {
+                    "name": "IGCN",
+                    "embedding_size": 16,
+                    "n_layers": 2,
+                    "dropout": 0.1,
+                    "feature_ratio": 1,
+                },
+                ds,
+            )
+            return get_trainer(
+                {
+                    "name": "IGCNTrainer",
+                    "optimizer": "Adam",
+                    "lr": 1e-2,
+                    "l2_reg": 0.0,
+                    "aux_reg": 0.01,
+                    "n_epochs": 10,
+                    "batch_size": 128,
+                    "test_batch_size": 32,
+                    "topks": TOPKS,
+                    "val_interval": 1,
+                    "seed": 0,
+                },
+                ds,
+                model,
+            )
+
+        t1 = make()
+        for _ in range(3):
+            t1.train_one_epoch()
+        t1.epoch = 3
+        t1.best_ndcg = 0.42
+        t1.save_state("state.ckpt")
+        loss_next_a = t1.train_one_epoch()
+
+        t2 = make()
+        t2.load_state("state.ckpt")
+        assert t2.epoch == 3 and abs(t2.best_ndcg - 0.42) < 1e-9
+        assert t2._step_counter == t1._step_counter - t1.steps_per_epoch
+        assert abs(t2.model.alpha - 0.99**3) < 1e-9
+        loss_next_b = t2.train_one_epoch()
+        # identical rng counters + identical state => identical next epoch
+        assert abs(loss_next_a - loss_next_b) < 1e-5
+    finally:
+        os.chdir(cwd)
+
+
+def test_spmm_cost_report(tiny_graph):
+    from inductive_recommendation_tpu.graph import sym_normalized_adjacency
+    from inductive_recommendation_tpu.ops import build_bucketed_spmm
+
+    train_array, n_users, n_items = tiny_graph
+    row, col, val = sym_normalized_adjacency(train_array, n_users, n_items)
+    n = n_users + n_items
+    mat = build_bucketed_spmm(row, col, val, (n, n), symmetric=True)
+    cost = spmm_cost(mat, 64)
+    assert cost.nnz == len(row)
+    assert cost.padded_nnz >= cost.nnz
+    rep = cost.report(1e-3)
+    assert 0 < rep["pct_sol_sequential"] < 100000
+    assert rep["measured_ms"] == 1.0
+
+
+def test_nan_check_and_timer():
+    tree = {"a": np.ones(3), "b": {"c": np.array([1.0, np.nan])}}
+    bad = nan_check(tree)
+    assert len(bad) == 1 and "c" in bad[0]
+    timer = StepTimer()
+    timer.start()
+    timer.stop(np.ones(2))
+    assert timer.mean_ms >= 0
