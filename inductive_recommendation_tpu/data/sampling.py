@@ -16,11 +16,11 @@ Data structure: a CSR-style flat layout, O(|E|) memory —
   power-law graphs) and 64-bit flat keys (int64 is unavailable without
   jax_enable_x64 and would silently truncate for large catalogs).
 
-Divergence (documented): the reference's rejection loop is unbounded; XLA
-needs static shapes, so we use ``n_tries`` fixed resampling rounds and keep
-the last candidate if all rounds hit positives. For |pos(u)| << n_items the
-residual false-negative probability is (deg/n_items)^n_tries — unmeasurable
-in training.
+Negative sampling is EXACT (no rejection): a rank is drawn uniformly over
+the user's non-positive items and mapped through the sorted positives by a
+fixed-iteration binary search — the same distribution the reference's
+unbounded rejection loop converges to, with a ~log2(max_degree) gather
+chain and zero false negatives.
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["items_flat", "offsets", "deg", "valid_users"],
-    meta_fields=["n_items"],
+    meta_fields=["n_items", "max_degree"],
 )
 @dataclasses.dataclass(frozen=True)
 class SamplerState:
@@ -52,6 +52,7 @@ class SamplerState:
     deg: jnp.ndarray  # [n_users] int32
     valid_users: jnp.ndarray  # [n_valid] int32
     n_items: int
+    max_degree: int
 
 
 def build_sampler_state(train_data, n_items) -> SamplerState:
@@ -72,6 +73,7 @@ def build_sampler_state(train_data, n_items) -> SamplerState:
         deg=jnp.asarray(lengths, dtype=jnp.int32),
         valid_users=jnp.asarray(valid),
         n_items=int(n_items),
+        max_degree=int(lengths.max(initial=1)),
     )
 
 
@@ -113,32 +115,43 @@ def sample_bpr_batch(
 
     Semantics match dataset.py:119-131: users uniform over non-empty users,
     positive uniform over the user's train items (shared across the
-    neg_ratio copies), negatives rejection-sampled per copy.
+    neg_ratio copies), negatives uniform over the user's NON-positive items
+    (exact complement sampling — see module docstring).
     """
+    del n_tries  # kept for API compatibility; complement sampling is exact
     rng_u, rng_p, rng_n = jax.random.split(rng, 3)
     uidx = jax.random.randint(rng_u, (batch_size,), 0, state.valid_users.shape[0])
     users = state.valid_users[uidx]
     pos_slot = jax.random.randint(rng_p, (batch_size,), 0, 1 << 30) % state.deg[users]
     pos_items = state.items_flat[state.offsets[users] + pos_slot]
 
-    flat_users = jnp.repeat(users, neg_ratio)
+    # EXACT complement sampling: draw a rank r uniform over the user's
+    # non-positive items and map it through the sorted positives — the item
+    # x with r non-positives before it satisfies x - #{P < x} == r, found by
+    # binary search over j in [0, deg] with invariant P[j] - j <= r.
+    # This is the reference's unbounded rejection loop's exact distribution
+    # (uniform over non-positives) with a fixed ~log2(max_deg) gather chain.
+    flat_users = jnp.repeat(users, neg_ratio)  # [B * neg_ratio]
+    deg = state.deg[flat_users]
+    off = state.offsets[flat_users]
+    n_neg_space = jnp.maximum(state.n_items - deg, 1)
+    r = jax.random.randint(
+        rng_n, (batch_size * neg_ratio,), 0, 1 << 30
+    ) % n_neg_space
+    E = state.items_flat.shape[0]
+    # search range is [0, deg[u]]; fixed iteration count covers the max degree
+    max_deg = 1 if E == 0 else int(np.ceil(np.log2(max(2, state.max_degree)))) + 1
 
-    def try_round(carry, rng_t):
-        neg, done = carry
-        cand = jax.random.randint(
-            rng_t, (batch_size * neg_ratio,), 0, state.n_items
-        ).astype(neg.dtype)
-        member = _is_member(state, flat_users, cand)
-        # overwrite not-yet-done slots with the candidate; mark non-members done
-        neg = jnp.where(done, neg, cand)
-        done = jnp.logical_or(done, ~member)
-        return (neg, done), None
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        p_mid = state.items_flat[jnp.clip(off + mid, 0, max(E - 1, 0))]
+        go_right = p_mid - mid <= r
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
 
-    init_neg = jnp.zeros((batch_size * neg_ratio,), dtype=pos_items.dtype)
-    (neg, _), _ = jax.lax.scan(
-        try_round,
-        (init_neg, jnp.zeros((batch_size * neg_ratio,), dtype=bool)),
-        jax.random.split(rng_n, n_tries),
+    lo, hi = jax.lax.fori_loop(
+        0, max_deg, body, (jnp.zeros_like(deg), deg)
     )
+    neg = (r + lo).astype(pos_items.dtype)
     neg_items = neg.reshape(batch_size, neg_ratio)
     return users, pos_items, neg_items
