@@ -101,71 +101,58 @@ def _bucket_rows(side, bucket, prior_parts):
 
 
 def _attn_kernel(q_ref, keys_ref, vals_ref, mask_ref, temp_ref, out_ref):
-    """One row tile, streaming k-slot chunks flash-style.
+    """One row tile, streaming k-slot chunks flash-style (single head).
 
-    q_ref    [T, h, dh]
-    keys_ref [T, K, h, dh] (pre-gathered neighbor keys for the tile)
-    vals_ref [T, K, dv]
+    q_ref    [T, d]
+    keys_ref [T, K, d] (pre-gathered neighbor keys for the tile)
+    vals_ref [T, K, d]
     mask_ref [T, K]
+
+    Math is expressed as elementwise multiply + axis reductions only — the
+    remote Mosaic toolchain rejects batched-dot attribute forms.
     """
+    import jax.experimental.pallas as pl
+
     T, K = mask_ref.shape
     CH = min(K, 128)
     n_chunks = K // CH
     temp = temp_ref[0]
 
-    q = q_ref[:]  # [T, h, dh]
+    q = q_ref[:]  # [T, d]
     neg = jnp.float32(-1e30)
-
-    import jax.experimental.pallas as pl
-
-    def chunk_scores(c):
-        keys = keys_ref[:, pl.ds(c * CH, CH)]  # [T, CH, h, dh]
-        m = mask_ref[:, pl.ds(c * CH, CH)]
-        s = jnp.einsum("thd,tkhd->tkh", q, keys, preferred_element_type=jnp.float32)
-        return jnp.where(m[:, :, None] > 0, s, neg), m
 
     def body(c, carry):
         run_max, run_den, run_out = carry
-        s, m = chunk_scores(c)
-        cmax = jnp.max(s, axis=1)  # [T, h]
+        keys = keys_ref[:, pl.ds(c * CH, CH)]  # [T, CH, d]
+        m = mask_ref[:, pl.ds(c * CH, CH)]
+        s = jnp.sum(q[:, None, :] * keys, axis=-1)  # [T, CH]
+        s = jnp.where(m > 0, s, neg)
+        cmax = jnp.max(s, axis=1)  # [T]
         new_max = jnp.maximum(run_max, cmax)
-        corr = jnp.exp((run_max - new_max) / temp)
-        ex = jnp.exp((s - new_max[:, None, :]) / temp) * m[:, :, None]
+        corr = jnp.exp((run_max - new_max) / temp)  # [T]
+        ex = jnp.exp((s - new_max[:, None]) / temp) * m  # [T, CH]
         den = run_den * corr + jnp.sum(ex, axis=1)
-        attn = ex.mean(axis=-1)  # mean over heads of unnormalized weights
-        vals = vals_ref[:, pl.ds(c * CH, CH)]
-        out = run_out * corr.mean(axis=-1, keepdims=True) + jnp.einsum(
-            "tk,tkd->td", attn, vals, preferred_element_type=jnp.float32
-        )
+        vals = vals_ref[:, pl.ds(c * CH, CH)]  # [T, CH, d]
+        contrib = jnp.sum(ex[:, :, None] * vals, axis=1)  # [T, d]
+        out = run_out * corr[:, None] + contrib
         return new_max, den, out
 
-    h = q.shape[1]
     dv = out_ref.shape[1]
-    run_max = jnp.full((T, h), neg, dtype=jnp.float32)
-    run_den = jnp.zeros((T, h), dtype=jnp.float32)
+    run_max = jnp.full((T,), neg, dtype=jnp.float32)
+    run_den = jnp.zeros((T,), dtype=jnp.float32)
     run_out = jnp.zeros((T, dv), dtype=jnp.float32)
     run_max, run_den, run_out = jax.lax.fori_loop(
         0, n_chunks, body, (run_max, run_den, run_out)
     )
-    # per-head normalization folded at the end: we tracked the head-mean of
-    # unnormalized weights with a shared max correction, which is exact when
-    # all heads share the denominator; for mean-over-heads attention the
-    # reference normalizes per head first, so rescale by the head-mean of
-    # 1/denominator (valid because vals are head-independent)
-    inv_den = 1.0 / jnp.maximum(run_den, 1e-12)  # [T, h]
-    # out accumulated head-mean of ex; exact per-head normalization requires
-    # accumulating per-head; we fold the mean of inv_den as the normalizer
-    out_ref[:] = run_out * inv_den.mean(axis=-1, keepdims=True)
+    out_ref[:] = run_out / jnp.maximum(run_den, 1e-12)[:, None]
 
 
 def attention_spmm_pallas_tile(q_tile, keys_tile, vals_tile, mask_tile, temperature):
-    """Fused forward for one pre-gathered tile (used bucket-by-bucket).
-
-    Note: with multiple heads the exact per-head normalization and the
-    head-mean do not commute; this kernel is exact for h == 1 and an
-    approximation for h > 1 — the training path always uses the jnp
-    reference. Parity tests cover h == 1.
-    """
+    """Fused single-head forward for one pre-gathered tile: scores, the
+    streaming-softmax statistics, and attention weights live only in
+    VMEM/registers — nothing [T, K]-shaped is written to HBM. Multi-head
+    callers run one tile per head and average outside (the training path
+    always uses the differentiable jnp reference)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -75,8 +75,8 @@ def test_pallas_tile_kernel_parity(rng):
     kernel runs on the TPU in real runs; here we exercise the math with
     jax's pallas interpret mode)."""
     T, K, d = 8, 256, 16
-    q = rng.standard_normal((T, 1, d)).astype(np.float32)
-    keys = rng.standard_normal((T, K, 1, d)).astype(np.float32)
+    q = rng.standard_normal((T, d)).astype(np.float32)
+    keys = rng.standard_normal((T, K, d)).astype(np.float32)
     vals = rng.standard_normal((T, K, d)).astype(np.float32)
     mask = (rng.random((T, K)) > 0.3).astype(np.float32)
     mask[:, 0] = 1.0  # at least one live slot per row
@@ -96,7 +96,7 @@ def test_pallas_tile_kernel_parity(rng):
     out = np.asarray(run_interpret(q, keys, vals, mask))
 
     # oracle
-    scores = np.einsum("thd,tkhd->tkh", q, keys)[..., 0]
+    scores = np.einsum("td,tkd->tk", q, keys)
     scores = np.where(mask > 0, scores, -1e30)
     smax = scores.max(axis=1, keepdims=True)
     ex = np.exp((scores - smax) / temperature) * mask
