@@ -5,14 +5,37 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no numbers (BASELINE.md: "published: {}"), so
 ``vs_baseline`` is reported against this framework's own first recorded
-round-1 figure once BENCH_r1.json exists; until then 1.0.
+round figure (the earliest BENCH_r*.json in the repo); until one exists, 1.0.
 """
 
+import glob
 import json
+import os
+import re
 import sys
 import time
 
 import numpy as np
+
+
+def _baseline_value():
+    here = os.path.dirname(os.path.abspath(__file__))
+    runs = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                payload = json.load(f)
+            value = payload.get("value")
+            if isinstance(payload, dict) and isinstance(value, (int, float)):
+                runs.append((int(m.group(1)), float(value)))
+        except (OSError, ValueError):
+            continue
+    if not runs:
+        return None
+    return min(runs)[1]
 
 
 def main():
@@ -73,11 +96,12 @@ def main():
         f"edges={n_edges} devices={jax.devices()} loss={float(loss):.4f}",
         file=sys.stderr,
     )
+    base = _baseline_value()
     result = {
         "metric": "bpr_train_examples_per_s_per_chip",
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(examples_per_s / base, 3) if base else 1.0,
     }
     print(json.dumps(result))
 

@@ -33,12 +33,17 @@ def _format_results(metrics, topks):
 
 
 class Evaluator:
-    def __init__(self, dataset, topks, test_batch_size=512):
+    def __init__(self, dataset, topks, test_batch_size=512, mesh=None):
+        """``mesh``: optional jax Mesh with a 'model' axis — retrieval then
+        runs item-sharded with per-device top-k + k-way merge
+        (parallel/eval.py); results are bitwise-identical to the
+        single-device path."""
         self.dataset = dataset
         self.topks = list(topks)
         # small catalogs: cannot retrieve more items than exist
         self.k_max = min(max(self.topks), dataset.n_items)
         self.test_batch_size = int(test_batch_size)
+        self.mesh = mesh
         n_items = dataset.n_items
         # padded exclusion rows (sentinel n_items scatters into a dropped col)
         self._train_excl, _ = pad_user_lists(dataset.train_data, n_items, sort=False)
@@ -91,6 +96,27 @@ class Evaluator:
 
         state_fn, rec_masked, rec_plain = self._fns(model)
         state = state_fn(params, model.buffers)
+
+        if self.mesh is not None:
+            from inductive_recommendation_tpu.parallel.eval import (
+                sharded_recommend_all_users,
+            )
+
+            rep = state if not isinstance(state, (tuple, dict)) else None
+            if rep is not None and getattr(rep, "ndim", 0) == 2:
+                return sharded_recommend_all_users(
+                    self.mesh,
+                    rep,
+                    n_users,
+                    n_items,
+                    k=self.k_max,
+                    exclude_rows=np.asarray(excl) if excl is not None else None,
+                    banned_items=banned_items,
+                    batch_size=self.test_batch_size,
+                )
+            # models without a rep-matrix scoring state (MultiVAE, NeuMF,
+            # ItemKNN) fall through to the single-device path
+
         B = self.test_batch_size
         rec = []
         for start in range(0, n_users, B):
