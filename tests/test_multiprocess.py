@@ -1,0 +1,134 @@
+"""Multi-HOST semantics without a cluster (SURVEY §4): two spawned processes
+with 4 virtual CPU devices each form one 8-device global mesh via
+jax.distributed; the sharded IGCN train step and sharded retrieval must
+produce the same numbers as the single-process 8-device run."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import json, os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid)
+sys.path.insert(0, os.environ["REPO_ROOT"])
+
+import numpy as np
+import optax
+import jax.numpy as jnp
+from inductive_recommendation_tpu.data.dataset import quick_synthetic_dataset
+from inductive_recommendation_tpu.data.sampling import build_sampler_state
+from inductive_recommendation_tpu.data.dataset import AuxiliaryDataset
+from inductive_recommendation_tpu.models import get_model
+from inductive_recommendation_tpu.parallel import (
+    make_mesh, make_sharded_igcn_step, shard_params, sharded_recommend_all_users)
+
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+ds = quick_synthetic_dataset(64, 64, 1500, seed=0)
+model = get_model({"name": "IGCN", "embedding_size": 16, "n_layers": 2,
+                   "dropout": 0.0, "feature_ratio": 1, "table_align": 8}, ds)
+sampler = build_sampler_state(ds.train_data, ds.n_items)
+aux = AuxiliaryDataset(ds, model.user_map, model.item_map)
+aux_sampler = build_sampler_state(aux.train_data, aux.n_items)
+optimizer = optax.adam(1e-2)
+mesh = make_mesh(n_data=2, n_model=4)
+params = shard_params(model.init_params(jax.random.key(0)), mesh)
+opt_state = optimizer.init(params)
+step = make_sharded_igcn_step(model, optimizer, sampler, aux_sampler, 64, 1e-4, 0.01, mesh)
+with mesh:
+    params, opt_state, loss = step(params, opt_state, jax.random.key(1))
+    loss_val = float(loss)
+    rep = jax.device_get(model.get_rep(params, training=False))
+rec = sharded_recommend_all_users(mesh, jnp.asarray(rep), ds.n_users, ds.n_items,
+                                  k=10, batch_size=32)
+print("RESULT " + json.dumps({"pid": pid, "loss": loss_val,
+                              "rec0": np.asarray(rec)[0].tolist()}), flush=True)
+"""
+
+
+def test_two_process_mesh_matches_single_process(tmp_path):
+    port = "29911"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        REPO_ROOT=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    env.pop("XLA_FLAGS", None)
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), port],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    results = {}
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=480)
+        text = out.decode()
+        logs.append(text)
+        assert p.returncode == 0, text[-2000:]
+        for line in text.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                results[r["pid"]] = r
+    assert set(results) == {0, 1}, logs
+    # both processes observe the same global computation
+    assert abs(results[0]["loss"] - results[1]["loss"]) < 1e-6
+    assert results[0]["rec0"] == results[1]["rec0"]
+
+    # single-process 8-device run must agree (same seeds, same mesh shape)
+    import jax
+    import optax
+    import jax.numpy as jnp
+    from inductive_recommendation_tpu.data.dataset import (
+        AuxiliaryDataset,
+        quick_synthetic_dataset,
+    )
+    from inductive_recommendation_tpu.data.sampling import build_sampler_state
+    from inductive_recommendation_tpu.models import get_model
+    from inductive_recommendation_tpu.parallel import (
+        make_mesh,
+        make_sharded_igcn_step,
+        shard_params,
+    )
+
+    ds = quick_synthetic_dataset(64, 64, 1500, seed=0)
+    model = get_model(
+        {
+            "name": "IGCN",
+            "embedding_size": 16,
+            "n_layers": 2,
+            "dropout": 0.0,
+            "feature_ratio": 1,
+            "table_align": 8,
+        },
+        ds,
+    )
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    aux = AuxiliaryDataset(ds, model.user_map, model.item_map)
+    aux_sampler = build_sampler_state(aux.train_data, aux.n_items)
+    optimizer = optax.adam(1e-2)
+    mesh = make_mesh(n_data=2, n_model=4)
+    params = shard_params(model.init_params(jax.random.key(0)), mesh)
+    opt_state = optimizer.init(params)
+    step = make_sharded_igcn_step(
+        model, optimizer, sampler, aux_sampler, 64, 1e-4, 0.01, mesh
+    )
+    with mesh:
+        _, _, loss = step(params, opt_state, jax.random.key(1))
+    assert abs(float(loss) - results[0]["loss"]) < 1e-5
