@@ -2,21 +2,20 @@
 + InfoNCE contrastive learning. Thirteen variants differing only in
 
 1. how candidate (u, i) pairs are selected — cosine-similarity extremes
-   (blockwise streamed top-k here), random pairs, degree-tail-restricted
-   pairs, or a similarity threshold;
+   (blockwise streamed top-k on device), random pairs,
+   degree-tail-restricted pairs, or a similarity threshold;
 2. which auxiliary graph(s) are built — edge injection (union), random
    subsample, set difference, or the reference's no-op "drop" (union);
 3. which representations feed the InfoNCE term.
 
 The reference repeats ~290 LoC per variant; here each variant is a small
-subclass of ``_DOSEBase`` declaring its selection + graph recipe.
+subclass of ``_DOSEBase`` declaring its selection + view recipe.
 
-Static-shape discipline: every auxiliary view lives in a FIXED-size padded
-COO buffer sized at construction, so per-epoch regeneration
-(``update_aug_adj``) swaps buffer contents without retracing the jitted
-train step. Selection runs on device (blockwise cosine top-k — the
-reference materializes the full n_u x n_i matrix on CPU via sklearn,
-model.py:503-545); the graph set-algebra runs on host once per epoch.
+Views are EdgeViews (graph/views.py): keep-mask + injected-delta over one
+shared raw-train bucketed layout. Per-epoch regeneration
+(``update_aug_adj``) writes fixed-shape scale/delta arrays — the jitted
+train step never retraces, view propagation rides the gather-only SpMM
+fast path, and the per-epoch host work is one vectorized key membership.
 
 Documented divergences from the reference (intended-semantics fixes):
 - cos-sim selection is one exact global top-k; the reference splits the
@@ -39,17 +38,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from inductive_recommendation_tpu.graph.build import (
-    aug_union_edges,
-    drop_difference_edges,
-    drop_sample_edges,
-    drop_union_edges,
-)
 from inductive_recommendation_tpu.graph.ranking import graph_rank_nodes
+from inductive_recommendation_tpu.graph.views import ViewEngine, view_propagate_mean
 from inductive_recommendation_tpu.models.base import l2_sq_rows
 from inductive_recommendation_tpu.models.igcn import IGCN
 from inductive_recommendation_tpu.models.sgl import padded_view_coo
-from inductive_recommendation_tpu.ops import blockwise_cosine_topk, propagate_mean
+from inductive_recommendation_tpu.ops import blockwise_cosine_topk
 from inductive_recommendation_tpu.train.losses import info_nce
 
 
@@ -67,55 +61,69 @@ class _DOSEBase(IGCN):
         self.pai = model_config.get("pai", 0.9)
         self.taugh = model_config.get("taugh", 0.2)
         self._np_rng = np.random.default_rng(model_config.get("aug_seed", 0))
-        self._dedup_train = np.unique(
-            np.asarray(dataset.train_array, dtype=np.int64), axis=0
+        self.view_engine = ViewEngine(
+            dataset.train_array,
+            self.n_users,
+            self.n_items,
+            delta_budget=max(self.aug_num, 1),
         )
-        self._budgets = {k: self._view_budget(k) for k in self.view_keys}
-        # initial views use the INITIAL parameters in the reference (views are
-        # built in __init__ before training); selection-based variants defer
-        # to the first update_aug_adj call and start from a random view seeded
-        # by uniform selection over train edges
-        self.buffers = dict(self.buffers)
+        self._dedup_train = self.view_engine.train_pairs
+        # initial views: the reference builds them in __init__ from the
+        # INITIAL parameters; selection-based recipes fall back to the plain
+        # train view until the first update_aug_adj
+        self.buffers = dict(self.buffers, view_base=self.view_engine.base)
         for k in self.view_keys:
-            self.buffers[k] = self._pack_view(self._initial_pairs(k), k)
+            self.buffers[k] = self._initial_view(k)
 
     # -- per-variant recipe ---------------------------------------------------
-    def _view_budget(self, key) -> int:
-        """Fixed nnz budget (both edge directions) for a view buffer."""
+    def _make_view(self, key, params):
+        """EdgeView for view ``key`` given current params."""
         raise NotImplementedError
 
-    def _view_pairs(self, key, params) -> np.ndarray:
-        """(u, i) pair list for view ``key`` given current params."""
-        raise NotImplementedError
-
-    def _initial_pairs(self, key) -> np.ndarray:
-        """Pairs for the initial view (params not yet available)."""
-        return self._dedup_train
+    def _initial_view(self, key):
+        """View before any params exist (default: the full train graph)."""
+        return self.view_engine.make_view()
 
     # -- machinery ------------------------------------------------------------
-    def _pack_view(self, pairs, key):
-        return padded_view_coo(
-            pairs, self.n_users, self.n_items, self._budgets[key]
-        )
-
     def update_aug_adj(self, params=None):
         new = dict(self.buffers)
         for k in self.view_keys:
-            new[k] = self._pack_view(self._view_pairs(k, params), k)
+            new[k] = self._make_view(k, params)
         self.buffers = new
 
     def _cos_pairs(self, params, k, negate_items, restrict=None):
         """Top-k (u, i) pairs by (optionally negated-item) cosine similarity
-        of the current main representations, streamed blockwise."""
-        rep = self.get_rep(params, training=False)
-        users_r = rep[: self.n_users]
-        items_r = rep[self.n_users :]
-        if restrict is not None:
-            r_users, r_items = restrict
-            users_r = users_r[jnp.asarray(r_users)]
-            items_r = items_r[jnp.asarray(r_items)]
-        _, uid, iid = blockwise_cosine_topk(
-            users_r, items_r, k, negate_items=negate_items
+        of the current main representations, streamed blockwise.
+
+        The whole selection (propagation + blockwise scan + top-k) runs as
+        ONE jitted program per (k, negate, restrict-shape) — eager execution
+        here costs a dispatch round trip per op on remote backends."""
+        if not hasattr(self, "_cos_jit_cache"):
+            self._cos_jit_cache = {}
+        r_users = None if restrict is None else jnp.asarray(restrict[0])
+        r_items = None if restrict is None else jnp.asarray(restrict[1])
+        cache_key = (
+            k,
+            negate_items,
+            None if restrict is None else (len(restrict[0]), len(restrict[1])),
+        )
+        if cache_key not in self._cos_jit_cache:
+
+            def select(params, buffers, r_users, r_items):
+                rep = self.get_rep(params, training=False, buffers=buffers)
+                users_r = rep[: self.n_users]
+                items_r = rep[self.n_users :]
+                if r_users is not None:
+                    users_r = users_r[r_users]
+                    items_r = items_r[r_items]
+                _, uid, iid = blockwise_cosine_topk(
+                    users_r, items_r, k, negate_items=negate_items
+                )
+                return uid, iid
+
+            self._cos_jit_cache[cache_key] = jax.jit(select)
+        uid, iid = self._cos_jit_cache[cache_key](
+            params, self.buffers, r_users, r_items
         )
         uid, iid = np.asarray(uid), np.asarray(iid)
         if restrict is not None:
@@ -128,12 +136,21 @@ class _DOSEBase(IGCN):
         item_id = self._np_rng.integers(0, self.n_items, n)
         return np.stack([user_id, item_id], axis=1)
 
+    def _random_keep_mask(self, rate):
+        n_pairs = len(self._dedup_train)
+        keep = np.zeros(n_pairs, dtype=bool)
+        n_keep = int(n_pairs * rate)
+        keep[self._np_rng.choice(n_pairs, size=n_keep, replace=False)] = True
+        return keep
+
     def view_users(self, params, buffers, key, users, rng, training):
         """User rows of the representation propagated over view ``key``;
         feature-matrix dropout is re-drawn per view, as each reference
         get_*_rep call re-applies dropout (model.py:488-501)."""
         x0 = self.inductive_rep_layer(params, buffers, rng=rng, training=training)
-        rep = propagate_mean(buffers[key], x0, self.n_layers)
+        rep = view_propagate_mean(
+            buffers["view_base"], buffers[key], x0, self.n_layers
+        )
         return rep[users]
 
     # -- forward --------------------------------------------------------------
@@ -153,9 +170,7 @@ class _DOSEBase(IGCN):
         users_r, pos_r, neg_r, l2 = self._main_forward(
             params, users, pos_items, neg_items, r_main, training, b
         )
-        contrastive = self._contrastive(
-            params, b, users, users_r, r_view, training
-        )
+        contrastive = self._contrastive(params, b, users, users_r, r_view, training)
         return users_r, pos_r, neg_r, l2, contrastive
 
     def _contrastive(self, params, b, users, users_r, rng, training):
@@ -174,12 +189,9 @@ class DOSE_aug(_DOSEBase):
 
     view_keys = ("aug_adj",)
 
-    def _view_budget(self, key):
-        return 2 * (len(self._dedup_train) + self.aug_num)
-
-    def _view_pairs(self, key, params):
+    def _make_view(self, key, params):
         pairs = self._cos_pairs(params, self.aug_num, negate_items=True)
-        return aug_union_edges(self._dedup_train, pairs)
+        return self.view_engine.make_view(add_pairs=pairs)
 
 
 class DOSE_aug2(DOSE_aug):
@@ -187,15 +199,16 @@ class DOSE_aug2(DOSE_aug):
     (model.py:1034-1051 has no negation) and which also rebuilds the feature
     matrix over the augmented graph (model.py:935-978).
 
-    The aug feature matrix reuses the same core maps; its SpMM shares the
-    main feat layout budget by rebuilding into a fresh bucketed layout once
-    per epoch — this is the one DOSE variant whose epoch update retraces
-    (the reference rebuilds the same object; documented cost)."""
+    The aug feature matrix is rebuilt as a fresh bucketed layout each epoch —
+    the one DOSE variant whose epoch update retraces (the reference rebuilds
+    the same object; documented cost)."""
 
-    def _view_pairs(self, key, params):
+    def _make_view(self, key, params):
         pairs = self._cos_pairs(params, self.aug_num, negate_items=False)
+        from inductive_recommendation_tpu.graph.build import aug_union_edges
+
         self._last_aug_union = aug_union_edges(self._dedup_train, pairs)
-        return self._last_aug_union
+        return self.view_engine.make_view(add_pairs=pairs)
 
     def update_aug_adj(self, params=None):
         super().update_aug_adj(params)
@@ -240,10 +253,10 @@ class DOSE_aug2(DOSE_aug):
                 edge_scale=scale,
             )
         else:
-            x0 = self.inductive_rep_layer(
-                params, buffers, rng=rng, training=training
-            )
-        rep = propagate_mean(buffers[key], x0, self.n_layers)
+            x0 = self.inductive_rep_layer(params, buffers, rng=rng, training=training)
+        rep = view_propagate_mean(
+            buffers["view_base"], buffers[key], x0, self.n_layers
+        )
         return rep[users]
 
 
@@ -252,14 +265,11 @@ class DOSE_aug3(_DOSEBase):
 
     view_keys = ("aug_adj",)
 
-    def _view_budget(self, key):
-        return 2 * (len(self._dedup_train) + self.aug_num)
+    def _make_view(self, key, params):
+        return self.view_engine.make_view(add_pairs=self._random_pairs(self.aug_num))
 
-    def _view_pairs(self, key, params):
-        return aug_union_edges(self._dedup_train, self._random_pairs(self.aug_num))
-
-    def _initial_pairs(self, key):
-        return aug_union_edges(self._dedup_train, self._random_pairs(self.aug_num))
+    def _initial_view(self, key):
+        return self.view_engine.make_view(add_pairs=self._random_pairs(self.aug_num))
 
 
 class DOSE_aug4(_DOSEBase):
@@ -268,18 +278,21 @@ class DOSE_aug4(_DOSEBase):
 
     view_keys = ("aug_adj",)
 
-    def _view_budget(self, key):
-        return 2 * (len(self._dedup_train) + max(self.aug_num, 1))
-
-    def _view_pairs(self, key, params):
+    def _make_view(self, key, params):
         k = max(self.aug_num, 1)
-        rep = self.get_rep(params, training=False)
-        vals, uid, iid = blockwise_cosine_topk(
-            rep[: self.n_users], rep[self.n_users :], k, negate_items=False
-        )
+        if not hasattr(self, "_thr_jit"):
+
+            def select(params, buffers):
+                rep = self.get_rep(params, training=False, buffers=buffers)
+                return blockwise_cosine_topk(
+                    rep[: self.n_users], rep[self.n_users :], k, negate_items=False
+                )
+
+            self._thr_jit = jax.jit(select)
+        vals, uid, iid = self._thr_jit(params, self.buffers)
         keep = np.asarray(vals) >= self.pai
         pairs = np.stack([np.asarray(uid)[keep], np.asarray(iid)[keep]], axis=1)
-        return aug_union_edges(self._dedup_train, pairs)
+        return self.view_engine.make_view(add_pairs=pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -293,12 +306,11 @@ class DOSE_drop(_DOSEBase):
 
     view_keys = ("aug_adj",)
 
-    def _view_budget(self, key):
-        return 2 * max(len(self._dedup_train), 1)
-
-    def _view_pairs(self, key, params):
+    def _make_view(self, key, params):
         pairs = self._cos_pairs(params, self.aug_num, negate_items=False)
-        return drop_difference_edges(self._dedup_train, pairs)
+        return self.view_engine.make_view(
+            keep_pair_mask=self.view_engine.keep_mask_from_drop_pairs(pairs)
+        )
 
 
 class DOSE_drop2(_DOSEBase):
@@ -306,41 +318,38 @@ class DOSE_drop2(_DOSEBase):
 
     view_keys = ("aug_adj",)
 
-    def _view_budget(self, key):
-        n_keep = int(len(np.asarray(self.dataset.train_array)) * self.aug_rate)
-        return 2 * max(n_keep, 1)
-
-    def _view_pairs(self, key, params):
-        return drop_sample_edges(
-            self.dataset.train_array, self.aug_rate, self._np_rng
+    def _make_view(self, key, params):
+        return self.view_engine.make_view(
+            keep_pair_mask=self._random_keep_mask(self.aug_rate)
         )
 
-    def _initial_pairs(self, key):
-        return drop_sample_edges(
-            self.dataset.train_array, self.aug_rate, self._np_rng
-        )
+    def _initial_view(self, key):
+        return self._make_view(key, None)
 
 
 class DOSE_drop3(DOSE_drop):
     """Drop the aug_num LOWEST-cos-sim pairs (items negated before top-k,
     model.py:2748-2790)."""
 
-    def _view_pairs(self, key, params):
+    def _make_view(self, key, params):
         pairs = self._cos_pairs(params, self.aug_num, negate_items=True)
-        return drop_difference_edges(self._dedup_train, pairs)
+        return self.view_engine.make_view(
+            keep_pair_mask=self.view_engine.keep_mask_from_drop_pairs(pairs)
+        )
 
 
 class TEST(DOSE_drop2):
     """DOSE_drop2 variant whose MAIN adjacency is also a random-drop graph
-    (model.py:1989-1990)."""
+    (model.py:1989-1990; static for the run)."""
 
     def __init__(self, model_config, dataset):
         super().__init__(model_config, dataset)
-        pairs = drop_sample_edges(dataset.train_array, self.aug_rate, self._np_rng)
-        main_budget = self._view_budget("aug_adj")
+        keep = self._random_keep_mask(self.aug_rate)
+        pairs = self._dedup_train[keep]
+        budget = 2 * max(len(self._dedup_train), 1)
         self.buffers = dict(
             self.buffers,
-            norm_adj=padded_view_coo(pairs, self.n_users, self.n_items, main_budget),
+            norm_adj=padded_view_coo(pairs, self.n_users, self.n_items, budget),
         )
 
 
@@ -372,18 +381,17 @@ class DOSE_aug_drop(_DOSEBase):
 
     view_keys = ("aug_adj", "drop_adj")
 
-    def _view_budget(self, key):
+    def _make_view(self, key, params):
         if key == "aug_adj":
-            return 2 * (len(self._dedup_train) + self.aug_num)
-        return 2 * max(int(len(np.asarray(self.dataset.train_array)) * self.aug_rate), 1)
+            return self.view_engine.make_view(
+                add_pairs=self._random_pairs(self.aug_num)
+            )
+        return self.view_engine.make_view(
+            keep_pair_mask=self._random_keep_mask(self.aug_rate)
+        )
 
-    def _view_pairs(self, key, params):
-        if key == "aug_adj":
-            return aug_union_edges(self._dedup_train, self._random_pairs(self.aug_num))
-        return drop_sample_edges(self.dataset.train_array, self.aug_rate, self._np_rng)
-
-    def _initial_pairs(self, key):
-        return self._view_pairs(key, None)
+    def _initial_view(self, key):
+        return self._make_view(key, None)
 
     def _contrastive(self, params, b, users, users_r, rng, training):
         r1, r2 = jax.random.split(rng)
@@ -407,9 +415,6 @@ class DOSE_aug_drop2(_DOSEBase):
         self._tail_items = ranked_items[int(dataset.n_items * aug_ratio) :].copy()
         super().__init__(model_config, dataset)
 
-    def _view_budget(self, key):
-        return 2 * (len(self._dedup_train) + self.aug_num)
-
     def _select(self, params):
         return self._cos_pairs(
             params,
@@ -418,11 +423,10 @@ class DOSE_aug_drop2(_DOSEBase):
             restrict=(self._tail_users, self._tail_items),
         )
 
-    def _view_pairs(self, key, params):
+    def _make_view(self, key, params):
         pairs = self._select(params)
-        if key == "aug_adj":
-            return aug_union_edges(self._dedup_train, pairs)
-        return drop_union_edges(self._dedup_train, pairs)
+        # both 'aug' and 'drop' resolve to the union (no-op drop quirk)
+        return self.view_engine.make_view(add_pairs=pairs)
 
     def _contrastive(self, params, b, users, users_r, rng, training):
         v = self.view_users(params, b, "drop_adj", users, rng, training)
@@ -436,16 +440,13 @@ class DOSE_aug_drop3(_DOSEBase):
 
     view_keys = ("aug_adj", "drop_adj")
 
-    def _view_budget(self, key):
-        if key == "aug_adj":
-            return 2 * (len(self._dedup_train) + self.aug_num)
-        return 2 * max(len(self._dedup_train), 1)
-
-    def _view_pairs(self, key, params):
+    def _make_view(self, key, params):
         pairs = self._cos_pairs(params, self.aug_num, negate_items=False)
         if key == "aug_adj":
-            return aug_union_edges(self._dedup_train, pairs)
-        return drop_difference_edges(self._dedup_train, pairs)
+            return self.view_engine.make_view(add_pairs=pairs)
+        return self.view_engine.make_view(
+            keep_pair_mask=self.view_engine.keep_mask_from_drop_pairs(pairs)
+        )
 
     def _contrastive(self, params, b, users, users_r, rng, training):
         v = self.view_users(params, b, "drop_adj", users, rng, training)
@@ -466,7 +467,5 @@ class DOSE_test(DOSE_aug):
         users_r, pos_r, neg_r, l2 = self._main_forward(
             params, users, pos_items, neg_items, r_main, training, b
         )
-        aug_users_r = self.view_users(
-            params, b, "aug_adj", users, r_view, training
-        )
+        aug_users_r = self.view_users(params, b, "aug_adj", users, r_view, training)
         return users_r, pos_r, neg_r, l2, aug_users_r

@@ -5,11 +5,10 @@ edge-drop augmentation views + InfoNCE.
   (model.py:213-228)
 - HALF: one drop view, InfoNCE(main rep, view rep) (model.py:332-349)
 
-View graphs are regenerated every epoch (``update_aug_adj``). To keep the
-jitted train step recompile-free, each view lives in a FIXED-size padded COO
-buffer: regeneration writes new edges into the same-shaped arrays
-(graph/sparse.py padding discipline). The main adjacency stays on the
-bucketed fast path.
+Views are EdgeViews (graph/views.py): a per-edge keep-mask + view-degree
+normalization over a shared raw-train bucketed layout — per-epoch
+regeneration writes a fixed-shape scale vector (no container rebuilds, no
+retrace, no segment-sum propagation).
 """
 
 from __future__ import annotations
@@ -23,16 +22,16 @@ from inductive_recommendation_tpu.graph import (
     coo_to_device,
     sym_normalize_values,
 )
-from inductive_recommendation_tpu.graph.build import drop_sample_edges
+from inductive_recommendation_tpu.graph.views import ViewEngine, view_propagate_mean
 from inductive_recommendation_tpu.models.base import l2_sq_rows
 from inductive_recommendation_tpu.models.lightgcn import LightGCN
-from inductive_recommendation_tpu.ops import propagate_mean
 from inductive_recommendation_tpu.train.losses import info_nce
 
 
 def padded_view_coo(pairs, n_users, n_items, nnz_budget):
     """(u, i) pairs -> sym-normalized padded COO device container of a FIXED
-    nnz size (so per-epoch view regeneration never retraces jit)."""
+    nnz size. Used for one-shot static graphs (e.g. TEST's dropped main
+    adjacency); per-epoch views use EdgeView instead."""
     pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
     row, col = bipartite_edges(pairs, n_users, n_items)
     n = n_users + n_items
@@ -50,20 +49,22 @@ class SGL(LightGCN):
         super().__init__(model_config, dataset)
         self.aug_rate = model_config.get("aug_rate", 0.8)
         self._np_rng = np.random.default_rng(model_config.get("aug_seed", 0))
-        # fixed budget: both directions of the kept edges
-        n_keep = int(len(np.asarray(dataset.train_array)) * self.aug_rate)
-        self._view_budget = 2 * max(n_keep, 1)
+        self.view_engine = ViewEngine(
+            dataset.train_array, self.n_users, self.n_items, delta_budget=0
+        )
         self.buffers = dict(
             self.buffers,
+            view_base=self.view_engine.base,
             aug_adj1=self._drop_view(),
             aug_adj2=self._drop_view(),
         )
 
     def _drop_view(self):
-        pairs = drop_sample_edges(
-            self.dataset.train_array, self.aug_rate, self._np_rng
-        )
-        return padded_view_coo(pairs, self.n_users, self.n_items, self._view_budget)
+        n_pairs = len(self.view_engine.train_pairs)
+        n_keep = int(n_pairs * self.aug_rate)
+        keep = np.zeros(n_pairs, dtype=bool)
+        keep[self._np_rng.choice(n_pairs, size=n_keep, replace=False)] = True
+        return self.view_engine.make_view(keep_pair_mask=keep)
 
     def update_aug_adj(self, params=None):
         """Per-epoch view regeneration (model.py:232-237)."""
@@ -73,7 +74,9 @@ class SGL(LightGCN):
 
     def _view_users(self, params, buffers, key, users):
         emb = params["embedding"][: self.n_users + self.n_items]
-        rep = propagate_mean(buffers[key], emb, self.n_layers)
+        rep = view_propagate_mean(
+            buffers["view_base"], buffers[key], emb, self.n_layers
+        )
         return rep[users]
 
     def bpr_forward(
@@ -95,9 +98,7 @@ class HALF(SGL):
     def __init__(self, model_config, dataset):
         super().__init__(model_config, dataset)
         # single view (model.py:270-271)
-        self.buffers = {
-            k: v for k, v in self.buffers.items() if k != "aug_adj2"
-        }
+        self.buffers = {k: v for k, v in self.buffers.items() if k != "aug_adj2"}
 
     def update_aug_adj(self, params=None):
         self.buffers = dict(self.buffers, aug_adj1=self._drop_view())
@@ -107,7 +108,8 @@ class HALF(SGL):
     ):
         b = self._buf(buffers)
         users_r, pos_r, neg_r, l2 = LightGCN.bpr_forward(
-            self, params, users, pos_items, neg_items, rng=rng, training=training, buffers=b
+            self, params, users, pos_items, neg_items, rng=rng, training=training,
+            buffers=b,
         )
         l2 = l2_sq_rows(users_r, pos_r, neg_r)
         v1 = self._view_users(params, b, "aug_adj1", users)
