@@ -57,6 +57,9 @@ class Evaluator:
 
     def _fns(self, model):
         key = id(model)
+        if key in self._fn_cache and self._fn_cache[key][0] is not model:
+            # id() reuse after a model was garbage-collected
+            del self._fn_cache[key]
         if key not in self._fn_cache:
             k_max = self.k_max
 
@@ -72,11 +75,12 @@ class Evaluator:
                 return jax.lax.top_k(scores, k_max)[1]
 
             self._fn_cache[key] = (
+                model,  # keeps the model alive so its id cannot be reused
                 jax.jit(scoring_state),
                 jax.jit(rec_masked),
                 jax.jit(rec_plain),
             )
-        return self._fn_cache[key]
+        return self._fn_cache[key][1:]
 
     def recommend(self, model, params, stage, banned_items=None):
         """Top-k_max recommended items for every user -> [n_users, k_max]."""
