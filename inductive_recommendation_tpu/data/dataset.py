@@ -386,6 +386,28 @@ def _as_map_array(mapping, size):
     return np.asarray(mapping, dtype=np.int64)
 
 
+def device_padded_from_lists(lists, n_items, pad_to=None):
+    """[n_users, L] padded item matrix built ON DEVICE from E-sized scatter
+    components — uploading the dense padded matrix costs O(n_users * L)
+    transfer (hundreds of MB for power-law graphs) where the components are
+    O(E)."""
+    import jax.numpy as jnp
+
+    lengths = np.fromiter((len(l) for l in lists), dtype=np.int64, count=len(lists))
+    if pad_to is None:
+        pad_to = max(1, int(lengths.max(initial=0)))
+    if lengths.sum() == 0:
+        return jnp.full((len(lists), pad_to), n_items, dtype=jnp.int32)
+    flat = np.concatenate([np.asarray(l, dtype=np.int32) for l in lists if len(l)])
+    rows = np.repeat(np.arange(len(lists), dtype=np.int32), lengths)
+    slots = (
+        np.arange(len(flat), dtype=np.int64)
+        - np.repeat(np.cumsum(lengths) - lengths, lengths)
+    ).astype(np.int32)
+    padded = jnp.full((len(lists), pad_to), n_items, dtype=jnp.int32)
+    return padded.at[jnp.asarray(rows), jnp.asarray(slots)].set(jnp.asarray(flat))
+
+
 def pad_user_lists(lists, n_items, pad_to=None, sort=True):
     """Pad ragged per-user item lists to a [n_users, L] int32 array.
 

@@ -45,12 +45,18 @@ class Evaluator:
         self.test_batch_size = int(test_batch_size)
         self.mesh = mesh
         n_items = dataset.n_items
-        # padded exclusion rows (sentinel n_items scatters into a dropped col)
+        # padded exclusion rows (sentinel n_items scatters into a dropped
+        # col); uploaded to device ONCE — per-batch host slicing costs an
+        # H2D transfer per batch, which dominates eval on remote backends
         self._train_excl, _ = pad_user_lists(dataset.train_data, n_items, sort=False)
         trainval = [
             list(t) + list(v) for t, v in zip(dataset.train_data, dataset.val_data)
         ]
         self._trainval_excl, _ = pad_user_lists(trainval, n_items, sort=False)
+        from inductive_recommendation_tpu.data.dataset import device_padded_from_lists
+
+        self._train_excl_dev = device_padded_from_lists(dataset.train_data, n_items)
+        self._trainval_excl_dev = device_padded_from_lists(trainval, n_items)
         # jit caches keyed per model object (the evaluator outlives none of
         # them, but stays correct if several models share one dataset)
         self._fn_cache = {}
@@ -66,8 +72,9 @@ class Evaluator:
             def scoring_state(params, buffers):
                 return model.make_scoring_state(params, buffers=buffers)
 
-            def rec_masked(state, users, excl, banned):
+            def rec_masked(state, users, excl_full, banned):
                 scores = model.score(state, users)
+                excl = excl_full[users]
                 return masked_topk(scores, k_max, exclude_idx=excl, banned_mask=banned)[1]
 
             def rec_plain(state, users):
@@ -87,11 +94,11 @@ class Evaluator:
         ds = self.dataset
         n_users, n_items = ds.n_users, ds.n_items
         if stage == "test":
-            excl = self._trainval_excl
+            excl, excl_dev = self._trainval_excl, self._trainval_excl_dev
         elif stage == "val":
-            excl = self._train_excl
+            excl, excl_dev = self._train_excl, self._train_excl_dev
         else:
-            excl = None
+            excl = excl_dev = None
         banned = None
         if banned_items is not None:
             b = np.zeros(n_items, dtype=bool)
@@ -127,18 +134,23 @@ class Evaluator:
             users = np.arange(start, min(start + B, n_users))
             pad = B - len(users)
             users_p = np.concatenate([users, np.zeros(pad, dtype=users.dtype)])
-            if excl is None and banned is None:
+            if excl_dev is None and banned is None:
                 items = rec_plain(state, jnp.asarray(users_p))
             else:
                 e = (
-                    jnp.asarray(excl[users_p])
-                    if excl is not None
-                    else jnp.zeros((B, 1), jnp.int32) + n_items
+                    excl_dev
+                    if excl_dev is not None
+                    else jnp.full((n_users, 1), n_items, jnp.int32)
                 )
                 bb = banned if banned is not None else jnp.zeros(n_items, bool)
                 items = rec_masked(state, jnp.asarray(users_p), e, bb)
-            rec.append(np.asarray(items[: len(users)]))
-        return np.concatenate(rec, axis=0)
+            # keep device handles; a per-batch np.asarray would serialize on
+            # the device->host round trip instead of pipelining dispatches
+            rec.append((items, len(users)))
+        fetched = jax.device_get([r for r, _ in rec])
+        return np.concatenate(
+            [np.asarray(r)[:k] for r, (_, k) in zip(fetched, rec)], axis=0
+        )
 
     def evaluate(self, model, params, stage, banned_items=None, eval_data=None):
         """-> (results_str, metrics dict); parity with trainer.py:146-210."""
