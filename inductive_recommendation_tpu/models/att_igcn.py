@@ -25,9 +25,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from inductive_recommendation_tpu.models.base import kaiming_uniform_init, normal_init
+from inductive_recommendation_tpu.models.base import kaiming_uniform_init
 from inductive_recommendation_tpu.models.igcn import IGCN
-from inductive_recommendation_tpu.ops import propagate_mean, spmm_bucketed
+from inductive_recommendation_tpu.ops import spmm_bucketed
 from inductive_recommendation_tpu.ops.attention_spmm import attention_spmm
 
 

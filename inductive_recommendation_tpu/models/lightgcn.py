@@ -3,8 +3,6 @@ users+items, n_layers of normalized-adjacency propagation, layer mean."""
 
 from __future__ import annotations
 
-import jax
-
 from inductive_recommendation_tpu.graph import (
     sym_normalized_adjacency,
     coo_from_edges,

@@ -14,7 +14,6 @@ retrace, no segment-sum propagation).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from inductive_recommendation_tpu.graph import (
     bipartite_edges,

@@ -24,8 +24,6 @@ heads (model.py:4275), matching the reference.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
