@@ -201,9 +201,13 @@ def view_spmm(base, view: EdgeView, x):
 
 
 def view_propagate_mean(base, view: EdgeView, x0, n_layers: int):
-    acc = x0
-    x = x0
-    for _ in range(n_layers):
+    if n_layers <= 0:
+        return x0
+
+    def body(carry, _):
+        x, acc = carry
         x = view_spmm(base, view, x)
-        acc = acc + x
+        return (x, acc + x), None
+
+    (_, acc), _ = jax.lax.scan(body, (x0, x0), None, length=n_layers)
     return acc / float(n_layers + 1)

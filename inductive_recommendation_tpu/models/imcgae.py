@@ -14,7 +14,6 @@ from inductive_recommendation_tpu.models.base import (
 )
 from inductive_recommendation_tpu.models.lightgcn import build_norm_adj
 from inductive_recommendation_tpu.ops import spmm
-from inductive_recommendation_tpu.ops.dropout import node_dropout_mask
 
 
 class IMCGAE(BasicModel):
@@ -59,19 +58,32 @@ class IMCGAE(BasicModel):
             axis=1,
         )
         h = jnp.concatenate([u_rep, i_rep], axis=0)
-        final = h
-        for i in range(self.n_layers):
-            if training and rng is not None:
-                rng, sub = jax.random.split(rng)
-                mask = node_dropout_mask(
-                    sub, n_u + n_i, self.dropout - 0.1 * i, training=True
-                )
-            else:
-                mask = None
-            if mask is not None:
+        if self.n_layers == 0:
+            return h
+        use_dropout = training and rng is not None
+        keys = (
+            jax.random.split(rng, self.n_layers)
+            if use_dropout
+            else jnp.zeros((self.n_layers, 2), dtype=jnp.uint32)
+        )
+        rates = jnp.asarray(
+            [self.dropout - 0.1 * i for i in range(self.n_layers)], jnp.float32
+        )
+        inv_scale = jnp.asarray(
+            [1.0 / (i + 2) for i in range(self.n_layers)], jnp.float32
+        )
+
+        def body(carry, xs):
+            h, final = carry
+            key, rate, s = xs
+            if use_dropout:
+                keep = jax.random.uniform(key, (n_u + n_i,)) >= rate
+                mask = jnp.where(keep, 1.0 / jnp.maximum(1.0 - rate, 1e-6), 0.0)
                 h = h * mask[:, None]
             h = spmm(b["norm_adj"], h)
-            final = final + h / float(i + 2)
+            return (h, final + h * s), None
+
+        (_, final), _ = jax.lax.scan(body, (h, h), (keys, rates, inv_scale))
         return final
 
     def bpr_forward(

@@ -58,13 +58,19 @@ def propagate_mean(
     """LightGCN-style propagation: mean over layer outputs [x0, Ax0, ...].
 
     Mirrors the per-model loop at model.py:100-110 (stack + mean), shared by
-    nearly every model in the reference.
+    nearly every model in the reference. Layers run under ``lax.scan`` so
+    the SpMM body is compiled ONCE — an unrolled 3-layer fwd+bwd program
+    compiled ~8x slower for identical runtime.
     """
-    acc = x0
-    x = x0
-    for _ in range(n_layers):
+    if n_layers <= 0:
+        return x0
+
+    def body(carry, _):
+        x, acc = carry
         x = spmm(adj, x, impl=impl)
-        acc = acc + x
+        return (x, acc + x), None
+
+    (_, acc), _ = jax.lax.scan(body, (x0, x0), None, length=n_layers)
     return acc / float(n_layers + 1)
 
 
