@@ -100,6 +100,9 @@ class _DOSEBase(IGCN):
         here costs a dispatch round trip per op on remote backends."""
         if not hasattr(self, "_cos_jit_cache"):
             self._cos_jit_cache = {}
+        n_u = self.n_users if restrict is None else len(restrict[0])
+        n_i = self.n_items if restrict is None else len(restrict[1])
+        k = min(k, n_u * n_i)  # small catalogs: cannot select more pairs
         r_users = None if restrict is None else jnp.asarray(restrict[0])
         r_items = None if restrict is None else jnp.asarray(restrict[1])
         cache_key = (
@@ -279,7 +282,7 @@ class DOSE_aug4(_DOSEBase):
     view_keys = ("aug_adj",)
 
     def _make_view(self, key, params):
-        k = max(self.aug_num, 1)
+        k = max(min(self.aug_num, self.n_users * self.n_items), 1)
         if not hasattr(self, "_thr_jit"):
 
             def select(params, buffers):
