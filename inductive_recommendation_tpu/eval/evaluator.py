@@ -7,10 +7,14 @@ TPU-shaped differences:
   reused for every user batch (the reference re-propagates the whole graph
   for every 512-user batch, trainer.py:151-153);
 - scoring + exclusion masking (-inf scatter through padded index rows,
-  replacing the per-batch python lists of trainer.py:155-167) + top-k run
-  in a single jitted function per batch, with all large arrays passed as
-  jit arguments (remote-compile friendly);
-- metrics are one vectorized host pass (eval/metrics.py).
+  replacing the per-batch python lists of trainer.py:155-167) + top-k +
+  metric partial sums run fused on device (eval/device_metrics.py), one
+  dispatch per exclusion-width bucket — only [n_topks, 3] sums leave the
+  device. Users are processed in degree-bucketed order so the exclusion
+  scatter is O(E), not O(n_users * max_degree); metric sums are
+  order-invariant so no un-permutation is needed;
+- ``recommend`` (explicit top-k lists) and the sharded mesh path keep the
+  vectorized host metrics pass (eval/metrics.py).
 """
 
 from __future__ import annotations
@@ -20,6 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from inductive_recommendation_tpu.data.dataset import pad_user_lists
+from inductive_recommendation_tpu.eval.device_metrics import (
+    batch_metric_sums,
+    combine_metric_sums,
+)
 from inductive_recommendation_tpu.eval.metrics import calculate_metrics
 from inductive_recommendation_tpu.ops.topk import masked_topk
 
@@ -81,11 +89,52 @@ class Evaluator:
                 scores = model.score(state, users)
                 return jax.lax.top_k(scores, k_max)[1]
 
+            topks = tuple(self.topks)
+            n_items = self.dataset.n_items
+
+            B = self.test_batch_size
+            n_topks = len(topks)
+
+            def eval_sums_perm(
+                state, perm, n_real, excl_rows, banned, gt_rows, gt_len, sorted_gt
+            ):
+                """One width-bucket of users in ONE dispatch: fori_loop over
+                batches of the (degree-bucketed) user permutation, each
+                scoring+masking+top-k+metric-sums on device; only the
+                [n_topks, 3] partial sums leave the device. ``excl_rows`` is
+                [len(perm), w_bucket] aligned with ``perm`` — the narrow
+                per-bucket exclusion matrix (a single max-degree-padded
+                matrix makes the -inf scatter O(n_users * max_degree))."""
+                n_batches = perm.shape[0] // B
+
+                def body(i, acc):
+                    slot = i * B + jnp.arange(B, dtype=jnp.int32)
+                    valid = slot < n_real
+                    users = perm[slot]
+                    scores = model.score(state, users)
+                    rec = masked_topk(
+                        scores, k_max, exclude_idx=excl_rows[slot], banned_mask=banned
+                    )[1]
+                    s, v = batch_metric_sums(
+                        rec,
+                        gt_rows[users],
+                        gt_len[users],
+                        valid,
+                        topks,
+                        n_items,
+                        sorted_gt=sorted_gt,
+                    )
+                    return acc[0] + s, acc[1] + v
+
+                init = (jnp.zeros((n_topks, 3), jnp.float32), jnp.float32(0.0))
+                return jax.lax.fori_loop(0, n_batches, body, init)
+
             self._fn_cache[key] = (
                 model,  # keeps the model alive so its id cannot be reused
                 jax.jit(scoring_state),
                 jax.jit(rec_masked),
                 jax.jit(rec_plain),
+                jax.jit(eval_sums_perm, static_argnums=(7,)),
             )
         return self._fn_cache[key][1:]
 
@@ -105,7 +154,7 @@ class Evaluator:
             b[np.asarray(banned_items)] = True
             banned = jnp.asarray(b)
 
-        state_fn, rec_masked, rec_plain = self._fns(model)
+        state_fn, rec_masked, rec_plain, _ = self._fns(model)
         state = state_fn(params, model.buffers)
 
         if self.mesh is not None:
@@ -153,13 +202,147 @@ class Evaluator:
         )
 
     def evaluate(self, model, params, stage, banned_items=None, eval_data=None):
-        """-> (results_str, metrics dict); parity with trainer.py:146-210."""
+        """-> (results_str, metrics dict); parity with trainer.py:146-210.
+
+        Single-device fast path: scoring + masking + top-k + metric partial
+        sums run fused on device per user batch; only [n_topks, 3] sums are
+        fetched (the [n_users, 100] recommendation fetch dominates eval on
+        tunneled backends). The sharded (mesh) path keeps host metrics."""
         ds = self.dataset
         if eval_data is None:
             eval_data = getattr(ds, stage + "_data")
-        rec_items = self.recommend(model, params, stage, banned_items=banned_items)
-        metrics = calculate_metrics(eval_data, rec_items, self.topks)
+        if self.mesh is None:
+            metrics = self._evaluate_on_device(
+                model, params, stage, banned_items, eval_data
+            )
+        else:
+            rec_items = self.recommend(
+                model, params, stage, banned_items=banned_items
+            )
+            metrics = calculate_metrics(eval_data, rec_items, self.topks)
         return _format_results(metrics, self.topks), metrics
+
+    def _gt_device(self, eval_data):
+        """Padded ground-truth rows + lengths on device. Pad width is rounded
+        to the next power of two so inductive slices with slightly different
+        max-|gt| reuse one jit specialization."""
+        from inductive_recommendation_tpu.data.dataset import (
+            device_padded_from_lists,
+        )
+
+        n_items = self.dataset.n_items
+        lengths = np.fromiter(
+            (len(l) for l in eval_data), dtype=np.int64, count=len(eval_data)
+        )
+        m = max(1, int(lengths.max(initial=0)))
+        pad_to = 1 << (m - 1).bit_length()
+        gt_rows = device_padded_from_lists(eval_data, n_items, pad_to=pad_to)
+        # wide rows: binary-search membership over sorted rows beats the
+        # O(K * m) broadcast compare
+        sorted_gt = pad_to > 256
+        if sorted_gt:
+            gt_rows = jnp.sort(gt_rows, axis=1)
+        return gt_rows, jnp.asarray(lengths, dtype=jnp.int32), sorted_gt
+
+    def _evaluate_on_device(self, model, params, stage, banned_items, eval_data):
+        ds = self.dataset
+        n_items = ds.n_items
+        banned = None
+        if banned_items is not None:
+            b = np.zeros(n_items, dtype=bool)
+            b[np.asarray(banned_items)] = True
+            banned = jnp.asarray(b)
+
+        state_fn, _, _, eval_sums_perm = self._fns(model)
+        state = state_fn(params, model.buffers)
+        gt_rows, gt_len, sorted_gt = self._gt_device(eval_data)
+
+        bb = banned if banned is not None else self._no_banned_dev()
+        parts = []
+        for perm, n_real, excl_rows in self._excl_buckets(stage):
+            parts.append(
+                eval_sums_perm(
+                    state, perm, n_real, excl_rows, bb, gt_rows, gt_len, sorted_gt
+                )
+            )
+        fetched = jax.device_get(parts)
+        return combine_metric_sums(
+            [s for s, _ in fetched], [v for _, v in fetched], self.topks
+        )
+
+    def _excl_buckets(self, stage):
+        """Users grouped into exclusion-width buckets (geometric ladder, exact
+        in-bucket max width): list of (perm [N_b padded to B], n_real scalar,
+        excl_rows [N_b, w_b]) device arrays. Bucketing bounds the per-eval
+        -inf scatter at O(sum_b N_b * w_b) ~ O(E) instead of
+        O(n_users * max_degree); metric sums are order-invariant so the
+        permutation needs no undo."""
+        if not hasattr(self, "_bucket_cache"):
+            self._bucket_cache = {}
+        if stage in self._bucket_cache:
+            return self._bucket_cache[stage]
+
+        ds = self.dataset
+        n_users, n_items = ds.n_users, ds.n_items
+        B = self.test_batch_size
+        if stage == "test":
+            excl_full = self._trainval_excl_dev
+            lengths = np.fromiter(
+                (len(t) + len(v) for t, v in zip(ds.train_data, ds.val_data)),
+                dtype=np.int64,
+                count=n_users,
+            )
+        elif stage == "val":
+            excl_full = self._train_excl_dev
+            lengths = np.fromiter(
+                (len(t) for t in ds.train_data), dtype=np.int64, count=n_users
+            )
+        else:  # 'train' stage: no exclusion (trainer.py:155-160 masks only
+            # for val/test); single sentinel-width bucket over all users
+            perm = np.arange(n_users, dtype=np.int32)
+            pad = (-n_users) % B
+            perm = np.concatenate([perm, np.zeros(pad, dtype=np.int32)])
+            buckets = [
+                (
+                    jnp.asarray(perm),
+                    jnp.int32(n_users),
+                    jnp.full((len(perm), 1), n_items, jnp.int32),
+                )
+            ]
+            self._bucket_cache[stage] = buckets
+            return buckets
+
+        gather_rows = jax.jit(
+            lambda full, perm, w: full[perm][:, :w], static_argnums=(2,)
+        )
+        buckets = []
+        order = np.argsort(lengths, kind="stable").astype(np.int64)
+        sorted_len = lengths[order]
+        start = 0
+        cut = 64
+        while start < n_users:
+            hi = int(np.searchsorted(sorted_len, cut, side="right"))
+            cut *= 4
+            if hi <= start:
+                continue
+            members = order[start:hi]
+            start = hi
+            w = max(8, -(-int(lengths[members].max(initial=1)) // 8) * 8)
+            w = min(w, excl_full.shape[1])
+            pad = (-len(members)) % B
+            perm = np.concatenate(
+                [members, np.zeros(pad, dtype=members.dtype)]
+            ).astype(np.int32)
+            perm_dev = jnp.asarray(perm)
+            excl_rows = gather_rows(excl_full, perm_dev, w)
+            buckets.append((perm_dev, jnp.int32(len(members)), excl_rows))
+        self._bucket_cache[stage] = buckets
+        return buckets
+
+    def _no_banned_dev(self):
+        if getattr(self, "_no_banned_cache", None) is None:
+            self._no_banned_cache = jnp.zeros(self.dataset.n_items, bool)
+        return self._no_banned_cache
 
     # -- six-slice inductive protocol (trainer.py:212-253) -------------------
     def inductive_eval(self, model, params, n_old_users, n_old_items, verbose=True):

@@ -2,8 +2,11 @@
 
 Status, measured honestly: on the current Mosaic toolchain a *generic* HBM
 row-gather is not expressible in-kernel (tpu.dynamic_gather only supports
-take_along_axis-shaped index patterns), so this kernel fetches neighbor rows
-with per-row async DMAs — functionally correct (verified in interpreter
+take_along_axis-shaped index patterns, and its lowering shuffles within a
+single vreg — "Multiple source vregs along gather dimension" is rejected, so
+a VMEM-resident table can be at most 8 f32 sublanes tall; verified on this
+toolchain 2026-08, which rules out any VMEM-resident gather-table SpMM
+design), so this kernel fetches neighbor rows with per-row async DMAs — functionally correct (verified in interpreter
 mode; a minimal one-level DMA-gather variant compiles and runs on v5e) but
 inherently orders of magnitude below XLA's hardware gather, and the nested
 per-slot DMA loop exceeds the remote Mosaic compiler's budget at real

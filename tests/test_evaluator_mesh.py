@@ -36,4 +36,5 @@ def test_evaluator_mesh_matches_single_device():
         _, m8 = ev8.evaluate(model, params, stage)
         for metric in m1:
             for k, v in m1[metric].items():
-                assert abs(v - m8[metric][k]) < 1e-9, (stage, metric, k)
+                # ev1 sums metrics on device in f32; ev8 on host in f64
+                assert abs(v - m8[metric][k]) < 1e-6, (stage, metric, k)
