@@ -24,7 +24,12 @@ from inductive_recommendation_tpu.graph.build import (
     build_feat_matrix,
     device_sym_normalize,
 )
-from inductive_recommendation_tpu.graph.ranking import graph_rank_nodes
+from inductive_recommendation_tpu.graph.ranking import (
+    graph_aug_rank_nodes,
+    graph_drop_rank_nodes,
+    graph_rank_nodes,
+    rank_nodes_from_edges,
+)
 
 __all__ = [
     "SparseCOO",
@@ -42,5 +47,8 @@ __all__ = [
     "drop_difference_edges",
     "build_feat_matrix",
     "device_sym_normalize",
+    "graph_aug_rank_nodes",
+    "graph_drop_rank_nodes",
     "graph_rank_nodes",
+    "rank_nodes_from_edges",
 ]

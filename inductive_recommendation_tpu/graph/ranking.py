@@ -48,8 +48,45 @@ def pagerank(row, col, weight, n_nodes, alpha=0.85, tol=1e-6, max_iter=100):
 
 def graph_rank_nodes(dataset, ranking_metric: str):
     """Rank users and items by descending importance (utils.py:186-215)."""
-    n_users, n_items = dataset.n_users, dataset.n_items
-    row, col, counts = _coalesced_bipartite(dataset.train_array, n_users, n_items)
+    return rank_nodes_from_edges(
+        dataset.train_array, dataset.n_users, dataset.n_items, ranking_metric
+    )
+
+
+def graph_aug_rank_nodes(dataset, ranking_metric: str, aug_idx):
+    """Rank over the train ∪ injected-edge graph (utils.py:217-246); used by
+    DOSE_aug2's aug feature matrix when feature_ratio < 1 (model.py:941).
+    The reference builds that adjacency from a set of (u, i) tuples
+    (utils.py:75), so duplicates collapse to weight 1 — aug_union_edges
+    reproduces that."""
+    from inductive_recommendation_tpu.graph.build import aug_union_edges
+
+    edges = aug_union_edges(np.asarray(dataset.train_array), np.asarray(aug_idx))
+    return rank_nodes_from_edges(
+        edges, dataset.n_users, dataset.n_items, ranking_metric
+    )
+
+
+def graph_drop_rank_nodes(dataset, ranking_metric: str, drop_edges=None):
+    """Rank over a dropped-edge graph (utils.py:248-277). The reference path
+    is dead code: utils.py:249 calls generate_drop_daj_mat(dataset) without
+    its required aug_rate argument, so any DOSE_drop* model configured with
+    feature_ratio < 1 raises TypeError. Here the caller passes the drop
+    view's [m, 2] edge list explicitly; with drop_edges=None this falls back
+    to the full train graph (the reference's evident intent modulo its bug)."""
+    edges = (
+        np.asarray(drop_edges) if drop_edges is not None else dataset.train_array
+    )
+    return rank_nodes_from_edges(
+        edges, dataset.n_users, dataset.n_items, ranking_metric
+    )
+
+
+def rank_nodes_from_edges(edge_array, n_users, n_items, ranking_metric: str):
+    """Core ranking over an arbitrary [m, 2] (user, item) edge list."""
+    row, col, counts = _coalesced_bipartite(
+        np.asarray(edge_array), n_users, n_items
+    )
     n = n_users + n_items
 
     if ranking_metric == "degree":

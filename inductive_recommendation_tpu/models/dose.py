@@ -210,8 +210,34 @@ class DOSE_aug2(DOSE_aug):
         pairs = self._cos_pairs(params, self.aug_num, negate_items=False)
         from inductive_recommendation_tpu.graph.build import aug_union_edges
 
+        self._last_aug_pairs = pairs
         self._last_aug_union = aug_union_edges(self._dedup_train, pairs)
         return self.view_engine.make_view(add_pairs=pairs)
+
+    def _aug_core_maps(self):
+        """Core maps for the AUG feature matrix. With feature_ratio < 1 the
+        reference re-selects the core from a ranking over the aug graph on
+        the first build (graph_aug_rank_nodes, model.py:941) and keeps those
+        maps on later epoch updates (is_updating=True); core sizes match the
+        main maps so the shared embedding table indexes both."""
+        if self.feature_ratio >= 1.0:
+            return self.user_map, self.item_map
+        if not hasattr(self, "aug_user_map"):
+            from inductive_recommendation_tpu.graph.ranking import (
+                graph_aug_rank_nodes,
+            )
+
+            ranked_u, ranked_i = graph_aug_rank_nodes(
+                self.dataset, self.ranking_metric, self._last_aug_pairs
+            )
+            core_u = ranked_u[: int(self.n_users * self.feature_ratio)]
+            core_i = ranked_i[: int(self.n_items * self.feature_ratio)]
+            um = np.full(self.n_users, -1, dtype=np.int64)
+            um[core_u] = np.arange(len(core_u))
+            im = np.full(self.n_items, -1, dtype=np.int64)
+            im[core_i] = np.arange(len(core_i))
+            self.aug_user_map, self.aug_item_map = um, im
+        return self.aug_user_map, self.aug_item_map
 
     def update_aug_adj(self, params=None):
         super().update_aug_adj(params)
@@ -219,12 +245,13 @@ class DOSE_aug2(DOSE_aug):
         from inductive_recommendation_tpu.graph import build_feat_matrix
         from inductive_recommendation_tpu.ops import build_bucketed_spmm
 
+        aug_user_map, aug_item_map = self._aug_core_maps()
         row, col, counts, row_sum = build_feat_matrix(
             self._last_aug_union,
             self.n_users,
             self.n_items,
-            self.user_map,
-            self.item_map,
+            aug_user_map,
+            aug_item_map,
         )
         self.buffers = dict(
             self.buffers,

@@ -158,3 +158,31 @@ def test_dose_selection_semantics(ds):
     dropped_set = {tuple(e) for e in dropped}
     for e in pairs_high:
         assert tuple(e) not in dropped_set
+
+
+def test_dose_aug2_feature_ratio_selects_aug_core(ds, tmp_path):
+    """feature_ratio < 1: DOSE_aug2's aug feature matrix re-selects its core
+    from a ranking over the aug graph (graph_aug_rank_nodes, model.py:941)
+    on the first build, keeping the same core sizes as the main maps, and
+    keeps those maps across later epoch updates (is_updating=True)."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model = get_model(
+            _mcfg("DOSE_aug2", feature_ratio=0.6, ranking_metric="degree"), ds
+        )
+        trainer = get_trainer(
+            _tcfg("DOSEaugTrainer", contrastive_reg=0.1, aux_reg=0.01), ds, model
+        )
+        trainer.train_one_epoch()
+        assert hasattr(model, "aug_user_map")
+        # same core sizes as the main maps; valid compact index ranges
+        assert (model.aug_user_map >= 0).sum() == (model.user_map >= 0).sum()
+        assert (model.aug_item_map >= 0).sum() == (model.item_map >= 0).sum()
+        um1 = model.aug_user_map.copy()
+        trainer.train_one_epoch()
+        assert np.array_equal(um1, model.aug_user_map)  # kept across updates
+        _, m = trainer.eval("val")
+        assert np.isfinite(m["NDCG"][TOPKS[4]])
+    finally:
+        os.chdir(cwd)

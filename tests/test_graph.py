@@ -186,3 +186,30 @@ def test_pagerank_matches_networkx(tiny_graph):
     # nodes absent from the graph get no networkx score; compare present ones
     for node, score in pr.items():
         assert abs(p[node] - score) < 1e-4
+
+
+def test_aug_drop_rank_nodes(tiny_graph):
+    """graph_aug_rank_nodes == ranking over the deduped train∪aug edge set
+    (utils.py:217-246 builds that adjacency from a set of tuples);
+    graph_drop_rank_nodes ranks over the provided drop edges (the reference
+    path at utils.py:249 is dead code - it crashes on a missing argument)."""
+    from inductive_recommendation_tpu.graph.ranking import (
+        graph_aug_rank_nodes,
+        graph_drop_rank_nodes,
+        rank_nodes_from_edges,
+    )
+
+    train_array, n_users, n_items = tiny_graph
+    ds = _FakeDataset(train_array, n_users, n_items)
+    aug = np.array([[0, n_items - 1], [n_users - 1, 0]])
+
+    for metric in ("degree", "sort", "page_rank"):
+        ru, ri = graph_aug_rank_nodes(ds, metric, aug)
+        union = aug_union_edges(train_array, aug)
+        ru2, ri2 = rank_nodes_from_edges(union, n_users, n_items, metric)
+        assert np.array_equal(ru, ru2) and np.array_equal(ri, ri2)
+
+    kept = drop_difference_edges(train_array, np.array([list(train_array[0])]))
+    ru, ri = graph_drop_rank_nodes(ds, "degree", kept)
+    u_deg = np.bincount(kept[:, 0], minlength=n_users)
+    assert u_deg[ru[0]] == u_deg.max()
