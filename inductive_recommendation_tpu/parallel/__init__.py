@@ -11,6 +11,8 @@ this package supplies the north-star parallelism for the TPU build:
   (the "pick a mesh, annotate, let XLA do collectives" recipe)
 - exact sharded top-k retrieval with k-way merge lives in ops/topk.py and is
   driven from eval via shard_map
+- edge-block-sharded SpMM (parallel/spmm.py) scales the GRAPH across devices
+  — the sequence-parallel analog for this workload (SURVEY §2.7)
 """
 
 from inductive_recommendation_tpu.parallel.mesh import make_mesh, shard_params
@@ -22,6 +24,12 @@ from inductive_recommendation_tpu.parallel.eval import (
     make_sharded_recommender,
     sharded_recommend_all_users,
 )
+from inductive_recommendation_tpu.parallel.spmm import (
+    build_edge_sharded_spmm,
+    make_edge_sharded_propagation,
+    make_edge_sharded_spmm,
+    shard_operand,
+)
 
 __all__ = [
     "make_mesh",
@@ -30,4 +38,8 @@ __all__ = [
     "make_sharded_igcn_step",
     "make_sharded_recommender",
     "sharded_recommend_all_users",
+    "build_edge_sharded_spmm",
+    "make_edge_sharded_spmm",
+    "make_edge_sharded_propagation",
+    "shard_operand",
 ]

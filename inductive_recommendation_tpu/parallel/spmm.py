@@ -1,0 +1,309 @@
+"""Edge-block-sharded SpMM: scale the graph itself across devices.
+
+The reference propagates the FULL graph per minibatch on one device
+(reference model.py:100-110); its scale ceiling is one device's HBM and
+bandwidth (SURVEY.md §2.7 names removing it the sequence-parallel analog
+for this workload). This module partitions A's columns — and the [n, d]
+operand's rows — into contiguous blocks over a mesh axis; each device holds
+the degree-bucketed gather layout of its own column block plus the matching
+operand rows:
+
+  forward:   partial_s = A[:, blk_s] @ x[blk_s]            (local gathers)
+             out = psum_scatter(partial_s)                 (rows sharded)
+  backward:  g = all_gather(g_shard)                       (rows of out)
+             dx[blk_s] = A[:, blk_s]^T @ g                 (local gathers)
+
+One reduce-scatter forward + one all-gather backward per SpMM — the same
+collective pattern as ring/blockwise sequence parallelism — and neither x
+nor dx ever materializes on a single device. With a square adjacency the
+output sharding equals the input sharding, so GCN layers chain with no
+re-sharding (see :func:`make_edge_sharded_propagation`).
+
+A ``replicated`` mode (psum forward, backward needs no gather) is provided
+for forward-only / scoring use where the operand is cheap to replicate.
+
+The per-shard layout is the same no-scatter design as
+``ops/bucketed_spmm.py`` (degree-cap ladder buckets, gather-only forward
+AND backward via a prebuilt transpose layout, per-edge ``edge_scale``
+through a global edge-id indirection), stacked over a leading shard axis so
+``shard_map`` can slice it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["idx", "val", "eid"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class _StackedBucket:
+    idx: jnp.ndarray  # [S, rows, k] local column ids (0 padded)
+    val: jnp.ndarray  # [S, rows, k] edge values (0 padded)
+    eid: jnp.ndarray  # [S, rows, k] global edge id (0 padded; val==0 kills it)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["buckets", "inv_perm"],
+    meta_fields=["n_rows"],
+)
+@dataclasses.dataclass(frozen=True)
+class _StackedSide:
+    buckets: tuple  # tuple[_StackedBucket, ...]
+    inv_perm: jnp.ndarray  # [S, n_rows] gather map from concat-bucket order
+    n_rows: int  # rows of THIS side's local matrix (fwd: global; bwd: block)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["fwd", "bwd"],
+    meta_fields=["n_rows", "n_cols", "n_rows_pad", "n_cols_pad", "n_shards", "nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class EdgeShardedSpMM:
+    """Column-block-sharded A: per-shard forward and transpose layouts."""
+
+    fwd: _StackedSide  # shard s: A[:, blk_s]      ([n_rows_pad] x block)
+    bwd: _StackedSide  # shard s: A[:, blk_s]^T    (block x [n_rows_pad])
+    n_rows: int
+    n_cols: int
+    n_rows_pad: int  # padded to a multiple of n_shards (psum_scatter tiles)
+    n_cols_pad: int  # padded to a multiple of n_shards (operand blocks)
+    n_shards: int
+    nnz: int
+
+    @property
+    def block(self) -> int:
+        return self.n_cols_pad // self.n_shards
+
+
+def _cap_ladder(max_deg: int):
+    caps = []
+    c = 1
+    while c < max(max_deg, 1):
+        caps.append(c)
+        c = max(c + 1, int(c * 1.5))
+    caps.append(max(max_deg, 1))
+    return caps
+
+
+def _build_stacked_side(shards, n_rows: int) -> _StackedSide:
+    """shards: per-shard (row, col_local, val, eid) COO arrays.
+
+    Buckets use one shared cap ladder; each bucket's row count is padded to
+    the max across shards so the arrays stack on a leading shard axis.
+    Padded rows are all-zero (idx 0 gathers row 0, val 0 kills it) and are
+    never referenced by ``inv_perm``. Degree-0 rows map to one shared
+    appended zero slot.
+    """
+    S = len(shards)
+    degs = [np.bincount(r.astype(np.int64), minlength=n_rows) for r, _, _, _ in shards]
+    max_deg = max(int(d.max(initial=0)) for d in degs)
+    caps = _cap_ladder(max_deg)
+
+    sorted_shards, starts_all = [], []
+    for (r, c, v, e), d in zip(shards, degs):
+        o = np.argsort(r, kind="stable")
+        sorted_shards.append((r[o], c[o], v[o], e[o]))
+        starts_all.append(np.concatenate([[0], np.cumsum(d)]))
+
+    buckets = []
+    inv = np.full((S, n_rows), -1, dtype=np.int64)
+    T = 0
+    for i, cap in enumerate(caps):
+        lo = caps[i - 1] if i else 0
+        members = [np.nonzero((d > lo) & (d <= cap))[0] for d in degs]
+        M = max((len(m) for m in members), default=0)
+        if M == 0:
+            continue
+        idx = np.zeros((S, M, cap), dtype=np.int32)
+        val = np.zeros((S, M, cap), dtype=np.float32)
+        eid = np.zeros((S, M, cap), dtype=np.int32)
+        for s, rows_m in enumerate(members):
+            m = len(rows_m)
+            if m == 0:
+                continue
+            _, ce_, ve_, ee_ = sorted_shards[s]
+            lens = degs[s][rows_m]
+            rows_rep = np.repeat(np.arange(m), lens)
+            slot = np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
+            flat = starts_all[s][rows_m][rows_rep] + slot
+            idx[s, rows_rep, slot] = ce_[flat]
+            val[s, rows_rep, slot] = ve_[flat]
+            eid[s, rows_rep, slot] = ee_[flat]
+            inv[s, rows_m] = T + np.arange(m)
+        buckets.append(
+            _StackedBucket(
+                idx=jnp.asarray(idx), val=jnp.asarray(val), eid=jnp.asarray(eid)
+            )
+        )
+        T += M
+    inv[inv < 0] = T  # shared zero slot
+    return _StackedSide(
+        buckets=tuple(buckets),
+        inv_perm=jnp.asarray(inv, dtype=jnp.int32),
+        n_rows=int(n_rows),
+    )
+
+
+def build_edge_sharded_spmm(row, col, val, shape, n_shards: int) -> EdgeShardedSpMM:
+    """Host-side constructor from (coalesced) COO arrays.
+
+    Columns are split into ``n_shards`` contiguous blocks; both dimensions
+    are zero-padded to multiples of ``n_shards`` (pad rows/cols carry no
+    edges, so they only pad the operand/output). Edge ids are assigned in
+    the given COO order — ``edge_scale`` vectors use that order, exactly as
+    in :func:`ops.bucketed_spmm.spmm_bucketed`.
+    """
+    row = np.asarray(row, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    val = np.asarray(val, dtype=np.float32)
+    nz = val != 0.0
+    row, col, val = row[nz], col[nz], val[nz]
+    eid = np.arange(len(row), dtype=np.int64)
+    n_rows, n_cols = shape
+    n_rows_pad = -(-n_rows // n_shards) * n_shards
+    n_cols_pad = -(-n_cols // n_shards) * n_shards
+    blk = n_cols_pad // n_shards
+
+    fwd_shards, bwd_shards = [], []
+    for s in range(n_shards):
+        m = (col >= s * blk) & (col < (s + 1) * blk)
+        fwd_shards.append((row[m], col[m] - s * blk, val[m], eid[m]))
+        bwd_shards.append((col[m] - s * blk, row[m], val[m], eid[m]))
+    return EdgeShardedSpMM(
+        fwd=_build_stacked_side(fwd_shards, n_rows_pad),
+        bwd=_build_stacked_side(bwd_shards, blk),
+        n_rows=int(n_rows),
+        n_cols=int(n_cols),
+        n_rows_pad=int(n_rows_pad),
+        n_cols_pad=int(n_cols_pad),
+        n_shards=int(n_shards),
+        nnz=int(len(row)),
+    )
+
+
+def _apply_stacked(side: _StackedSide, x: jnp.ndarray, edge_scale) -> jnp.ndarray:
+    """Local gather-reduce; leaves carry the shard_map-sliced [1, ...] axis."""
+    parts = []
+    for b in side.buckets:
+        v = b.val[0]
+        if edge_scale is not None:
+            v = v * edge_scale[b.eid[0]]
+        g = jnp.take(x, b.idx[0], axis=0)  # [rows, k, d]
+        parts.append(jnp.einsum("rk,rkd->rd", v, g))
+    parts.append(jnp.zeros((1, x.shape[-1]), x.dtype))  # shared zero slot
+    stacked = jnp.concatenate(parts, axis=0)
+    return jnp.take(stacked, side.inv_perm[0], axis=0)
+
+
+def _make_local_fn(axis: str, mode: str):
+    """The per-device function with a gather-only custom VJP.
+
+    ``scatter``: out rows sharded (psum_scatter fwd, all_gather bwd).
+    ``replicated``: out replicated (psum fwd, bwd uses g as-is).
+    """
+
+    @jax.custom_vjp
+    def local_spmm(fwd, bwd, edge_scale, x):
+        part = _apply_stacked(fwd, x, edge_scale)
+        if mode == "scatter":
+            return jax.lax.psum_scatter(part, axis, scatter_dimension=0, tiled=True)
+        return jax.lax.psum(part, axis)
+
+    def fwd_rule(fwd, bwd, edge_scale, x):
+        return local_spmm(fwd, bwd, edge_scale, x), (fwd, bwd, edge_scale)
+
+    def bwd_rule(res, g):
+        fwd, bwd, edge_scale = res
+        if mode == "scatter":
+            g = jax.lax.all_gather(g, axis, axis=0, tiled=True)
+        else:
+            # shard_map transposes a replicated (P(None)) output by handing
+            # each device 1/S of the global cotangent — reassemble it
+            g = jax.lax.psum(g, axis)
+        dx = _apply_stacked(bwd, g, edge_scale)
+        zf = jax.tree_util.tree_map(jnp.zeros_like, fwd)
+        zb = jax.tree_util.tree_map(jnp.zeros_like, bwd)
+        zs = None if edge_scale is None else jnp.zeros_like(edge_scale)
+        return (zf, zb, zs, dx)
+
+    local_spmm.defvjp(fwd_rule, bwd_rule)
+    return local_spmm
+
+
+def _wrap(mat: EdgeShardedSpMM, mesh, axis: str, mode: str):
+    if mesh.shape[axis] != mat.n_shards:
+        raise ValueError(
+            f"mesh axis '{axis}' has size {mesh.shape[axis]}, layout was built "
+            f"for {mat.n_shards} shards"
+        )
+    out_spec = P(axis, None) if mode == "scatter" else P(None, None)
+    return jax.shard_map(
+        _make_local_fn(axis, mode),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(axis, None)),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+
+
+def make_edge_sharded_spmm(mat: EdgeShardedSpMM, mesh, axis="model", mode="scatter"):
+    """-> fn(x [n_cols_pad, d] row-sharded over ``axis``, edge_scale=None)
+
+    ``scatter``: returns [n_rows_pad, d] row-sharded over ``axis``.
+    ``replicated``: returns [n_rows_pad, d] replicated.
+    The layout is passed as a jit ARGUMENT (never a closure constant — large
+    constants break the remote-compile path).
+    """
+    wrapped = jax.jit(_wrap(mat, mesh, axis, mode))
+
+    def run(x, edge_scale=None):
+        return wrapped(mat.fwd, mat.bwd, edge_scale, x)
+
+    return run
+
+
+def make_edge_sharded_propagation(
+    mat: EdgeShardedSpMM, mesh, n_layers: int, axis="model"
+):
+    """LightGCN-style propagation (mean of layer outputs incl. layer 0) with
+    the operand row-sharded END TO END: every layer consumes and produces a
+    P(axis, None)-sharded [n_pad, d]; one reduce-scatter per layer forward,
+    one all-gather per layer backward. Requires a square adjacency."""
+    if mat.n_rows_pad != mat.n_cols_pad:
+        raise ValueError("layer chaining requires a square adjacency")
+    spmm = _wrap(mat, mesh, axis, "scatter")
+
+    def prop(fwd, bwd, x, edge_scale=None):
+        acc, h = x, x
+        for _ in range(n_layers):
+            h = spmm(fwd, bwd, edge_scale, h)
+            acc = acc + h
+        return acc / (n_layers + 1)
+
+    jitted = jax.jit(prop)
+
+    def run(x, edge_scale=None):
+        return jitted(mat.fwd, mat.bwd, x, edge_scale)
+
+    return run
+
+
+def shard_operand(x, mat: EdgeShardedSpMM, mesh, axis="model"):
+    """Zero-pad x's rows to n_cols_pad and place it row-sharded over ``axis``."""
+    x = jnp.asarray(x)
+    pad = mat.n_cols_pad - x.shape[0]
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return jax.device_put(x, NamedSharding(mesh, P(axis, *[None] * (x.ndim - 1))))
