@@ -34,12 +34,20 @@ Documented divergences from the reference (intended-semantics fixes):
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from inductive_recommendation_tpu.graph.ranking import graph_rank_nodes
-from inductive_recommendation_tpu.graph.views import ViewEngine, view_propagate_mean
+from inductive_recommendation_tpu.graph.views import (
+    ViewEngine,
+    bake_view,
+    random_keep_mask_on_device as _rand_keep_jit,
+    random_pairs_on_device as _rand_pairs_jit,
+    view_propagate_mean,
+)
 from inductive_recommendation_tpu.models.base import l2_sq_rows
 from inductive_recommendation_tpu.models.igcn import IGCN
 from inductive_recommendation_tpu.models.sgl import padded_view_coo
@@ -60,6 +68,7 @@ class _DOSEBase(IGCN):
         self.aug_ratio = model_config.get("aug_ratio", 0.2)
         self.pai = model_config.get("pai", 0.9)
         self.taugh = model_config.get("taugh", 0.2)
+        self._aug_seed = int(model_config.get("aug_seed", 0))
         self._np_rng = np.random.default_rng(model_config.get("aug_seed", 0))
         self.view_engine = ViewEngine(
             dataset.train_array,
@@ -73,7 +82,10 @@ class _DOSEBase(IGCN):
         # train view until the first update_aug_adj
         self.buffers = dict(self.buffers, view_base=self.view_engine.base)
         for k in self.view_keys:
-            self.buffers[k] = self._initial_view(k)
+            # views are BAKED: the per-epoch keep-mask x normalization is
+            # folded into a per-view copy of the layout values, so the train
+            # step pays no per-step scale gathers (graph/views.py BakedView)
+            self.buffers[k] = bake_view(self.view_engine.base, self._initial_view(k))
 
     # -- per-variant recipe ---------------------------------------------------
     def _make_view(self, key, params):
@@ -82,16 +94,16 @@ class _DOSEBase(IGCN):
 
     def _initial_view(self, key):
         """View before any params exist (default: the full train graph)."""
-        return self.view_engine.make_view()
+        return self.view_engine.make_view_on_device()
 
     # -- machinery ------------------------------------------------------------
     def update_aug_adj(self, params=None):
         new = dict(self.buffers)
         for k in self.view_keys:
-            new[k] = self._make_view(k, params)
+            new[k] = bake_view(self.view_engine.base, self._make_view(k, params))
         self.buffers = new
 
-    def _cos_pairs(self, params, k, negate_items, restrict=None):
+    def _cos_pairs(self, params, k, negate_items, restrict=None, device=False):
         """Top-k (u, i) pairs by (optionally negated-item) cosine similarity
         of the current main representations, streamed blockwise.
 
@@ -128,6 +140,14 @@ class _DOSEBase(IGCN):
         uid, iid = self._cos_jit_cache[cache_key](
             params, self.buffers, r_users, r_items
         )
+        if device:
+            # stay on device: selection output feeds make_view_on_device
+            # with no D2H/H2D round trip
+            if restrict is not None:
+                uid, iid = r_users[uid], r_items[iid]
+            return jnp.stack(
+                [uid.astype(jnp.int32), iid.astype(jnp.int32)], axis=1
+            )
         uid, iid = np.asarray(uid), np.asarray(iid)
         if restrict is not None:
             uid = np.asarray(restrict[0])[uid]
@@ -145,6 +165,30 @@ class _DOSEBase(IGCN):
         n_keep = int(n_pairs * rate)
         keep[self._np_rng.choice(n_pairs, size=n_keep, replace=False)] = True
         return keep
+
+    # device variants: generate the randomness ON DEVICE (jitted, integer
+    # counter folded into the key) so epoch updates upload nothing
+    def _device_key(self):
+        self._aug_counter = getattr(self, "_aug_counter", 0) + 1
+        return self._aug_counter
+
+    def _random_pairs_device(self, n):
+        return _rand_pairs_jit(
+            jnp.int32(self._device_key()),
+            n=int(n),
+            n_users=self.n_users,
+            n_items=self.n_items,
+            seed=self._aug_seed,
+        )
+
+    def _random_keep_mask_device(self, rate):
+        n_pairs = len(self._dedup_train)
+        return _rand_keep_jit(
+            jnp.int32(self._device_key()),
+            n_pairs=n_pairs,
+            n_keep=int(n_pairs * rate),
+            seed=self._aug_seed,
+        )
 
     def view_users(self, params, buffers, key, users, rng, training):
         """User rows of the representation propagated over view ``key``;
@@ -193,8 +237,8 @@ class DOSE_aug(_DOSEBase):
     view_keys = ("aug_adj",)
 
     def _make_view(self, key, params):
-        pairs = self._cos_pairs(params, self.aug_num, negate_items=True)
-        return self.view_engine.make_view(add_pairs=pairs)
+        pairs = self._cos_pairs(params, self.aug_num, negate_items=True, device=True)
+        return self.view_engine.make_view_on_device(add_pairs=pairs)
 
 
 class DOSE_aug2(DOSE_aug):
@@ -296,10 +340,12 @@ class DOSE_aug3(_DOSEBase):
     view_keys = ("aug_adj",)
 
     def _make_view(self, key, params):
-        return self.view_engine.make_view(add_pairs=self._random_pairs(self.aug_num))
+        return self.view_engine.make_view_on_device(
+            add_pairs=self._random_pairs_device(self.aug_num)
+        )
 
     def _initial_view(self, key):
-        return self.view_engine.make_view(add_pairs=self._random_pairs(self.aug_num))
+        return self._make_view(key, None)
 
 
 class DOSE_aug4(_DOSEBase):
@@ -320,9 +366,10 @@ class DOSE_aug4(_DOSEBase):
 
             self._thr_jit = jax.jit(select)
         vals, uid, iid = self._thr_jit(params, self.buffers)
-        keep = np.asarray(vals) >= self.pai
-        pairs = np.stack([np.asarray(uid)[keep], np.asarray(iid)[keep]], axis=1)
-        return self.view_engine.make_view(add_pairs=pairs)
+        pairs = jnp.stack([uid.astype(jnp.int32), iid.astype(jnp.int32)], axis=1)
+        return self.view_engine.make_view_on_device(
+            add_pairs=pairs, add_valid=vals >= self.pai
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -337,9 +384,9 @@ class DOSE_drop(_DOSEBase):
     view_keys = ("aug_adj",)
 
     def _make_view(self, key, params):
-        pairs = self._cos_pairs(params, self.aug_num, negate_items=False)
-        return self.view_engine.make_view(
-            keep_pair_mask=self.view_engine.keep_mask_from_drop_pairs(pairs)
+        pairs = self._cos_pairs(params, self.aug_num, negate_items=False, device=True)
+        return self.view_engine.make_view_on_device(
+            keep_pair_mask=self.view_engine.keep_mask_from_drop_pairs_on_device(pairs)
         )
 
 
@@ -349,8 +396,8 @@ class DOSE_drop2(_DOSEBase):
     view_keys = ("aug_adj",)
 
     def _make_view(self, key, params):
-        return self.view_engine.make_view(
-            keep_pair_mask=self._random_keep_mask(self.aug_rate)
+        return self.view_engine.make_view_on_device(
+            keep_pair_mask=self._random_keep_mask_device(self.aug_rate)
         )
 
     def _initial_view(self, key):
@@ -362,9 +409,9 @@ class DOSE_drop3(DOSE_drop):
     model.py:2748-2790)."""
 
     def _make_view(self, key, params):
-        pairs = self._cos_pairs(params, self.aug_num, negate_items=True)
-        return self.view_engine.make_view(
-            keep_pair_mask=self.view_engine.keep_mask_from_drop_pairs(pairs)
+        pairs = self._cos_pairs(params, self.aug_num, negate_items=True, device=True)
+        return self.view_engine.make_view_on_device(
+            keep_pair_mask=self.view_engine.keep_mask_from_drop_pairs_on_device(pairs)
         )
 
 
@@ -413,11 +460,11 @@ class DOSE_aug_drop(_DOSEBase):
 
     def _make_view(self, key, params):
         if key == "aug_adj":
-            return self.view_engine.make_view(
-                add_pairs=self._random_pairs(self.aug_num)
+            return self.view_engine.make_view_on_device(
+                add_pairs=self._random_pairs_device(self.aug_num)
             )
-        return self.view_engine.make_view(
-            keep_pair_mask=self._random_keep_mask(self.aug_rate)
+        return self.view_engine.make_view_on_device(
+            keep_pair_mask=self._random_keep_mask_device(self.aug_rate)
         )
 
     def _initial_view(self, key):
@@ -451,12 +498,13 @@ class DOSE_aug_drop2(_DOSEBase):
             self.aug_num,
             negate_items=False,
             restrict=(self._tail_users, self._tail_items),
+            device=True,
         )
 
     def _make_view(self, key, params):
         pairs = self._select(params)
         # both 'aug' and 'drop' resolve to the union (no-op drop quirk)
-        return self.view_engine.make_view(add_pairs=pairs)
+        return self.view_engine.make_view_on_device(add_pairs=pairs)
 
     def _contrastive(self, params, b, users, users_r, rng, training):
         v = self.view_users(params, b, "drop_adj", users, rng, training)
@@ -471,11 +519,11 @@ class DOSE_aug_drop3(_DOSEBase):
     view_keys = ("aug_adj", "drop_adj")
 
     def _make_view(self, key, params):
-        pairs = self._cos_pairs(params, self.aug_num, negate_items=False)
+        pairs = self._cos_pairs(params, self.aug_num, negate_items=False, device=True)
         if key == "aug_adj":
-            return self.view_engine.make_view(add_pairs=pairs)
-        return self.view_engine.make_view(
-            keep_pair_mask=self.view_engine.keep_mask_from_drop_pairs(pairs)
+            return self.view_engine.make_view_on_device(add_pairs=pairs)
+        return self.view_engine.make_view_on_device(
+            keep_pair_mask=self.view_engine.keep_mask_from_drop_pairs_on_device(pairs)
         )
 
     def _contrastive(self, params, b, users, users_r, rng, training):

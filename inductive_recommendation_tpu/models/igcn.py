@@ -11,10 +11,13 @@ TPU-shaped differences from the reference:
 
 - the feature matrix is a rectangular bucketed SpMM (gather-only fwd/bwd);
   its *annealed* edge weights (``row_sum^((alpha-1)/2 - 0.5)``, annealed x
-  delta per epoch, model.py:4127-4134) are computed on device as an
-  ``edge_scale`` vector — annealing never rebuilds the layout;
+  delta per epoch, model.py:4127-4134) are BAKED into the layout values on
+  device once per epoch (ops.bucketed_spmm.with_annealed_values) — never
+  gathered per step, never rebuilding the layout;
 - training-time edge dropout on the feature matrix (model.py:4189 via
-  NGCF.dropout_sp_mat) is a bernoulli edge_scale, identical algebra;
+  NGCF.dropout_sp_mat) is generated IN the bucket layout from a counter
+  hash of the edge id (spmm_bucketed_dropout) — identical keep/rescale
+  algebra, no [nnz] mask vector and no per-step eid gathers;
 - no "uninitialized padding rows" trick (model.py:4177-4186 pads the
   embedding with torch.empty to satisfy DGL's square-graph requirement) —
   the rectangular SpMM just works.
@@ -34,6 +37,10 @@ from inductive_recommendation_tpu.models.base import (
 )
 from inductive_recommendation_tpu.models.lightgcn import build_norm_adj
 from inductive_recommendation_tpu.ops import build_bucketed_spmm, propagate_mean, spmm_bucketed
+from inductive_recommendation_tpu.ops.bucketed_spmm import (
+    spmm_bucketed_dropout,
+    with_annealed_values,
+)
 from inductive_recommendation_tpu.ops.dropout import sparse_dropout
 
 
@@ -88,14 +95,19 @@ class IGCN(BasicModel):
             col,
             counts,
             (dataset.n_users + dataset.n_items, n_cols),
-            symmetric=False,  # edge_scale (anneal + dropout) needs transpose
+            symmetric=False,  # anneal + dropout need the transpose layout
         )
         self.feat_n_cols = n_cols
+        # the annealed degree-power weights are BAKED into the layout values
+        # on device, once per epoch (feat_mat_anneal) — not gathered per step
+        self._feat_base = feat
+        self._feat_row_sum = jnp.asarray(row_sum)
+        self._anneal_jit = jax.jit(with_annealed_values)
         self.buffers = {
             "norm_adj": self._build_norm_adj(dataset),
-            "feat": feat,
+            "feat": self._anneal_jit(feat, self._feat_row_sum, self.alpha),
             "feat_row": jnp.asarray(row, dtype=jnp.int32),
-            "feat_row_sum": jnp.asarray(row_sum),
+            "feat_row_sum": self._feat_row_sum,
             "alpha": jnp.asarray(self.alpha, dtype=jnp.float32),
         }
 
@@ -120,11 +132,16 @@ class IGCN(BasicModel):
     def feat_mat_anneal(self):
         self.alpha *= self.delta
         self.buffers = dict(
-            self.buffers, alpha=jnp.asarray(self.alpha, dtype=jnp.float32)
+            self.buffers,
+            alpha=jnp.asarray(self.alpha, dtype=jnp.float32),
+            feat=self._anneal_jit(self._feat_base, self._feat_row_sum, self.alpha),
         )
 
     def _feat_edge_scale(self, buffers, rng, training):
-        """Annealed degree-power weights, optionally edge-dropped."""
+        """Annealed degree-power weights, optionally edge-dropped — the
+        [nnz]-vector path, kept for the DOSE aug-feat matrices; the main feat
+        matrix bakes annealing into the layout instead (see
+        _build_graph_buffers)."""
         expo = (buffers["alpha"] - 1.0) / 2.0 - 0.5
         scale = jnp.power(buffers["feat_row_sum"][buffers["feat_row"]], expo)
         if training and self.dropout > 0.0:
@@ -143,9 +160,10 @@ class IGCN(BasicModel):
 
     # -- representations -----------------------------------------------------
     def inductive_rep_layer(self, params, buffers, rng=None, training=False):
-        scale = self._feat_edge_scale(buffers, rng, training)
         emb = params["embedding"][: self.feat_n_cols]
-        return spmm_bucketed(buffers["feat"], emb, edge_scale=scale)
+        if training and self.dropout > 0.0:
+            return spmm_bucketed_dropout(buffers["feat"], emb, rng, self.dropout)
+        return spmm_bucketed(buffers["feat"], emb)
 
     def get_rep(self, params, rng=None, training=False, buffers=None):
         b = self._buf(buffers)

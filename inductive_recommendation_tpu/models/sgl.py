@@ -21,7 +21,12 @@ from inductive_recommendation_tpu.graph import (
     coo_to_device,
     sym_normalize_values,
 )
-from inductive_recommendation_tpu.graph.views import ViewEngine, view_propagate_mean
+from inductive_recommendation_tpu.graph.views import (
+    ViewEngine,
+    bake_view,
+    random_keep_mask_on_device,
+    view_propagate_mean,
+)
 from inductive_recommendation_tpu.models.base import l2_sq_rows
 from inductive_recommendation_tpu.models.lightgcn import LightGCN
 from inductive_recommendation_tpu.train.losses import info_nce
@@ -47,7 +52,7 @@ class SGL(LightGCN):
     def __init__(self, model_config, dataset):
         super().__init__(model_config, dataset)
         self.aug_rate = model_config.get("aug_rate", 0.8)
-        self._np_rng = np.random.default_rng(model_config.get("aug_seed", 0))
+        self._aug_seed = int(model_config.get("aug_seed", 0))
         self.view_engine = ViewEngine(
             dataset.train_array, self.n_users, self.n_items, delta_budget=0
         )
@@ -59,11 +64,19 @@ class SGL(LightGCN):
         )
 
     def _drop_view(self):
+        """Random-keep view, generated and baked entirely on device."""
         n_pairs = len(self.view_engine.train_pairs)
-        n_keep = int(n_pairs * self.aug_rate)
-        keep = np.zeros(n_pairs, dtype=bool)
-        keep[self._np_rng.choice(n_pairs, size=n_keep, replace=False)] = True
-        return self.view_engine.make_view(keep_pair_mask=keep)
+        self._view_counter = getattr(self, "_view_counter", 0) + 1
+        keep = random_keep_mask_on_device(
+            self._view_counter,
+            n_pairs=n_pairs,
+            n_keep=int(n_pairs * self.aug_rate),
+            seed=self._aug_seed,
+        )
+        return bake_view(
+            self.view_engine.base,
+            self.view_engine.make_view_on_device(keep_pair_mask=keep),
+        )
 
     def update_aug_adj(self, params=None):
         """Per-epoch view regeneration (model.py:232-237)."""

@@ -175,12 +175,27 @@ def build_bucketed_spmm(
     return BucketedSpMM(fwd=fwd, bwd=bwd, symmetric=symmetric)
 
 
-def _apply_one_side(side: _OneSide, x: jnp.ndarray, edge_scale) -> jnp.ndarray:
+def _uniform_from_eid(key_data, eid):
+    """U(0,1) per edge as a pure counter-based hash of the edge id — the same
+    eid draws the same value in the forward and transpose layouts, WITHOUT a
+    [nnz] vector + random 4-byte gathers (measured ~15 ms/side at 1.8M edges
+    on v5e; this is a few fused VPU passes instead)."""
+    key = jax.random.wrap_key_data(key_data)
+    flat = jax.vmap(lambda e: jax.random.fold_in(key, e))(eid.ravel())
+    u = jax.vmap(jax.random.uniform)(flat)
+    return u.reshape(eid.shape)
+
+
+def _apply_one_side(side: _OneSide, x: jnp.ndarray, edge_scale, drop=None) -> jnp.ndarray:
     parts = []
     for b in side.buckets:
         v = b.val
         if edge_scale is not None:
             v = v * edge_scale[b.eid]
+        if drop is not None:
+            key_data, p = drop
+            keep = _uniform_from_eid(key_data, b.eid) >= p
+            v = jnp.where(keep, v / (1.0 - p), 0.0)
         g = jnp.take(x, b.idx, axis=0)  # [rows, k, d]
         parts.append(jnp.einsum("rk,rkd->rd", v, g))
     d = x.shape[-1]
@@ -231,3 +246,110 @@ def spmm_bucketed(mat: BucketedSpMM, x: jnp.ndarray, edge_scale=None) -> jnp.nda
             "with symmetric=False"
         )
     return _spmm_bucketed(mat, edge_scale, x)
+
+
+# -- in-layout edge dropout (no [nnz] vector, no eid gathers) -----------------
+
+
+@jax.custom_vjp
+def _spmm_bucketed_drop(mat: BucketedSpMM, key_data, p, x):
+    return _apply_one_side(mat.fwd, x, None, drop=(key_data, p))
+
+
+def _spmm_drop_fwd(mat, key_data, p, x):
+    return _apply_one_side(mat.fwd, x, None, drop=(key_data, p)), (mat, key_data, p)
+
+
+def _spmm_drop_bwd(res, g):
+    mat, key_data, p = res
+    dx = _apply_one_side(mat.bwd, g, None, drop=(key_data, p))
+    return (
+        jax.tree_util.tree_map(jnp.zeros_like, mat),
+        jnp.zeros_like(key_data),
+        jnp.zeros_like(p),
+        dx,
+    )
+
+
+_spmm_bucketed_drop.defvjp(_spmm_drop_fwd, _spmm_drop_bwd)
+
+
+def spmm_bucketed_dropout(mat: BucketedSpMM, x, rng, p) -> jnp.ndarray:
+    """out = (A ∘ bernoulli-keep/(1-p)) @ x with the dropout mask generated
+    IN the bucket layouts from the edge id (same eid -> same draw forward and
+    transpose — the consistency edge dropout gradients require), instead of
+    materializing a [nnz] scale vector and gathering it per bucket.
+
+    Matches ``sparse_dropout`` semantics (keep with prob 1-p via U >= p,
+    rescale by 1/(1-p); reference model.py:4016-4028). Requires a layout
+    built with symmetric=False (the eid indirection).
+    """
+    if mat.symmetric:
+        raise ValueError(
+            "edge dropout with a shared-symmetric layout is incorrect; build "
+            "with symmetric=False"
+        )
+    return _spmm_bucketed_drop(
+        mat, jax.random.key_data(rng), jnp.asarray(p, jnp.float32), x
+    )
+
+
+def with_baked_edge_scale(mat: BucketedSpMM, edge_scale) -> BucketedSpMM:
+    """New BucketedSpMM with a per-edge scale folded into the values of BOTH
+    layouts (one eid gather per side, on device). For scales that change per
+    EPOCH (DOSE view keep-masks x view normalization), this removes the
+    per-STEP eid+scale gathers from every view SpMM — jit this and call it
+    at view-regeneration time."""
+    if mat.symmetric:
+        raise ValueError("edge scales require symmetric=False")
+
+    def bake(side: _OneSide):
+        return dataclasses.replace(
+            side,
+            buckets=tuple(
+                _Bucket(idx=b.idx, val=b.val * edge_scale[b.eid], eid=b.eid)
+                for b in side.buckets
+            ),
+        )
+
+    return BucketedSpMM(fwd=bake(mat.fwd), bwd=bake(mat.bwd), symmetric=False)
+
+
+def with_annealed_values(mat: BucketedSpMM, row_sum, alpha) -> BucketedSpMM:
+    """New BucketedSpMM whose values carry IGCN's annealed degree-power
+    weights ``val * row_sum[feat_row]^((alpha-1)/2 - 0.5)`` (reference
+    model.py:4127-4175), computed ON DEVICE — call once per epoch at
+    feat_mat_anneal instead of gathering a [nnz] scale vector per step.
+
+    The feat row of an edge is its ROW in the forward layout (all k slots of
+    a bucket row share it — one [rows] gather + broadcast) and its COLUMN in
+    the transpose layout (one [rows, k] gather, per epoch not per step).
+    ``row_sum`` must be padded/indexable by every row id in fwd.perm and
+    every column id stored in bwd bucket idx (pad slots hold 0 edges, so any
+    finite value works there).
+    """
+    expo = (jnp.asarray(alpha, jnp.float32) - 1.0) / 2.0 - 0.5
+    # clamp: rows touched only by zero-valued padding slots must not produce
+    # inf * 0 = NaN
+    rs = jnp.maximum(jnp.asarray(row_sum, jnp.float32), 1e-12)
+
+    def scale_fwd(side: _OneSide):
+        new_buckets = []
+        off = 0
+        for b in side.buckets:
+            rows_b = b.val.shape[0]
+            w = jnp.power(rs[side.perm[off : off + rows_b]], expo)  # [rows]
+            new_buckets.append(_Bucket(idx=b.idx, val=b.val * w[:, None], eid=b.eid))
+            off += rows_b
+        return dataclasses.replace(side, buckets=tuple(new_buckets))
+
+    def scale_bwd(side: _OneSide):
+        new_buckets = []
+        for b in side.buckets:
+            w = jnp.power(rs[b.idx], expo)  # [rows, k]: feat row == column id
+            new_buckets.append(_Bucket(idx=b.idx, val=b.val * w, eid=b.eid))
+        return dataclasses.replace(side, buckets=tuple(new_buckets))
+
+    if mat.symmetric:
+        raise ValueError("annealed values require symmetric=False")
+    return BucketedSpMM(fwd=scale_fwd(mat.fwd), bwd=scale_bwd(mat.bwd), symmetric=False)

@@ -123,9 +123,12 @@ def test_sgl_half_train(ds, tmp_path, model_name):
             model,
         )
         first = trainer.train_one_epoch()
-        a1_before = np.asarray(model.buffers["aug_adj1"].base_scale).copy()
+        # views are baked: the keep-mask shows up in the layout values
+        a1_before = np.asarray(
+            model.buffers["aug_adj1"].base.fwd.buckets[0].val
+        ).copy()
         last = trainer.train_one_epoch()
-        a1_after = np.asarray(model.buffers["aug_adj1"].base_scale)
+        a1_after = np.asarray(model.buffers["aug_adj1"].base.fwd.buckets[0].val)
         assert a1_before.shape == a1_after.shape
         assert not np.array_equal(a1_before, a1_after)  # regenerated
         assert np.isfinite(first) and np.isfinite(last)

@@ -88,3 +88,85 @@ def test_view_budget_enforced(tiny_graph):
         eng.make_view(add_pairs=inject)
     except ValueError as e:
         assert "budget" in str(e)
+
+
+def test_device_view_matches_host(tiny_graph, rng):
+    """make_view_on_device == make_view: same base_scale, same represented
+    delta matrix, for drops + adds incl. duplicates and in-train pairs."""
+    train_array, n_users, n_items = tiny_graph
+    n = n_users + n_items
+    eng = ViewEngine(train_array, n_users, n_items, delta_budget=32)
+
+    keep = rng.random(len(eng.train_pairs)) < 0.7
+    # adds: some random, some duplicated, some already in train
+    adds = np.concatenate(
+        [
+            np.stack(
+                [rng.integers(0, n_users, 10), rng.integers(0, n_items, 10)], axis=1
+            ),
+            eng.train_pairs[:4],  # in train -> force-keep, no delta
+        ]
+    )
+    adds = np.concatenate([adds, adds[:3]])  # duplicates
+
+    host = eng.make_view(keep_pair_mask=keep, add_pairs=adds)
+    dev = eng.make_view_on_device(
+        keep_pair_mask=jnp.asarray(keep), add_pairs=jnp.asarray(adds)
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(dev.base_scale), np.asarray(host.base_scale), rtol=1e-6
+    )
+
+    def dense_delta(v):
+        A = np.zeros((n, n), np.float64)
+        np.add.at(A, (np.asarray(v.d_row), np.asarray(v.d_col)), np.asarray(v.d_val))
+        return A
+
+    np.testing.assert_allclose(dense_delta(dev), dense_delta(host), atol=1e-6)
+    # transpose copies represent the same matrix too
+    def dense_delta_t(v):
+        A = np.zeros((n, n), np.float64)
+        np.add.at(
+            A, (np.asarray(v.dt_row), np.asarray(v.dt_col)), np.asarray(v.dt_val)
+        )
+        return A
+
+    np.testing.assert_allclose(dense_delta_t(dev), dense_delta(host), atol=1e-6)
+    # d_row stays sorted (segment_sum relies on indices_are_sorted)
+    assert (np.diff(np.asarray(dev.d_row)) >= 0).all()
+    assert (np.diff(np.asarray(dev.dt_col)) >= 0).all()
+
+    # the full view product matches
+    x = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(view_spmm(eng.base, dev, x)),
+        np.asarray(view_spmm(eng.base, host, x)),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_device_view_no_adds_and_keep_all(tiny_graph, rng):
+    train_array, n_users, n_items = tiny_graph
+    eng = ViewEngine(train_array, n_users, n_items, delta_budget=8)
+    host = eng.make_view()
+    dev = eng.make_view_on_device()
+    np.testing.assert_allclose(
+        np.asarray(dev.base_scale), np.asarray(host.base_scale), rtol=1e-6
+    )
+    assert float(jnp.abs(dev.d_val).sum()) == 0.0
+
+
+def test_device_keep_mask_matches_host(tiny_graph, rng):
+    train_array, n_users, n_items = tiny_graph
+    eng = ViewEngine(train_array, n_users, n_items, delta_budget=8)
+    drops = np.concatenate(
+        [
+            eng.train_pairs[rng.integers(0, len(eng.train_pairs), 12)],
+            np.stack([rng.integers(0, n_users, 5), rng.integers(0, n_items, 5)], 1),
+        ]
+    )
+    host = eng.keep_mask_from_drop_pairs(drops)
+    dev = np.asarray(eng.keep_mask_from_drop_pairs_on_device(jnp.asarray(drops)))
+    np.testing.assert_array_equal(host, dev)
