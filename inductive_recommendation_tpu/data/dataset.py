@@ -27,6 +27,11 @@ import time as time_mod
 
 import numpy as np
 
+from inductive_recommendation_tpu.native import (
+    parse_adjacency_file,
+    parse_gowalla_file,
+)
+
 
 def get_dataset(config):
     """Registry factory keyed by config['name'] (dataset.py:10-14)."""
@@ -181,20 +186,22 @@ class ProcessedDataset(BasicDataset):
         assert len(self.train_data) == len(self.val_data)
         assert len(self.train_data) == len(self.test_data)
         self.n_users = len(self.train_data)
-        self.train_array = []
-        for user in range(self.n_users):
-            self.train_array.extend([[user, item] for item in self.train_data[user]])
+        flat, offs = self._last_parse
+        users = np.repeat(np.arange(self.n_users, dtype=np.int64), np.diff(offs))
+        self.train_array = np.stack([users, flat], axis=1)
 
     def read_data(self, file_path):
-        with open(file_path, "r") as f:
-            lines = f.read().strip().split("\n")
-        data = []
-        for line in lines:
-            items = [int(item) for item in line.split(" ")[1:]]
-            if items:
-                self.n_items = max(self.n_items, max(items) + 1)
-            data.append(items)
-        return data
+        # native C parser with python fallback (native/graph_core.cpp);
+        # reference semantics (dataset.py:145-164): leading user token
+        # discarded, line order = user id, n_items = max id + 1 across files
+        flat, offs = parse_adjacency_file(file_path)
+        if len(flat):
+            self.n_items = max(self.n_items, int(flat.max()) + 1)
+        if file_path.endswith("train.txt"):
+            self._last_parse = (flat, offs)
+        return [
+            flat[offs[u] : offs[u + 1]].tolist() for u in range(len(offs) - 1)
+        ]
 
 
 class GowallaDataset(BasicDataset):
@@ -206,20 +213,20 @@ class GowallaDataset(BasicDataset):
         input_file_path = os.path.join(
             dataset_config["path"], "Gowalla_totalCheckins.txt"
         )
+        # native fixed-format scan (python strptime is minutes at 6.4M
+        # lines); timestamps are UTC epoch seconds — the reference's
+        # time.mktime (dataset.py:185) was host-timezone dependent, and only
+        # the ordering feeds the chronological split
+        users_raw, items_raw, ts_raw = parse_gowalla_file(input_file_path)
         user_inter_sets, item_inter_sets = {}, {}
-        with open(input_file_path, "r") as f:
-            lines = f.read().strip().split("\n")
-        for line in lines:
-            u, _, _, _, i = line.strip().split("\t")
-            update_ui_sets(int(u), int(i), user_inter_sets, item_inter_sets)
+        for u, i in zip(users_raw.tolist(), items_raw.tolist()):
+            update_ui_sets(u, i, user_inter_sets, item_inter_sets)
         user_map, item_map = self.remove_sparse_ui(user_inter_sets, item_inter_sets)
 
         self.user_inter_lists = [[] for _ in range(self.n_users)]
-        for line in lines:
-            u, t, _, _, i = line.split("\t")
-            t = int(time_mod.mktime(time_mod.strptime(t, "%Y-%m-%dT%H:%M:%SZ")))
+        for u, i, t in zip(users_raw.tolist(), items_raw.tolist(), ts_raw.tolist()):
             update_user_inter_lists(
-                int(u), int(i), t, user_map, item_map, self.user_inter_lists
+                u, i, t, user_map, item_map, self.user_inter_lists
             )
         self.generate_data()
 

@@ -60,6 +60,22 @@ def _load():
             u8p = ctypes.POINTER(ctypes.c_uint8)
             lib.kcore.argtypes = [i64p, i64p] + [ctypes.c_int64] * 4 + [u8p, u8p]
             lib.kcore.restype = None
+            lib.parse_gowalla.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                i64p,
+                i64p,
+                i64p,
+            ]
+            lib.parse_gowalla.restype = ctypes.c_int64
+            lib.parse_adjacency.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                i64p,
+                i64p,
+            ]
+            lib.parse_adjacency.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _unavailable = True
@@ -106,3 +122,65 @@ def kcore_masks(users, items, n_users, n_items, min_inter):
         if new_ku.sum() == ku.sum() and new_ki.sum() == ki.sum():
             return new_ku, new_ki
         ku, ki = new_ku, new_ki
+
+
+def parse_gowalla_file(path):
+    """Parse Gowalla_totalCheckins.txt -> (users, items, ts int64 arrays).
+
+    Native: direct fixed-format scan (the reference's per-line
+    time.strptime, dataset.py:183-186, is minutes at the 6.4M-line full
+    file). Fallback: vectorized numpy split + np.datetime64. Timestamps are
+    UTC epoch seconds in both paths (the reference's time.mktime was
+    host-timezone dependent; the chronological split consumes only the
+    ordering, which is unchanged).
+    """
+    lib = _load()
+    if lib is not None:
+        size = os.path.getsize(path)
+        cap = size // 20 + 16  # >= line count (min line ~ 29 bytes)
+        users = np.empty(cap, dtype=np.int64)
+        items = np.empty(cap, dtype=np.int64)
+        ts = np.empty(cap, dtype=np.int64)
+        n = lib.parse_gowalla(
+            path.encode(), cap, _p64(users), _p64(items), _p64(ts)
+        )
+        if n >= 0:
+            return users[:n].copy(), items[:n].copy(), ts[:n].copy()
+    # numpy fallback
+    raw = np.loadtxt(path, dtype=str, delimiter="\t", ndmin=2)
+    users = raw[:, 0].astype(np.int64)
+    items = raw[:, 4].astype(np.int64)
+    ts = (
+        raw[:, 1].astype("datetime64[s]").astype(np.int64)
+        if len(raw)
+        else np.zeros(0, np.int64)
+    )
+    return users, items, ts
+
+
+def parse_adjacency_file(path):
+    """Parse 'user item item ...' text (ProcessedDataset train/val/test.txt,
+    reference dataset.py:140-164: the leading user token is discarded, line
+    order is the user id) -> (flat_items int64, offsets int64[n_lines+1])."""
+    lib = _load()
+    if lib is not None:
+        size = os.path.getsize(path)
+        cap_items = size // 2 + 16
+        cap_lines = size // 2 + 16
+        flat = np.empty(cap_items, dtype=np.int64)
+        offs = np.empty(cap_lines + 1, dtype=np.int64)
+        n = lib.parse_adjacency(
+            path.encode(), cap_items, cap_lines, _p64(flat), _p64(offs)
+        )
+        if n >= 0:
+            n_items = int(offs[n])
+            return flat[:n_items].copy(), offs[: n + 1].copy()
+    # python fallback (reference semantics)
+    with open(path, "r") as f:
+        lines = f.read().strip().split("\n")
+    flat, offs = [], [0]
+    for line in lines:
+        toks = line.split(" ")[1:]
+        flat.extend(int(t) for t in toks if t)
+        offs.append(len(flat))
+    return np.asarray(flat, dtype=np.int64), np.asarray(offs, dtype=np.int64)

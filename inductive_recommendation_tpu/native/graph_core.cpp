@@ -74,3 +74,138 @@ void kcore(const int64_t* users, const int64_t* items, int64_t n_edges,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Raw-file parsers: the host-side data-loading hot spots.
+//
+// The reference parses Gowalla_totalCheckins.txt with a python
+// time.strptime per line (dataset.py:183-186) — ~10-20us/line, minutes at
+// the 6.4M-line full file. These parse the fixed formats directly.
+// Timestamps are UTC epoch seconds (days-from-civil; the reference's
+// time.mktime depended on the host timezone — ordering, the only thing the
+// chronological split consumes, is unchanged).
+
+#include <cstdio>
+
+namespace {
+
+inline int64_t days_from_civil(int64_t y, int64_t m, int64_t d) {
+  y -= m <= 2;
+  const int64_t era = (y >= 0 ? y : y - 399) / 400;
+  const int64_t yoe = y - era * 400;
+  const int64_t doy = (153 * (m + (m > 2 ? -3 : 9)) + 2) / 5 + d - 1;
+  const int64_t doe = yoe * 365 + yoe / 4 - yoe / 100 + doy;
+  return era * 146097 + doe - 719468;
+}
+
+inline const char* parse_int(const char* p, const char* end, int64_t* out) {
+  int64_t v = 0;
+  bool neg = false, any = false;
+  if (p < end && *p == '-') { neg = true; ++p; }
+  while (p < end && *p >= '0' && *p <= '9') { v = v * 10 + (*p - '0'); ++p; any = true; }
+  if (!any) return nullptr;
+  *out = neg ? -v : v;
+  return p;
+}
+
+inline int64_t fixed_digits(const char* p, int n) {
+  int64_t v = 0;
+  for (int k = 0; k < n; ++k) v = v * 10 + (p[k] - '0');
+  return v;
+}
+
+std::vector<char> read_all(const char* path) {
+  std::vector<char> buf;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return buf;
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  buf.resize(sz);
+  if (sz && std::fread(buf.data(), 1, sz, f) != (size_t)sz) buf.clear();
+  std::fclose(f);
+  return buf;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Gowalla_totalCheckins.txt: "user \t %Y-%m-%dT%H:%M:%SZ \t lat \t lon \t item".
+// Fills users/items/ts; returns rows parsed, -1 on open failure, -2 on a
+// malformed line or capacity overflow.
+int64_t parse_gowalla(const char* path, int64_t cap, int64_t* users,
+                      int64_t* items, int64_t* ts) {
+  std::vector<char> buf = read_all(path);
+  if (buf.empty()) return -1;
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  int64_t n = 0;
+  while (p < end) {
+    while (p < end && (*p == '\n' || *p == '\r')) ++p;
+    if (p >= end) break;
+    if (n >= cap) return -2;
+    int64_t u;
+    p = parse_int(p, end, &u);
+    if (!p || p >= end || *p != '\t') return -2;
+    ++p;
+    // fixed-width %Y-%m-%dT%H:%M:%SZ (20 chars)
+    if (end - p < 20) return -2;
+    const int64_t y = fixed_digits(p, 4), mo = fixed_digits(p + 5, 2),
+                  d = fixed_digits(p + 8, 2), h = fixed_digits(p + 11, 2),
+                  mi = fixed_digits(p + 14, 2), s = fixed_digits(p + 17, 2);
+    p += 20;
+    if (p >= end || *p != '\t') return -2;
+    ++p;
+    for (int skip = 0; skip < 2; ++skip) {  // lat, lon
+      while (p < end && *p != '\t') ++p;
+      if (p >= end) return -2;
+      ++p;
+    }
+    int64_t i;
+    p = parse_int(p, end, &i);
+    if (!p) return -2;
+    users[n] = u;
+    items[n] = i;
+    ts[n] = days_from_civil(y, mo, d) * 86400 + h * 3600 + mi * 60 + s;
+    ++n;
+    while (p < end && *p != '\n') ++p;
+  }
+  return n;
+}
+
+// "user item item ..." adjacency text (ProcessedDataset train/val/test.txt,
+// dataset.py:140-164). Fills the flat item stream (first token of each line
+// — the user id — is DISCARDED; line order is the user id, as in the
+// reference) and per-line offsets; returns the line count, -1/-2 as above.
+int64_t parse_adjacency(const char* path, int64_t cap_items,
+                        int64_t cap_lines, int64_t* flat_items,
+                        int64_t* offsets) {
+  std::vector<char> buf = read_all(path);
+  if (buf.empty()) return -1;
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  int64_t n_lines = 0, n_items = 0;
+  while (p < end) {
+    while (p < end && (*p == '\n' || *p == '\r')) ++p;
+    if (p >= end) break;
+    if (n_lines >= cap_lines) return -2;
+    offsets[n_lines] = n_items;
+    int64_t first;
+    p = parse_int(p, end, &first);  // user id token: discarded
+    if (!p) return -2;
+    while (p < end && *p != '\n' && *p != '\r') {
+      if (*p == ' ' || *p == '\t') { ++p; continue; }
+      int64_t v;
+      p = parse_int(p, end, &v);
+      if (!p) return -2;
+      if (n_items >= cap_items) return -2;
+      flat_items[n_items++] = v;
+    }
+    ++n_lines;
+  }
+  offsets[n_lines] = n_items;
+  return n_lines;
+}
+
+}  // extern "C"

@@ -71,7 +71,7 @@ def test_processed_dataset_roundtrip(tmp_path):
     assert ds.n_users == 3
     assert ds.n_items == 12  # max id 11 + 1
     assert ds.train_data == [[3, 1, 7], [2], []]
-    assert ds.train_array == [[0, 3], [0, 1], [0, 7], [1, 2]]
+    assert np.asarray(ds.train_array).tolist() == [[0, 3], [0, 1], [0, 7], [1, 2]]
     assert len(ds) == 4
 
 

@@ -85,3 +85,41 @@ def test_dataset_kcore_via_native():
     # first-seen-order dense re-indexing
     assert sorted(user_map.values()) == list(range(len(user_map)))
     assert list(user_map.values()) == sorted(user_map.values())
+
+
+def test_parse_adjacency_native_matches_python(tmp_path):
+    from inductive_recommendation_tpu.native import (
+        native_available,
+        parse_adjacency_file,
+    )
+
+    p = tmp_path / "train.txt"
+    p.write_text("0 3 1 2\n1 7\n2\n3 0 0 5\n")
+    flat, offs = parse_adjacency_file(str(p))
+    assert offs.tolist() == [0, 3, 4, 4, 7]
+    assert flat.tolist() == [3, 1, 2, 7, 0, 0, 5]
+    assert native_available()  # g++ is in this image; the C path must load
+
+
+def test_parse_gowalla_native_matches_numpy(tmp_path):
+    from inductive_recommendation_tpu.native import (
+        _load,
+        parse_gowalla_file,
+    )
+    import numpy as np
+
+    p = tmp_path / "Gowalla_totalCheckins.txt"
+    rows = [
+        "0\t2010-10-19T23:55:27Z\t30.2\t-97.7\t22847",
+        "17\t2009-02-28T01:02:03Z\t0.0\t0.0\t5",
+        "3\t2012-12-31T23:59:59Z\t-1.5\t2.25\t0",
+    ]
+    p.write_text("\n".join(rows) + "\n")
+    u, i, t = parse_gowalla_file(str(p))
+    assert u.tolist() == [0, 17, 3] and i.tolist() == [22847, 5, 0]
+    # oracle: numpy datetime64 epoch seconds (UTC)
+    expect = np.array(
+        ["2010-10-19T23:55:27", "2009-02-28T01:02:03", "2012-12-31T23:59:59"],
+        dtype="datetime64[s]",
+    ).astype(np.int64)
+    assert t.tolist() == expect.tolist()
