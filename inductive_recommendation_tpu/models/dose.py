@@ -297,35 +297,35 @@ class DOSE_aug2(DOSE_aug):
             aug_user_map,
             aug_item_map,
         )
+        # annealed weights baked at rebuild time (the rebuild happens right
+        # after feat_mat_anneal each epoch, so alpha is current); per-step
+        # dropout is in-layout (spmm_bucketed_dropout)
+        aug_feat = build_bucketed_spmm(
+            row,
+            col,
+            counts,
+            (self.n_users + self.n_items, self.feat_n_cols),
+            symmetric=False,
+        )
         self.buffers = dict(
             self.buffers,
-            aug_feat=build_bucketed_spmm(
-                row,
-                col,
-                counts,
-                (self.n_users + self.n_items, self.feat_n_cols),
-                symmetric=False,
-            ),
-            aug_feat_row=jnp.asarray(row, dtype=jnp.int32),
-            aug_feat_row_sum=jnp.asarray(row_sum),
+            aug_feat=self._anneal_jit(aug_feat, jnp.asarray(row_sum), self.alpha),
         )
 
     def view_users(self, params, buffers, key, users, rng, training):
         if "aug_feat" in buffers:
             from inductive_recommendation_tpu.ops import spmm_bucketed
-            from inductive_recommendation_tpu.ops.dropout import sparse_dropout
+            from inductive_recommendation_tpu.ops.bucketed_spmm import (
+                spmm_bucketed_dropout,
+            )
 
-            expo = (buffers["alpha"] - 1.0) / 2.0 - 0.5
-            scale = jnp.power(
-                buffers["aug_feat_row_sum"][buffers["aug_feat_row"]], expo
-            )
+            emb = params["embedding"][: self.feat_n_cols]
             if training and self.dropout > 0.0:
-                scale = sparse_dropout(scale, rng, self.dropout, training=True)
-            x0 = spmm_bucketed(
-                buffers["aug_feat"],
-                params["embedding"][: self.feat_n_cols],
-                edge_scale=scale,
-            )
+                x0 = spmm_bucketed_dropout(
+                    buffers["aug_feat"], emb, rng, self.dropout
+                )
+            else:
+                x0 = spmm_bucketed(buffers["aug_feat"], emb)
         else:
             x0 = self.inductive_rep_layer(params, buffers, rng=rng, training=training)
         rep = view_propagate_mean(

@@ -16,7 +16,7 @@ from inductive_recommendation_tpu.models.base import (
     l2_sq_rows,
 )
 from inductive_recommendation_tpu.ops import build_bucketed_spmm, spmm_bucketed
-from inductive_recommendation_tpu.ops.dropout import sparse_dropout
+from inductive_recommendation_tpu.ops.bucketed_spmm import spmm_bucketed_dropout
 
 
 def build_selfloop_l1_adj(dataset):
@@ -66,16 +66,23 @@ class NGCF(BasicModel):
         adj = b["norm_adj"]
         h = params["embedding"]
         all_layers = [h]
-        if training and rng is not None:
+        if training and rng is not None and self.dropout > 0:
             rng_edge, rng_feat = jax.random.split(rng)
-            edge_scale = sparse_dropout(
-                jnp.ones((adj.nnz,), jnp.float32), rng_edge, self.dropout, True
-            )
+
+            def adj_spmm(x):
+                # one mask per step, shared across layers (the reference
+                # drops the adjacency once per forward, model.py:4030-4044);
+                # generated in-layout from the edge id — no [nnz] vector
+                return spmm_bucketed_dropout(adj, x, rng_edge, self.dropout)
+
         else:
             rng_feat = rng
-            edge_scale = None
+
+            def adj_spmm(x):
+                return spmm_bucketed(adj, x)
+
         for i in range(self.n_layers):
-            m0 = spmm_bucketed(adj, h, edge_scale=edge_scale)
+            m0 = adj_spmm(h)
             m1 = h * m0
             m0 = apply_linear(params["gc_layers"][i], m0)
             m1 = apply_linear(params["bi_layers"][i], m1)

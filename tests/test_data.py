@@ -142,3 +142,35 @@ def test_device_sampler_pos_uniformity():
     _, pos, _ = sample_bpr_batch(state, jax.random.key(1), 4000)
     counts = np.bincount(np.asarray(pos), minlength=4)
     assert counts.min() > 800  # ~1000 each
+
+
+def test_output_dataset_roundtrip(tmp_path):
+    """output_dataset writes the reference text format (dataset.py:40-44,
+    133-137) and ProcessedDataset reads it back identically."""
+    from inductive_recommendation_tpu import get_dataset
+
+    src = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 25,
+            "n_items": 30,
+            "n_interactions": 260,
+            "seed": 5,
+            "split_ratio": [0.6, 0.2, 0.2],
+            "min_inter": 2,
+        }
+    )
+    out = tmp_path / "dump"
+    src.output_dataset(str(out))
+    # reference row shape: "user item item ..."
+    first = (out / "train.txt").read_text().splitlines()[0].split(" ")
+    assert first[0] == "0"
+
+    back = get_dataset({"name": "ProcessedDataset", "path": str(out)})
+    assert back.n_users == src.n_users
+    assert back.train_data == [list(r) for r in src.train_data]
+    assert back.val_data == [list(r) for r in src.val_data]
+    assert back.test_data == [list(r) for r in src.test_data]
+    assert np.asarray(back.train_array).tolist() == (
+        np.asarray(src.train_array).tolist()
+    )
