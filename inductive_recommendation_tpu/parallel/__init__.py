@@ -17,6 +17,7 @@ this package supplies the north-star parallelism for the TPU build:
 
 from inductive_recommendation_tpu.parallel.mesh import make_mesh, shard_params
 from inductive_recommendation_tpu.parallel.step import (
+    make_edge_sharded_bpr_step,
     make_sharded_bpr_step,
     make_sharded_igcn_step,
 )
@@ -34,6 +35,7 @@ from inductive_recommendation_tpu.parallel.spmm import (
 __all__ = [
     "make_mesh",
     "shard_params",
+    "make_edge_sharded_bpr_step",
     "make_sharded_bpr_step",
     "make_sharded_igcn_step",
     "make_sharded_recommender",

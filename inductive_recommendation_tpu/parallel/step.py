@@ -52,6 +52,73 @@ def make_sharded_bpr_step(model, optimizer, sampler, batch_size, l2_reg, mesh):
     return run
 
 
+def make_edge_sharded_bpr_step(
+    emat,
+    mesh,
+    optimizer,
+    sampler,
+    batch_size,
+    l2_reg,
+    n_users,
+    n_layers,
+    axis="model",
+):
+    """LightGCN BPR step where NEITHER the graph NOR the embedding table ever
+    materializes on one device.
+
+    The [n_nodes_pad, d] table is row-sharded over ``axis``, aligned with the
+    edge-sharded layout's column blocks (parallel/spmm.py); every propagation
+    layer is one reduce-scatter forward / all-gather backward, so per-device
+    memory is O((|E| + n_nodes·d) / n_dev) — the capability that removes the
+    reference's single-device HBM ceiling (full-graph propagation per batch,
+    model.py:100-110).
+
+    -> step(params, opt_state, rng) with params = {"embedding": sharded
+    [n_cols_pad, d]}; returns (params, opt_state, loss). Loss matches the
+    single-device LightGCN step on the same batch (fp reassociation aside).
+    """
+    from inductive_recommendation_tpu.parallel.spmm import _wrap
+
+    spmm = _wrap(emat, mesh, axis, "scatter")
+
+    def step(params, opt_state, fwd, bwd, smp, rng):
+        rng_s, _ = jax.random.split(rng)
+        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+
+        def loss_fn(p):
+            x = p["embedding"]
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(axis, None))
+            )
+            acc, h = x, x
+            for _ in range(n_layers):
+                h = spmm(fwd, bwd, None, h)
+                acc = acc + h
+            rep = acc / (n_layers + 1)
+            u_r = rep[users]
+            p_r = rep[n_users + pos]
+            n_r = rep[n_users + neg[:, 0]]
+            # L2 on the ego embeddings (model.py:114-117)
+            l2 = (
+                jnp.sum(x[users] ** 2, 1)
+                + jnp.sum(x[n_users + pos] ** 2, 1)
+                + jnp.sum(x[n_users + neg[:, 0]] ** 2, 1)
+            )
+            return L.bpr_loss(u_r, p_r, n_r) + l2_reg * l2.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+
+    def run(params, opt_state, rng):
+        return jitted(params, opt_state, emat.fwd, emat.bwd, sampler, rng)
+
+    return run
+
+
 def make_sharded_igcn_step(
     model, optimizer, sampler, aux_sampler, batch_size, l2_reg, aux_reg, mesh
 ):

@@ -123,3 +123,65 @@ def test_output_is_sharded(rng):
     fn = make_edge_sharded_spmm(mat, mesh, mode="scatter")
     out = fn(shard_operand(np.ones((n, 4), np.float32), mat, mesh))
     assert not out.sharding.is_fully_replicated
+
+
+def test_edge_sharded_bpr_step_matches_single_device():
+    """Fully-sharded LightGCN training (graph + table sharded over 'model')
+    computes the same loss as the single-device step on the same batch."""
+    import optax
+
+    from inductive_recommendation_tpu import get_dataset, get_model
+    from inductive_recommendation_tpu.data.sampling import build_sampler_state
+    from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
+    from inductive_recommendation_tpu.parallel import make_edge_sharded_bpr_step
+    from inductive_recommendation_tpu.train import losses as L
+    from inductive_recommendation_tpu.data.sampling import sample_bpr_batch
+
+    ds = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 48,
+            "n_items": 40,
+            "n_interactions": 650,
+            "seed": 11,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+    n = ds.n_users + ds.n_items
+    model = get_model(
+        {"name": "LightGCN", "embedding_size": 16, "n_layers": 3, "table_align": 1},
+        ds,
+    )
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    params0 = model.init_params(jax.random.key(3))
+
+    # single-device oracle loss on one sampled batch
+    def single_loss(p, rng):
+        users, pos, neg = sample_bpr_batch(sampler, jax.random.split(rng)[0], 64)
+        u, pr, nr, l2 = model.bpr_forward(p, users, pos, neg[:, 0], training=False)
+        return L.bpr_loss(u, pr, nr) + 1e-4 * l2.mean()
+
+    loss_ref = float(jax.jit(single_loss)(params0, jax.random.key(9)))
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    r, c, v = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
+    emat = build_edge_sharded_spmm(r, c, v, (n, n), 8)
+    optimizer = optax.adam(1e-2)
+    emb = jnp.zeros((emat.n_cols_pad, 16), jnp.float32)
+    emb = emb.at[:n].set(params0["embedding"][:n])
+    params = {"embedding": shard_operand(emb, emat, mesh)}
+    opt_state = optimizer.init(params)
+    step = make_edge_sharded_bpr_step(
+        emat, mesh, optimizer, sampler, 64, 1e-4, ds.n_users, 3
+    )
+    with mesh:
+        losses = []
+        rngs = [jax.random.key(9), jax.random.key(10), jax.random.key(11)]
+        for rng in rngs:
+            params, opt_state, loss = step(params, opt_state, rng)
+            losses.append(float(loss))
+    assert abs(losses[0] - loss_ref) < 1e-4, (losses[0], loss_ref)
+    assert all(np.isfinite(l) for l in losses)
+    # the table stays sharded through the optimizer update
+    assert not params["embedding"].sharding.is_fully_replicated
