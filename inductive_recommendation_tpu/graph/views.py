@@ -8,15 +8,19 @@ train-with-edges-added. Instead of rebuilding a sparse container per epoch
 
 - the base part rides the degree-bucketed gather-only SpMM of the RAW
   deduplicated train adjacency (built once, shared by every view of a
-  model) with a per-edge ``scale`` vector = keep_mask x sym-normalization
-  of the VIEW's degrees;
+  model); the per-edge ``scale`` = keep_mask x sym-normalization of the
+  VIEW's degrees is BAKED into a per-view copy of the layout values
+  (:class:`BakedView`) so the train step pays no per-step scale gathers;
 - the delta part (injected pairs not in train) is a fixed-budget padded COO
   whose backward is the pre-built transpose COO (gather + segment-sum, no
   XLA scatter).
 
-Per-epoch regeneration writes new scale/delta arrays of FIXED shapes — no
-retrace, no host set-algebra beyond one vectorized key membership, no COO
-propagation over the full graph.
+Per-epoch regeneration writes new value/delta arrays of FIXED shapes — no
+retrace — and runs ENTIRELY ON DEVICE (:meth:`ViewEngine.make_view_on_device`
++ :func:`bake_view`): device-resident selections feed the view build with no
+O(aug_num) device->host fetch and no O(|E|) host->device upload per epoch
+(both multi-second on tunneled backends). The host :meth:`ViewEngine.make_view`
+remains as the oracle/fallback path.
 
 Normalization matches the reference view builders (utils.py:71-141 +
 model.py:409-420): dedup pair set, D^-1/2 A D^-1/2 with view degrees
