@@ -70,12 +70,16 @@ def main():
 
     x = jnp.zeros((ds.n_users + ds.n_items, 64), jnp.float32) + 0.01
 
-    # 1. feat edge-scale construction alone (power + gather over nnz)
-    es = jax.jit(
-        lambda b, seed: model._feat_edge_scale(
-            b, jax.random.fold_in(jax.random.key(1), seed), True
+    # 1. the RETIRED [nnz]-vector edge-scale construction (power + gather),
+    # kept inline for comparison against the baked path
+    def legacy_scale(b, seed):
+        expo = (b["alpha"] - 1.0) / 2.0 - 0.5
+        scale = jnp.power(b["feat_row_sum"][b["feat_row"]], expo)
+        return sparse_dropout(
+            scale, jax.random.fold_in(jax.random.key(1), seed), 0.3, True
         )
-    )
+
+    es = jax.jit(legacy_scale)
     t = timeit(lambda: es(buffers, jnp.int32(3)))
     print(f"feat edge scale (power+drop): {t*1e3:8.2f} ms", file=sys.stderr)
 

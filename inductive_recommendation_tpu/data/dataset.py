@@ -218,13 +218,14 @@ class GowallaDataset(BasicDataset):
         # time.mktime (dataset.py:185) was host-timezone dependent, and only
         # the ordering feeds the chronological split
         users_raw, items_raw, ts_raw = parse_gowalla_file(input_file_path)
+        ul, il, tl = users_raw.tolist(), items_raw.tolist(), ts_raw.tolist()
         user_inter_sets, item_inter_sets = {}, {}
-        for u, i in zip(users_raw.tolist(), items_raw.tolist()):
+        for u, i in zip(ul, il):
             update_ui_sets(u, i, user_inter_sets, item_inter_sets)
         user_map, item_map = self.remove_sparse_ui(user_inter_sets, item_inter_sets)
 
         self.user_inter_lists = [[] for _ in range(self.n_users)]
-        for u, i, t in zip(users_raw.tolist(), items_raw.tolist(), ts_raw.tolist()):
+        for u, i, t in zip(ul, il, tl):
             update_user_inter_lists(
                 u, i, t, user_map, item_map, self.user_inter_lists
             )

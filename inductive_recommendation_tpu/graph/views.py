@@ -275,35 +275,18 @@ class ViewEngine:
                 else np.asarray(keep_pair_mask),
                 add_pairs=add_host,
             )
-        E = len(self.train_pairs)
         B = self.delta_budget
         d = self._device_buffers()
-        if keep_pair_mask is None:
-            keep_pair_mask = jnp.ones((E,), bool)
-        else:
-            keep_pair_mask = jnp.asarray(keep_pair_mask, bool)
         if add_pairs is None:
-            add_u = jnp.zeros((B,), jnp.int32)
-            add_i = jnp.zeros((B,), jnp.int32)
-            valid = jnp.zeros((B,), bool)
+            add_pairs = jnp.zeros((0, 2), jnp.int32)
         else:
             add_pairs = jnp.asarray(add_pairs)
-            n = add_pairs.shape[0]
-            if n > B:
-                raise ValueError(f"add_pairs {n} exceeds budget {B}")
-            pad = B - n
-            add_u = jnp.concatenate(
-                [add_pairs[:, 0].astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
-            )
-            add_i = jnp.concatenate(
-                [add_pairs[:, 1].astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
-            )
-            head = (
-                jnp.ones((n,), bool)
-                if add_valid is None
-                else jnp.asarray(add_valid, bool)
-            )
-            valid = jnp.concatenate([head, jnp.zeros((pad,), bool)])
+            if add_pairs.shape[0] > B:
+                raise ValueError(
+                    f"add_pairs {add_pairs.shape[0]} exceeds budget {B}"
+                )
+        # everything below (padding included) runs inside one jitted program
+        # — eager dispatch costs ~seconds per op on tunneled backends
         out = _device_make_view(
             d["train_u"],
             d["train_i"],
@@ -312,9 +295,9 @@ class ViewEngine:
             d["base_rows"],
             d["base_cols"],
             keep_pair_mask,
-            add_u,
-            add_i,
-            valid,
+            add_pairs,
+            add_valid,
+            budget=B,
             n_users=self.n_users,
             n_items=self.n_items,
         )
@@ -346,7 +329,7 @@ class ViewEngine:
         return mask
 
 
-@partial(jax.jit, static_argnames=("n_users", "n_items"))
+@partial(jax.jit, static_argnames=("budget", "n_users", "n_items"))
 def _device_make_view(
     train_u,
     train_i,
@@ -355,16 +338,36 @@ def _device_make_view(
     base_rows,
     base_cols,
     keep_pair_mask,
-    add_u,
-    add_i,
+    add_pairs,
     add_valid,
     *,
+    budget: int,
     n_users: int,
     n_items: int,
 ):
-    """On-device EdgeView arrays; mirrors ViewEngine.make_view exactly."""
+    """On-device EdgeView arrays; mirrors ViewEngine.make_view exactly.
+
+    ``keep_pair_mask``/``add_valid`` may be None (keep-all / all-valid);
+    ``add_pairs`` [n, 2] is zero-padded to ``budget`` here, inside the jit.
+    """
     E = train_u.shape[0]
-    B = add_u.shape[0]
+    B = budget
+    n = add_pairs.shape[0]
+    pad = B - n
+    add_u = jnp.concatenate(
+        [add_pairs[:, 0].astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
+    )
+    add_i = jnp.concatenate(
+        [add_pairs[:, 1].astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
+    )
+    head = (
+        jnp.ones((n,), bool) if add_valid is None else jnp.asarray(add_valid, bool)
+    )
+    add_valid = jnp.concatenate([head, jnp.zeros((pad,), bool)])
+    if keep_pair_mask is None:
+        keep_pair_mask = jnp.ones((E,), bool)
+    else:
+        keep_pair_mask = jnp.asarray(keep_pair_mask, bool)
     n_nodes = n_users + n_items
     # pair keys in the default (32-bit) int lattice; make_view_on_device
     # guards the range. Invalid entries get distinct sentinel keys so they

@@ -37,7 +37,13 @@ class AttIGCN(IGCN):
         super().__init__(model_config, dataset)
         self.n_heads = model_config.get("n_heads", 4)
         self.alpha = 0.0
-        self.buffers = dict(self.buffers, alpha=jnp.asarray(0.0, dtype=jnp.float32))
+        # rebake the feat values at THIS model's alpha (IGCN.__init__ baked
+        # them at alpha=1; the spec fixes alpha=0 -> weights row_sum^-1)
+        self.buffers = dict(
+            self.buffers,
+            alpha=jnp.asarray(0.0, dtype=jnp.float32),
+            feat=self._anneal_jit(self._feat_base, self._feat_row_sum, 0.0),
+        )
         self.temperature = float(np.sqrt(self.embedding_size) * 10.0)
 
     def init_params(self, rng):
@@ -63,9 +69,9 @@ class AttIGCN(IGCN):
         d, h = self.embedding_size, self.n_heads
         emb = params["embedding"][: self.feat_n_cols]
         emb_sg = jax.lax.stop_gradient(emb)
-        # query: feat aggregation of detached embeddings at alpha=0 weights
-        scale = self._feat_edge_scale(buffers, rng, training=False)
-        x_q = spmm_bucketed(buffers["feat"], emb_sg, edge_scale=scale)
+        # query: feat aggregation of detached embeddings; the alpha=0 weights
+        # (row_sum^-1) are already baked into the layout values
+        x_q = spmm_bucketed(buffers["feat"], emb_sg)
         q = (x_q @ params["weight_q"]["w"] + params["weight_q"]["b"]).reshape(
             -1, h, d
         )

@@ -134,25 +134,19 @@ class _DOSEBase(IGCN):
                 _, uid, iid = blockwise_cosine_topk(
                     users_r, items_r, k, negate_items=negate_items
                 )
-                return uid, iid
+                # restrict remap + pair stacking stay INSIDE the jit — the
+                # tunneled backend charges ~seconds per eager dispatch
+                if r_users is not None:
+                    uid, iid = r_users[uid], r_items[iid]
+                return jnp.stack(
+                    [uid.astype(jnp.int32), iid.astype(jnp.int32)], axis=1
+                )
 
             self._cos_jit_cache[cache_key] = jax.jit(select)
-        uid, iid = self._cos_jit_cache[cache_key](
+        pairs = self._cos_jit_cache[cache_key](
             params, self.buffers, r_users, r_items
         )
-        if device:
-            # stay on device: selection output feeds make_view_on_device
-            # with no D2H/H2D round trip
-            if restrict is not None:
-                uid, iid = r_users[uid], r_items[iid]
-            return jnp.stack(
-                [uid.astype(jnp.int32), iid.astype(jnp.int32)], axis=1
-            )
-        uid, iid = np.asarray(uid), np.asarray(iid)
-        if restrict is not None:
-            uid = np.asarray(restrict[0])[uid]
-            iid = np.asarray(restrict[1])[iid]
-        return np.stack([uid, iid], axis=1)
+        return pairs if device else np.asarray(pairs)
 
     def _random_pairs(self, n):
         user_id = self._np_rng.integers(0, self.n_users, n)
@@ -358,18 +352,19 @@ class DOSE_aug4(_DOSEBase):
         k = max(min(self.aug_num, self.n_users * self.n_items), 1)
         if not hasattr(self, "_thr_jit"):
 
-            def select(params, buffers):
+            def select(params, buffers, pai):
                 rep = self.get_rep(params, training=False, buffers=buffers)
-                return blockwise_cosine_topk(
+                vals, uid, iid = blockwise_cosine_topk(
                     rep[: self.n_users], rep[self.n_users :], k, negate_items=False
                 )
+                pairs = jnp.stack(
+                    [uid.astype(jnp.int32), iid.astype(jnp.int32)], axis=1
+                )
+                return pairs, vals >= pai
 
             self._thr_jit = jax.jit(select)
-        vals, uid, iid = self._thr_jit(params, self.buffers)
-        pairs = jnp.stack([uid.astype(jnp.int32), iid.astype(jnp.int32)], axis=1)
-        return self.view_engine.make_view_on_device(
-            add_pairs=pairs, add_valid=vals >= self.pai
-        )
+        pairs, valid = self._thr_jit(params, self.buffers, jnp.float32(self.pai))
+        return self.view_engine.make_view_on_device(add_pairs=pairs, add_valid=valid)
 
 
 # ---------------------------------------------------------------------------

@@ -41,7 +41,6 @@ from inductive_recommendation_tpu.ops.bucketed_spmm import (
     spmm_bucketed_dropout,
     with_annealed_values,
 )
-from inductive_recommendation_tpu.ops.dropout import sparse_dropout
 
 
 def select_core(dataset, feature_ratio, ranking_metric):
@@ -136,17 +135,6 @@ class IGCN(BasicModel):
             alpha=jnp.asarray(self.alpha, dtype=jnp.float32),
             feat=self._anneal_jit(self._feat_base, self._feat_row_sum, self.alpha),
         )
-
-    def _feat_edge_scale(self, buffers, rng, training):
-        """Annealed degree-power weights, optionally edge-dropped — the
-        [nnz]-vector path, kept for the DOSE aug-feat matrices; the main feat
-        matrix bakes annealing into the layout instead (see
-        _build_graph_buffers)."""
-        expo = (buffers["alpha"] - 1.0) / 2.0 - 0.5
-        scale = jnp.power(buffers["feat_row_sum"][buffers["feat_row"]], expo)
-        if training and self.dropout > 0.0:
-            scale = sparse_dropout(scale, rng, self.dropout, training=True)
-        return scale
 
     # -- parameters ----------------------------------------------------------
     def init_params(self, rng):

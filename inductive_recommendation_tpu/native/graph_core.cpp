@@ -108,10 +108,25 @@ inline const char* parse_int(const char* p, const char* end, int64_t* out) {
   return p;
 }
 
+inline bool all_digits(const char* p, int n) {
+  for (int k = 0; k < n; ++k)
+    if (p[k] < '0' || p[k] > '9') return false;
+  return true;
+}
+
 inline int64_t fixed_digits(const char* p, int n) {
   int64_t v = 0;
   for (int k = 0; k < n; ++k) v = v * 10 + (p[k] - '0');
   return v;
+}
+
+// validates "%Y-%m-%dT%H:%M:%SZ" (20 chars): digit fields + separators —
+// corrupt content must fail loudly, as the reference's strptime did
+inline bool valid_iso8601z(const char* p) {
+  return all_digits(p, 4) && p[4] == '-' && all_digits(p + 5, 2) &&
+         p[7] == '-' && all_digits(p + 8, 2) && p[10] == 'T' &&
+         all_digits(p + 11, 2) && p[13] == ':' && all_digits(p + 14, 2) &&
+         p[16] == ':' && all_digits(p + 17, 2) && p[19] == 'Z';
 }
 
 std::vector<char> read_all(const char* path) {
@@ -149,8 +164,8 @@ int64_t parse_gowalla(const char* path, int64_t cap, int64_t* users,
     p = parse_int(p, end, &u);
     if (!p || p >= end || *p != '\t') return -2;
     ++p;
-    // fixed-width %Y-%m-%dT%H:%M:%SZ (20 chars)
-    if (end - p < 20) return -2;
+    // fixed-width %Y-%m-%dT%H:%M:%SZ (20 chars), content-validated
+    if (end - p < 20 || !valid_iso8601z(p)) return -2;
     const int64_t y = fixed_digits(p, 4), mo = fixed_digits(p + 5, 2),
                   d = fixed_digits(p + 8, 2), h = fixed_digits(p + 11, 2),
                   mi = fixed_digits(p + 14, 2), s = fixed_digits(p + 17, 2);
@@ -165,6 +180,9 @@ int64_t parse_gowalla(const char* path, int64_t cap, int64_t* users,
     int64_t i;
     p = parse_int(p, end, &i);
     if (!p) return -2;
+    // trailing garbage after the item id must fail (reference int() raised)
+    if (p < end && *p != '\n' && *p != '\r' && *p != ' ' && *p != '\t')
+      return -2;
     users[n] = u;
     items[n] = i;
     ts[n] = days_from_civil(y, mo, d) * 86400 + h * 3600 + mi * 60 + s;

@@ -84,14 +84,28 @@ class BucketedSpMM:
         return self.fwd.nnz
 
 
-def _build_one_side(row, col, val, eid, n_rows, n_cols, min_bucket_rows=0):
-    """Host-side: rows -> ~1.5x-stepped degree-cap buckets.
+def cap_ladder(max_deg: int):
+    """The ~1.5x-stepped degree-cap ladder shared by every bucketed layout
+    (single-device here; stacked per-shard in parallel/spmm.py).
 
-    The cap ladder bounds padding waste at ~1.2x of nnz on power-law
-    graphs (a pure power-of-two ladder costs ~1.4x; merging small caps
-    upward is catastrophic — degree-1 rows padded into large-cap buckets
-    dominated the gather count in early measurements). Tiny buckets cost
-    one small fused kernel each, which is cheaper than any padding.
+    It bounds padding waste at ~1.2x of nnz on power-law graphs (a pure
+    power-of-two ladder costs ~1.4x; merging small caps upward is
+    catastrophic — degree-1 rows padded into large-cap buckets dominated
+    the gather count in early measurements). Tiny buckets cost one small
+    fused kernel each, which is cheaper than any padding.
+    """
+    caps = []
+    c = 1
+    while c < max(max_deg, 1):
+        caps.append(c)
+        c = max(c + 1, int(c * 1.5))
+    caps.append(max(max_deg, 1))
+    return caps
+
+
+def _build_one_side(row, col, val, eid, n_rows, n_cols, min_bucket_rows=0):
+    """Host-side: rows -> degree-cap buckets (see :func:`cap_ladder`).
+
     ``min_bucket_rows`` is kept for API compatibility and ignored.
     """
     del min_bucket_rows
@@ -101,12 +115,7 @@ def _build_one_side(row, col, val, eid, n_rows, n_cols, min_bucket_rows=0):
     starts = np.concatenate([[0], np.cumsum(deg)])
 
     max_deg = int(deg.max(initial=0))
-    caps = []
-    c = 1
-    while c < max(max_deg, 1):
-        caps.append(c)
-        c = max(c + 1, int(c * 1.5))
-    caps.append(max(max_deg, 1))
+    caps = cap_ladder(max_deg)
 
     nonzero_rows = np.nonzero(deg > 0)[0]
     merged = []

@@ -39,6 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from inductive_recommendation_tpu.ops.bucketed_spmm import cap_ladder
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -87,16 +89,6 @@ class EdgeShardedSpMM:
         return self.n_cols_pad // self.n_shards
 
 
-def _cap_ladder(max_deg: int):
-    caps = []
-    c = 1
-    while c < max(max_deg, 1):
-        caps.append(c)
-        c = max(c + 1, int(c * 1.5))
-    caps.append(max(max_deg, 1))
-    return caps
-
-
 def _build_stacked_side(shards, n_rows: int) -> _StackedSide:
     """shards: per-shard (row, col_local, val, eid) COO arrays.
 
@@ -109,7 +101,7 @@ def _build_stacked_side(shards, n_rows: int) -> _StackedSide:
     S = len(shards)
     degs = [np.bincount(r.astype(np.int64), minlength=n_rows) for r, _, _, _ in shards]
     max_deg = max(int(d.max(initial=0)) for d in degs)
-    caps = _cap_ladder(max_deg)
+    caps = cap_ladder(max_deg)
 
     sorted_shards, starts_all = [], []
     for (r, c, v, e), d in zip(shards, degs):

@@ -176,3 +176,27 @@ def test_inductive_attach_new_dataset(ds):
     new_user_rep = rep[ds.n_users : new_ds.n_users]
     assert np.abs(new_user_rep).sum() > 0
     assert np.isfinite(rep).all()
+
+
+def test_attigcn_query_weights_are_alpha_zero(ds):
+    """Regression: AttIGCN's query aggregation must use alpha=0 weights
+    (row_sum^-1, model.py:4231-4232) — the baked layout is rebaked at THIS
+    model's alpha, not IGCN.__init__'s alpha=1, and no extra scale is
+    applied on top. Stays alpha=0 through feat_mat_anneal."""
+    from inductive_recommendation_tpu.ops import spmm_bucketed
+
+    model = get_model(
+        {"name": "AttIGCN", "embedding_size": 16, "n_layers": 2, "dropout": 0.0,
+         "feature_ratio": 1.0},
+        ds,
+    )
+    emb = np.random.default_rng(0).normal(size=(model.feat_n_cols, 16)).astype(
+        np.float32
+    )
+    out = np.asarray(spmm_bucketed(model.buffers["feat"], jnp.asarray(emb)))
+    oracle = _dense_feat_oracle(ds, model.user_map, model.item_map, 0.0) @ emb
+    np.testing.assert_allclose(out, oracle, rtol=1e-4, atol=1e-4)
+
+    model.feat_mat_anneal()  # alpha stays 0 -> weights unchanged
+    out2 = np.asarray(spmm_bucketed(model.buffers["feat"], jnp.asarray(emb)))
+    np.testing.assert_allclose(out2, oracle, rtol=1e-4, atol=1e-4)
