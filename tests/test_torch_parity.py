@@ -130,3 +130,127 @@ def test_lightgcn_training_parity(setup):
         rtol=5e-3,
         atol=5e-5,
     )
+
+
+def test_igcn_training_parity():
+    """The flagship: our jitted IGCN step (baked annealed feat weights + aux
+    BPR with w) vs an independent torch replica of the reference math
+    (model.py:4107-4220 + trainer.py:518-561), identical weights/batches.
+    Dropout off for determinism; anneal applied between steps on both sides."""
+    ds = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 40,
+            "n_items": 30,
+            "n_interactions": 500,
+            "seed": 7,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+    model = get_model(
+        {
+            "name": "IGCN",
+            "embedding_size": 16,
+            "n_layers": 2,
+            "dropout": 0.0,
+            "feature_ratio": 1.0,
+            "table_align": 1,
+        },
+        ds,
+    )
+    n = ds.n_users + ds.n_items
+    C = model.feat_n_cols
+    d, lr, l2_reg, aux_reg = 16, 1e-2, 1e-3, 0.01
+    rng = np.random.default_rng(1)
+    emb0 = rng.standard_normal((C, d)).astype(np.float32) * 0.1
+    batches = [
+        (
+            rng.integers(0, ds.n_users, 64),
+            rng.integers(0, ds.n_items, 64),
+            rng.integers(0, ds.n_items, 64),
+            rng.integers(0, model.user_dim, 64),  # aux (core ids)
+            rng.integers(0, model.item_dim, 64),
+            rng.integers(0, model.item_dim, 64),
+        )
+        for _ in range(4)
+    ]
+
+    # ---- torch replica ----
+    feat_counts = torch.zeros((n, C), dtype=torch.float64)
+    um, im = model.user_map, model.item_map
+    for u, i in np.asarray(ds.train_array):
+        feat_counts[u, model.user_dim + im[i]] += 1.0
+        feat_counts[ds.n_users + i, um[u]] += 1.0
+    feat_counts[: ds.n_users, model.user_dim + model.item_dim] += 1.0
+    feat_counts[ds.n_users :, model.user_dim + model.item_dim + 1] += 1.0
+    row_sum = feat_counts.sum(dim=1)
+    A = torch_norm_adj(ds).to(torch.float32)
+
+    emb_t = torch.nn.Parameter(torch.tensor(emb0))
+    w_t = torch.nn.Parameter(torch.ones(d))
+    opt = torch.optim.Adam([emb_t, w_t], lr=lr)
+    t_losses = []
+    alpha = 1.0
+    for users, pos, neg, au, ap, an in batches:
+        weights = row_sum ** ((alpha - 1.0) / 2.0 - 0.5)
+        feat = (feat_counts * weights[:, None]).to(torch.float32)
+        h = feat @ emb_t
+        acc = h.clone()
+        x = h
+        for _ in range(2):
+            x = A @ x
+            acc = acc + x
+        rep = acc / 3.0
+        u_r, p_r, n_r = rep[users], rep[ds.n_users + pos], rep[ds.n_users + neg]
+        l2 = (
+            (u_r**2).sum(dim=1) + (p_r**2).sum(dim=1) + (n_r**2).sum(dim=1)
+        )
+        loss = torch.nn.functional.softplus(
+            (u_r * n_r).sum(1) - (u_r * p_r).sum(1)
+        ).mean() + l2_reg * l2.mean()
+        pos_s = (emb_t[au] * emb_t[model.user_dim + ap] * w_t[None]).sum(1)
+        neg_s = (emb_t[au] * emb_t[model.user_dim + an] * w_t[None]).sum(1)
+        loss = loss + aux_reg * torch.nn.functional.softplus(neg_s - pos_s).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss))
+        alpha *= 0.99  # feat_mat_anneal between steps
+
+    # ---- our jitted step ----
+    params = {"embedding": jnp.asarray(emb0), "w": jnp.ones((d,), jnp.float32)}
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    def step(params, opt_state, buffers, users, pos, neg, au, ap, an):
+        def loss_fn(p):
+            u_r, p_r, n_r, l2 = model.bpr_forward(
+                p, users, pos, neg, training=False, buffers=buffers
+            )
+            bpr = L.bpr_loss(u_r, p_r, n_r)
+            emb, w = p["embedding"], p["w"]
+            pos_s = jnp.sum(emb[au] * emb[model.user_dim + ap] * w[None], axis=1)
+            neg_s = jnp.sum(emb[au] * emb[model.user_dim + an] * w[None], axis=1)
+            aux = jnp.mean(jax.nn.softplus(neg_s - pos_s))
+            return bpr + l2_reg * l2.mean() + aux_reg * aux
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step)
+    j_losses = []
+    for users, pos, neg, au, ap, an in batches:
+        args = [jnp.asarray(a.astype(np.int32)) for a in (users, pos, neg, au, ap, an)]
+        params, opt_state, loss = jstep(params, opt_state, model.buffers, *args)
+        j_losses.append(float(loss))
+        model.feat_mat_anneal()
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["embedding"]), emb_t.detach().numpy(), rtol=5e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), w_t.detach().numpy(), rtol=5e-3, atol=5e-4
+    )
