@@ -185,3 +185,22 @@ def test_edge_sharded_bpr_step_matches_single_device():
     assert all(np.isfinite(l) for l in losses)
     # the table stays sharded through the optimizer update
     assert not params["embedding"].sharding.is_fully_replicated
+
+
+def test_per_device_memory_shrinks_with_shards(rng):
+    """Weak-scaling property: each device holds ~1/S of the layout and of
+    the operand (addressable-shard sizes, not just global shapes)."""
+    n = 64
+    row, col, val = _random_coo(rng, n, n, 900)
+    mesh = make_mesh(n_data=1, n_model=8)
+    mat = build_edge_sharded_spmm(row, col, val, (n, n), 8)
+    x = shard_operand(np.ones((n, 16), np.float32), mat, mesh)
+    shard_rows = {s.data.shape[0] for s in x.addressable_shards}
+    assert shard_rows == {mat.n_cols_pad // 8}
+    # stacked layout leaves are sharded on their leading shard axis
+    leaves = jax.tree_util.tree_leaves(mat.fwd)
+    placed = jax.device_put(
+        leaves[0],
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("model")),
+    )
+    assert placed.addressable_shards[0].data.shape[0] == 1
