@@ -77,33 +77,6 @@ def build_sampler_state(train_data, n_items) -> SamplerState:
     )
 
 
-def _is_member(state: SamplerState, users: jnp.ndarray, cands: jnp.ndarray):
-    """Vectorized membership: (users[b], cands[b]) in the train set?
-
-    Fixed-iteration lower-bound binary search within each user's sorted
-    slice of ``items_flat``.
-    """
-    E = state.items_flat.shape[0]
-    if E == 0:
-        return jnp.zeros(users.shape, dtype=bool)
-    lo = state.offsets[users]
-    hi = lo + state.deg[users]
-    n_iter = max(1, int(np.ceil(np.log2(max(E, 2)))) + 1)
-
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = (lo + hi) // 2
-        v = state.items_flat[jnp.clip(mid, 0, E - 1)]
-        go_right = v < cands
-        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
-    in_range = lo < state.offsets[users] + state.deg[users]
-    return jnp.logical_and(
-        in_range, state.items_flat[jnp.clip(lo, 0, E - 1)] == cands
-    )
-
-
 def sample_bpr_batch(
     state: SamplerState,
     rng: jax.Array,
@@ -146,12 +119,17 @@ def sample_bpr_batch(
         lo, hi = lohi
         mid = (lo + hi) // 2
         p_mid = state.items_flat[jnp.clip(off + mid, 0, max(E - 1, 0))]
-        go_right = p_mid - mid <= r
+        # guard mid < hi: once converged (lo == hi), mid indexes one PAST the
+        # user's slice (the next user's items) — comparing against it pushed
+        # lo to deg+1, shifting every rank past the last positive by +1 and
+        # emitting ids up to n_items (out of catalog)
+        go_right = jnp.logical_and(p_mid - mid <= r, mid < hi)
         return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
 
     lo, hi = jax.lax.fori_loop(
         0, max_deg, body, (jnp.zeros_like(deg), deg)
     )
+    lo = jnp.minimum(lo, deg)  # belt and braces: lo in [0, deg] by invariant
     neg = (r + lo).astype(pos_items.dtype)
     neg_items = neg.reshape(batch_size, neg_ratio)
     return users, pos_items, neg_items

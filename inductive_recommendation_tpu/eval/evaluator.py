@@ -56,24 +56,34 @@ class Evaluator:
         # padded exclusion rows (sentinel n_items scatters into a dropped
         # col); uploaded to device ONCE — per-batch host slicing costs an
         # H2D transfer per batch, which dominates eval on remote backends
-        self._train_excl, _ = pad_user_lists(dataset.train_data, n_items, sort=False)
+        from inductive_recommendation_tpu.data.dataset import device_padded_from_lists
+
         trainval = [
             list(t) + list(v) for t, v in zip(dataset.train_data, dataset.val_data)
         ]
-        self._trainval_excl, _ = pad_user_lists(trainval, n_items, sort=False)
-        from inductive_recommendation_tpu.data.dataset import device_padded_from_lists
-
         self._train_excl_dev = device_padded_from_lists(dataset.train_data, n_items)
         self._trainval_excl_dev = device_padded_from_lists(trainval, n_items)
-        # jit caches keyed per model object (the evaluator outlives none of
-        # them, but stays correct if several models share one dataset)
+        self._trainval_lists = trainval
+        # the HOST-padded O(n_users * max_degree) matrices are only consumed
+        # by the sharded mesh path — built lazily there
+        self._host_excl_cache = {}
+        # jit caches keyed per model object + its trace signature (python
+        # state the traced functions read, e.g. NeuMF's arch phase — a stale
+        # trace would silently score with the previous architecture)
         self._fn_cache = {}
 
+    def _host_excl(self, stage):
+        if stage not in self._host_excl_cache:
+            lists = (
+                self._trainval_lists if stage == "test" else self.dataset.train_data
+            )
+            self._host_excl_cache[stage] = pad_user_lists(
+                lists, self.dataset.n_items, sort=False
+            )[0]
+        return self._host_excl_cache[stage]
+
     def _fns(self, model):
-        key = id(model)
-        if key in self._fn_cache and self._fn_cache[key][0] is not model:
-            # id() reuse after a model was garbage-collected
-            del self._fn_cache[key]
+        key = (id(model), model.trace_signature())
         if key not in self._fn_cache:
             k_max = self.k_max
 
@@ -130,7 +140,7 @@ class Evaluator:
                 return jax.lax.fori_loop(0, n_batches, body, init)
 
             self._fn_cache[key] = (
-                model,  # keeps the model alive so its id cannot be reused
+                model,  # strong ref: a live entry's id can never be reused
                 jax.jit(scoring_state),
                 jax.jit(rec_masked),
                 jax.jit(rec_plain),
@@ -143,11 +153,11 @@ class Evaluator:
         ds = self.dataset
         n_users, n_items = ds.n_users, ds.n_items
         if stage == "test":
-            excl, excl_dev = self._trainval_excl, self._trainval_excl_dev
+            excl_dev = self._trainval_excl_dev
         elif stage == "val":
-            excl, excl_dev = self._train_excl, self._train_excl_dev
+            excl_dev = self._train_excl_dev
         else:
-            excl = excl_dev = None
+            excl_dev = None
         banned = None
         if banned_items is not None:
             b = np.zeros(n_items, dtype=bool)
@@ -170,7 +180,9 @@ class Evaluator:
                     n_users,
                     n_items,
                     k=self.k_max,
-                    exclude_rows=np.asarray(excl) if excl is not None else None,
+                    exclude_rows=(
+                        self._host_excl(stage) if stage in ("val", "test") else None
+                    ),
                     banned_items=banned_items,
                     batch_size=self.test_batch_size,
                 )

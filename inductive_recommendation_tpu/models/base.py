@@ -52,6 +52,13 @@ class BasicModel:
         a = max(self.table_align, 1)
         return -(-n // a) * a
 
+    def trace_signature(self):
+        """Hashable snapshot of any mutable python state the model's traced
+        functions read (jit-cache key component). Models whose forward
+        depends on a python attribute (e.g. NeuMF's ``arch`` phase) MUST
+        override this — otherwise a cached trace keeps the old behavior."""
+        return None
+
     def _buf(self, buffers):
         return self.buffers if buffers is None else buffers
 

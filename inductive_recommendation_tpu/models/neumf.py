@@ -56,6 +56,12 @@ class NeuMF(BasicModel):
         new["output_w"] = jnp.ones_like(params["output_w"])
         return new
 
+    def trace_signature(self):
+        # score()/bce_forward read self.arch at TRACE time; the evaluator's
+        # jit cache must not reuse a previous phase's trace (BCETrainer's
+        # gmf -> mlp -> neumf schedule, trainer.py:575-588)
+        return self.arch
+
     def bce_forward(self, params, users, items, arch=None):
         """-> (logits, l2_norm_sq) per model.py:4441-4460."""
         arch = arch or self.arch

@@ -38,12 +38,17 @@ def load_checkpoint(path):
 
 def restore_like(template, restored):
     """Coerce a restored (dict-of-numpy) tree onto the dtypes/structure of
-    ``template`` (msgpack loses tuple/list distinctions in opt states)."""
-    flat_t, treedef = jax.tree_util.tree_flatten(template)
-    flat_r = jax.tree_util.tree_leaves(restored)
-    assert len(flat_t) == len(flat_r), "checkpoint structure mismatch"
-    coerced = [
-        np.asarray(r).astype(np.asarray(t).dtype).reshape(np.shape(t))
-        for t, r in zip(flat_t, flat_r)
-    ]
-    return jax.tree_util.tree_unflatten(treedef, coerced)
+    ``template`` (msgpack loses tuple/list distinctions in opt states).
+
+    Restoration is BY PATH (flax from_state_dict), not by flatten order —
+    msgpack turns lists into dicts keyed '0', '1', ..., whose lexicographic
+    leaf order ('0', '1', '10', '2', ...) silently permutes equal-shaped
+    entries once a serialized list exceeds 10 elements."""
+    restored_t = serialization.from_state_dict(template, restored)
+    return jax.tree_util.tree_map(
+        lambda t, r: np.asarray(r)
+        .astype(np.asarray(t).dtype)
+        .reshape(np.shape(t)),
+        template,
+        restored_t,
+    )

@@ -33,12 +33,27 @@ from inductive_recommendation_tpu.train.checkpoint import (
     restore_like,
     save_checkpoint,
 )
-from inductive_recommendation_tpu.train.meters import AverageMeter
 
 OPTIMIZERS = {
     "Adam": optax.adam,
     "SGD": optax.sgd,
 }
+
+
+def _epoch_mean(losses):
+    """Weighted mean of an epoch's per-step losses, fetched in ONE
+    device->host transfer at epoch end — a float() per step blocks on a
+    device round trip per step (multi-ms each on tunneled backends).
+
+    ``losses``: list of device scalars (uniform weights) or (scalar, weight)
+    tuples (MLTrainer's partial last batch)."""
+    if not losses:
+        return 0.0
+    if isinstance(losses[0], tuple):
+        vals = jax.device_get([l for l, _ in losses])
+        weights = np.asarray([w for _, w in losses], dtype=np.float64)
+        return float(np.average(np.asarray(vals, dtype=np.float64), weights=weights))
+    return float(np.mean(np.asarray(jax.device_get(losses), dtype=np.float64)))
 
 
 class BasicTrainer:
@@ -140,7 +155,9 @@ class BasicTrainer:
         if not os.path.exists("checkpoints"):
             os.mkdir("checkpoints")
         patience = self.max_patience
-        for self.epoch in range(self.n_epochs):
+        # resume-aware: self.epoch counts COMPLETED epochs (0 when fresh;
+        # restored by load_state) — a restored run continues, not replays
+        for self.epoch in range(self.epoch, self.n_epochs):
             start_time = time.time()
             loss = self.train_one_epoch()
             if writer:
@@ -178,7 +195,8 @@ class BasicTrainer:
 
             ndcg = metrics["NDCG"][self.topks[4]]
             if ndcg > self.best_ndcg:
-                if self.save_path:
+                if self.save_path and os.path.exists(self.save_path):
+                    # a restored save_path may point at a deleted file
                     os.remove(self.save_path)
                 self.save_path = os.path.join(
                     "checkpoints",
@@ -250,7 +268,7 @@ class BPRTrainer(BasicTrainer):
         self._step = jax.jit(step, donate_argnums=(0, 1))
 
     def train_one_epoch(self):
-        losses = AverageMeter()
+        losses = []
         for _ in range(self.steps_per_epoch):
             self.params, self.opt_state, loss = self._step(
                 self.params,
@@ -259,8 +277,8 @@ class BPRTrainer(BasicTrainer):
                 self.sampler,
                 self._next_seed(),
             )
-            losses.update(float(loss), self.batch_size)
-        return losses.avg
+            losses.append(loss)
+        return _epoch_mean(losses)
 
 
 class IGCNTrainer(BasicTrainer):
@@ -321,7 +339,7 @@ class IGCNTrainer(BasicTrainer):
         self._step = jax.jit(step, donate_argnums=(0, 1))
 
     def train_one_epoch(self):
-        losses = AverageMeter()
+        losses = []
         for _ in range(self.steps_per_epoch):
             self.params, self.opt_state, loss = self._step(
                 self.params,
@@ -331,9 +349,9 @@ class IGCNTrainer(BasicTrainer):
                 self.aux_sampler,
                 self._next_seed(),
             )
-            losses.update(float(loss), self.batch_size)
+            losses.append(loss)
         self.model.feat_mat_anneal()
-        return losses.avg
+        return _epoch_mean(losses)
 
 
 class SGLTrainer(BasicTrainer):
@@ -375,7 +393,7 @@ class SGLTrainer(BasicTrainer):
         self._step = jax.jit(step, donate_argnums=(0, 1))
 
     def train_one_epoch(self):
-        losses = AverageMeter()
+        losses = []
         for _ in range(self.steps_per_epoch):
             self.params, self.opt_state, loss = self._step(
                 self.params,
@@ -384,9 +402,9 @@ class SGLTrainer(BasicTrainer):
                 self.sampler,
                 self._next_seed(),
             )
-            losses.update(float(loss), self.batch_size)
+            losses.append(loss)
         self.model.update_aug_adj(self.params)
-        return losses.avg
+        return _epoch_mean(losses)
 
 
 class HALFTrainer(SGLTrainer):
@@ -450,7 +468,7 @@ class DOSEaugTrainer(BasicTrainer):
         self._step = jax.jit(step, donate_argnums=(0, 1))
 
     def train_one_epoch(self):
-        losses = AverageMeter()
+        losses = []
         for _ in range(self.steps_per_epoch):
             self.params, self.opt_state, loss = self._step(
                 self.params,
@@ -460,10 +478,10 @@ class DOSEaugTrainer(BasicTrainer):
                 self.aux_sampler,
                 self._next_seed(),
             )
-            losses.update(float(loss), self.batch_size)
+            losses.append(loss)
         self.model.feat_mat_anneal()
         self.model.update_aug_adj(self.params)
-        return losses.avg
+        return _epoch_mean(losses)
 
 
 class DOSEdropTrainer(DOSEaugTrainer):
@@ -513,7 +531,7 @@ class IDCFTrainer(BasicTrainer):
         self._step = jax.jit(step, donate_argnums=(0, 1))
 
     def train_one_epoch(self):
-        losses = AverageMeter()
+        losses = []
         for _ in range(self.steps_per_epoch):
             self.params, self.opt_state, loss = self._step(
                 self.params,
@@ -522,8 +540,8 @@ class IDCFTrainer(BasicTrainer):
                 self.sampler,
                 self._next_seed(),
             )
-            losses.update(float(loss), self.batch_size)
-        return losses.avg
+            losses.append(loss)
+        return _epoch_mean(losses)
 
 
 class BCETrainer(BasicTrainer):
@@ -594,13 +612,13 @@ class BCETrainer(BasicTrainer):
         if arch not in self._arch_steps:
             self._arch_steps[arch] = self._make_step(arch)
         step = self._arch_steps[arch]
-        losses = AverageMeter()
+        losses = []
         for _ in range(self.steps_per_epoch):
             self.params, self.opt_state, loss = step(
                 self.params, self.opt_state, self.sampler, self._next_seed()
             )
-            losses.update(float(loss), self.batch_size * (1 + self.neg_ratio))
-        return losses.avg
+            losses.append(loss)
+        return _epoch_mean(losses)
 
 
 class MLTrainer(BasicTrainer):
@@ -643,7 +661,7 @@ class MLTrainer(BasicTrainer):
     def train_one_epoch(self):
         kl_reg = min(self.kl_reg, 1.0 * self.epoch / max(self.n_epochs, 1))
         perm = np.random.permutation(self.dataset.n_users)
-        losses = AverageMeter()
+        losses = []
         B = self.batch_size
         for start in range(0, len(perm), B):
             users = perm[start : start + B]
@@ -661,8 +679,8 @@ class MLTrainer(BasicTrainer):
                 np.float32(kl_reg),
                 self._next_seed(),
             )
-            losses.update(float(loss), n)
-        return losses.avg
+            losses.append((loss, n))
+        return _epoch_mean(losses)
 
 
 TRAINERS = {

@@ -174,3 +174,29 @@ def test_output_dataset_roundtrip(tmp_path):
     assert np.asarray(back.train_array).tolist() == (
         np.asarray(src.train_array).tolist()
     )
+
+
+def test_sampler_complement_exact_distribution():
+    """Regression: the complement-rank binary search must not overshoot when
+    the rank lands past the LAST positive — previously the item right after
+    the last positive was never sampled, later ids shifted +1, and ids could
+    reach n_items (out of catalog)."""
+    train_data = [[0, 1, 2, 3, 4], [3]]
+    n_items = 100
+    state = build_sampler_state(train_data, n_items)
+    _, _, neg = jax.jit(
+        lambda r: sample_bpr_batch(state, r, 4096, neg_ratio=2)
+    )(jax.random.key(5))
+    users, pos, neg = sample_bpr_batch(state, jax.random.key(5), 8192)
+    users, neg = np.asarray(users), np.asarray(neg).ravel()
+    assert neg.max() < n_items and neg.min() >= 0
+    u0 = neg[users == 0]
+    counts = np.bincount(u0, minlength=n_items)
+    # items 0-4 are positives of user 0: never negative
+    assert counts[:5].sum() == 0
+    # item 5 (right after the last positive) must be drawn like any other
+    expected = len(u0) / 95
+    assert counts[5] > 0.4 * expected, (counts[5], expected)
+    # uniformity over the complement (loose chi-square-ish bound)
+    live = counts[5:]
+    assert live.min() > 0.3 * expected and live.max() < 2.5 * expected

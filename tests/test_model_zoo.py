@@ -170,3 +170,31 @@ def test_idcf_lgcn(ds, tmp_path):
         np.asarray(trainer.model.buffers["frozen_embedding"]),
         np.asarray(params["embedding"]),
     )
+
+
+def test_evaluator_tracks_neumf_arch_phase(ds):
+    """Regression: the Evaluator's jit cache must key on NeuMF's arch phase —
+    a stale gmf-phase trace silently scored phases 2/3 of BCETrainer."""
+    model = get_model(
+        {
+            "name": "NeuMF",
+            "embedding_size": 8,
+            "layer_sizes": [16, 8],
+            "neg_ratio": 2,
+        },
+        ds,
+    )
+    from inductive_recommendation_tpu.eval.evaluator import Evaluator
+
+    params = model.init_params(jax.random.key(0))
+    ev = Evaluator(ds, [5, 10], test_batch_size=16)
+    model.arch = "gmf"
+    _, m_gmf = ev.evaluate(model, params, "val")
+    model.arch = "neumf"
+    _, m_neumf = ev.evaluate(model, params, "val")
+    fresh = Evaluator(ds, [5, 10], test_batch_size=16)
+    _, m_fresh = fresh.evaluate(model, params, "val")
+    assert m_neumf["NDCG"][10] == m_fresh["NDCG"][10]
+    model.arch = "gmf"
+    _, m_gmf2 = ev.evaluate(model, params, "val")
+    assert m_gmf2["NDCG"][10] == m_gmf["NDCG"][10]

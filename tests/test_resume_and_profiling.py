@@ -99,3 +99,23 @@ def test_nan_check_and_timer():
     timer.start()
     timer.stop(np.ones(2))
     assert timer.mean_ms >= 0
+
+
+def test_restore_like_long_lists_not_permuted(tmp_path):
+    """Regression: msgpack turns lists into dicts keyed '0'..'11'; a
+    flatten-order restore permutes entries lexicographically ('0','1','10',
+    '11','2',...). restore_like must restore BY PATH."""
+    import numpy as np
+    from inductive_recommendation_tpu.train.checkpoint import (
+        load_checkpoint,
+        restore_like,
+        save_checkpoint,
+    )
+
+    params = {"layers": [np.full((2, 2), float(i)) for i in range(12)]}
+    path = str(tmp_path / "long.ckpt")
+    save_checkpoint(path, params)
+    template = {"layers": [np.zeros((2, 2)) for _ in range(12)]}
+    out = restore_like(template, load_checkpoint(path)["params"])
+    for i, layer in enumerate(out["layers"]):
+        np.testing.assert_array_equal(layer, np.full((2, 2), float(i)))
