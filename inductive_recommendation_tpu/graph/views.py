@@ -264,8 +264,12 @@ class ViewEngine:
         train step's no-scatter rule by design (once per epoch, not per
         step)."""
         # pair keys must fit the default 32-bit int lattice (x64 is off);
-        # beyond that, fall back to the host builder
-        if self.n_users * self.n_items + self.delta_budget >= 2**31:
+        # beyond that — or on a degenerate empty train set, whose zero-length
+        # gathers are undefined inside jit — fall back to the host builder
+        if (
+            self.n_users * self.n_items + self.delta_budget >= 2**31
+            or len(self.train_pairs) == 0
+        ):
             add_host = None if add_pairs is None else np.asarray(add_pairs)
             if add_host is not None and add_valid is not None:
                 add_host = add_host[np.asarray(add_valid)]

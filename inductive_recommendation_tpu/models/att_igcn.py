@@ -48,11 +48,11 @@ class AttIGCN(IGCN):
 
     def init_params(self, rng):
         r_emb, r_q, r_k = jax.random.split(rng, 3)
-        d, h = self.embedding_size, 4
-        h = getattr(self, "n_heads", 4)
+        d = self.embedding_size
+        h = self.n_heads
         return {
             "embedding": kaiming_uniform_init(
-                r_emb, (self.feat_n_cols, self.embedding_size)
+                r_emb, (self._align_rows(self.feat_n_cols), self.embedding_size)
             ),
             "weight_q": {
                 "w": kaiming_uniform_init(r_q, (d * h, d)).T,

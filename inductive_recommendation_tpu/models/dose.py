@@ -501,6 +501,13 @@ class DOSE_aug_drop2(_DOSEBase):
         # both 'aug' and 'drop' resolve to the union (no-op drop quirk)
         return self.view_engine.make_view_on_device(add_pairs=pairs)
 
+    def update_aug_adj(self, params=None):
+        # one selection, one view build/bake: both keys ARE the same union
+        # graph (the reference's no-op drop) — do not run the full-catalog
+        # cos-topk selection twice per epoch
+        v = bake_view(self.view_engine.base, self._make_view("aug_adj", params))
+        self.buffers = dict(self.buffers, aug_adj=v, drop_adj=v)
+
     def _contrastive(self, params, b, users, users_r, rng, training):
         v = self.view_users(params, b, "drop_adj", users, rng, training)
         return info_nce(users_r, v, v)
@@ -519,6 +526,21 @@ class DOSE_aug_drop3(_DOSEBase):
             return self.view_engine.make_view_on_device(add_pairs=pairs)
         return self.view_engine.make_view_on_device(
             keep_pair_mask=self.view_engine.keep_mask_from_drop_pairs_on_device(pairs)
+        )
+
+    def update_aug_adj(self, params=None):
+        # ONE cos-topk selection feeds both graphs (model.py:3473-3497) —
+        # the per-key recipe would re-run the full-catalog selection twice
+        eng = self.view_engine
+        pairs = self._cos_pairs(params, self.aug_num, negate_items=False, device=True)
+        aug = eng.make_view_on_device(add_pairs=pairs)
+        drop = eng.make_view_on_device(
+            keep_pair_mask=eng.keep_mask_from_drop_pairs_on_device(pairs)
+        )
+        self.buffers = dict(
+            self.buffers,
+            aug_adj=bake_view(eng.base, aug),
+            drop_adj=bake_view(eng.base, drop),
         )
 
     def _contrastive(self, params, b, users, users_r, rng, training):

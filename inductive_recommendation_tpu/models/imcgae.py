@@ -60,14 +60,19 @@ class IMCGAE(BasicModel):
         h = jnp.concatenate([u_rep, i_rep], axis=0)
         if self.n_layers == 0:
             return h
-        use_dropout = training and rng is not None
+        use_dropout = training and rng is not None and self.dropout > 0.0
         keys = (
             jax.random.split(rng, self.n_layers)
             if use_dropout
             else jnp.zeros((self.n_layers, 2), dtype=jnp.uint32)
         )
+        # per-layer decayed rate, clamped at 0: the reference's
+        # dropout - 0.1*i (model.py:4331-4334) goes negative for small
+        # dropout configs, where torch F.dropout would raise — clamping
+        # makes deep layers no-ops instead of silently DOWN-scaling
         rates = jnp.asarray(
-            [self.dropout - 0.1 * i for i in range(self.n_layers)], jnp.float32
+            [max(self.dropout - 0.1 * i, 0.0) for i in range(self.n_layers)],
+            jnp.float32,
         )
         inv_scale = jnp.asarray(
             [1.0 / (i + 2) for i in range(self.n_layers)], jnp.float32
@@ -79,7 +84,8 @@ class IMCGAE(BasicModel):
             if use_dropout:
                 keep = jax.random.uniform(key, (n_u + n_i,)) >= rate
                 mask = jnp.where(keep, 1.0 / jnp.maximum(1.0 - rate, 1e-6), 0.0)
-                h = h * mask[:, None]
+                # rate <= 0 (clamped decay): identity, not a rescale
+                h = jnp.where(rate > 0.0, h * mask[:, None], h)
             h = spmm(b["norm_adj"], h)
             return (h, final + h * s), None
 

@@ -54,8 +54,11 @@ class ItemKNN(BasicModel):
         deg_d = jnp.asarray(item_deg)
         k = min(self.k, n_items)
 
+        # the big buffers (rt layout, padded item-user rows) are jit ARGUMENTS
+        # — closure constants get baked into the compiled payload and break
+        # the remote-compile size limit at real graph sizes (CLAUDE.md)
         @jax.jit
-        def block_topk(block_ids):
+        def block_topk(rt, iu_padded, deg_d, block_ids):
             # dense user-columns for the block's items: [n_users, bs]
             rows = iu_padded[block_ids]  # [bs, L]
             bs = rows.shape[0]
@@ -73,7 +76,7 @@ class ItemKNN(BasicModel):
             ids = np.arange(start, min(start + block, n_items))
             pad = block - len(ids)
             ids_p = np.concatenate([ids, np.zeros(pad, ids.dtype)])
-            tv, ti = block_topk(jnp.asarray(ids_p))
+            tv, ti = block_topk(rt, iu_padded, deg_d, jnp.asarray(ids_p))
             tv = np.asarray(tv[: len(ids)])
             ti = np.asarray(ti[: len(ids)])
             rows_out.append(np.repeat(ids, k))

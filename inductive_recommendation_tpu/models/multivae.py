@@ -82,6 +82,9 @@ class MultiVAE(BasicModel):
         mean = h[:, : self.mid_size]
         log_var = h[:, -self.mid_size :]
         std = jnp.exp(0.5 * log_var)
+        # NOTE: this is the REFERENCE's exact KL payload (model.py:4392) —
+        # 2*KL(N(mu,sigma)||N(0,1)) + D, i.e. it omits the textbook 0.5
+        # factor and the -1 term; reproduced for config/loss parity
         kl = jnp.sum(-log_var + jnp.exp(log_var) + mean**2, axis=1)
         if training and rng is not None:
             eps = jax.random.normal(rng, mean.shape)

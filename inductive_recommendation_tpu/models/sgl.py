@@ -16,10 +16,9 @@ from __future__ import annotations
 import numpy as np
 
 from inductive_recommendation_tpu.graph import (
-    bipartite_edges,
     coo_from_edges,
     coo_to_device,
-    sym_normalize_values,
+    sym_normalized_adjacency,
 )
 from inductive_recommendation_tpu.graph.views import (
     ViewEngine,
@@ -36,19 +35,16 @@ def padded_view_coo(pairs, n_users, n_items, nnz_budget):
     """(u, i) pairs -> sym-normalized padded COO device container of a FIXED
     nnz size. Used for one-shot static graphs (e.g. TEST's dropped main
     adjacency); per-epoch views use EdgeView instead."""
-    pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
-    row, col = bipartite_edges(pairs, n_users, n_items)
+    row, col, val = sym_normalized_adjacency(pairs, n_users, n_items)
     n = n_users + n_items
-    keys = row * n + col
-    uniq, counts = np.unique(keys, return_counts=True)
-    row = (uniq // n).astype(np.int64)
-    col = (uniq % n).astype(np.int64)
-    val = sym_normalize_values(row, col, n, counts.astype(np.float32))
     prow, pcol, pval = coo_from_edges(row, col, val, (n, n), nnz_pad=nnz_budget)
     return coo_to_device(prow, pcol, pval, (n, n))
 
 
 class SGL(LightGCN):
+    #: number of augmentation views (HALF keeps one, model.py:270-271)
+    _n_views = 2
+
     def __init__(self, model_config, dataset):
         super().__init__(model_config, dataset)
         self.aug_rate = model_config.get("aug_rate", 0.8)
@@ -56,12 +52,10 @@ class SGL(LightGCN):
         self.view_engine = ViewEngine(
             dataset.train_array, self.n_users, self.n_items, delta_budget=0
         )
-        self.buffers = dict(
-            self.buffers,
-            view_base=self.view_engine.base,
-            aug_adj1=self._drop_view(),
-            aug_adj2=self._drop_view(),
-        )
+        views = {
+            f"aug_adj{i + 1}": self._drop_view() for i in range(self._n_views)
+        }
+        self.buffers = dict(self.buffers, view_base=self.view_engine.base, **views)
 
     def _drop_view(self):
         """Random-keep view, generated and baked entirely on device."""
@@ -107,10 +101,7 @@ class SGL(LightGCN):
 
 
 class HALF(SGL):
-    def __init__(self, model_config, dataset):
-        super().__init__(model_config, dataset)
-        # single view (model.py:270-271)
-        self.buffers = {k: v for k, v in self.buffers.items() if k != "aug_adj2"}
+    _n_views = 1  # single view (model.py:270-271)
 
     def update_aug_adj(self, params=None):
         self.buffers = dict(self.buffers, aug_adj1=self._drop_view())

@@ -145,7 +145,9 @@ def _attn_kernel(q_ref, keys_ref, vals_ref, mask_ref, temp_ref, out_ref):
     out_ref[:] = run_out / jnp.maximum(run_den, 1e-12)[:, None]
 
 
-def attention_spmm_pallas_tile(q_tile, keys_tile, vals_tile, mask_tile, temperature):
+def attention_spmm_pallas_tile(
+    q_tile, keys_tile, vals_tile, mask_tile, temperature, interpret=False
+):
     """Fused single-head forward for one pre-gathered tile: scores, the
     streaming-softmax statistics, and attention weights live only in
     VMEM/registers — nothing [T, K]-shaped is written to HBM. Multi-head
@@ -156,6 +158,16 @@ def attention_spmm_pallas_tile(q_tile, keys_tile, vals_tile, mask_tile, temperat
 
     T = q_tile.shape[0]
     dv = vals_tile.shape[-1]
+    # pad the slot axis to a multiple of the kernel's 128-wide chunks —
+    # the fori_loop runs K // 128 chunks, so a ragged tail (cap-ladder caps
+    # are never multiples of 128) would silently be dropped
+    K = mask_tile.shape[1]
+    CH = min(K, 128)
+    pad = (-K) % CH
+    if pad:
+        keys_tile = jnp.pad(keys_tile, ((0, 0), (0, pad), (0, 0)))
+        vals_tile = jnp.pad(vals_tile, ((0, 0), (0, pad), (0, 0)))
+        mask_tile = jnp.pad(mask_tile, ((0, 0), (0, pad)))
     temp = jnp.asarray([temperature], jnp.float32)
     return pl.pallas_call(
         _attn_kernel,
@@ -168,4 +180,5 @@ def attention_spmm_pallas_tile(q_tile, keys_tile, vals_tile, mask_tile, temperat
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, dv), jnp.float32),
+        interpret=interpret,
     )(q_tile, keys_tile, vals_tile, mask_tile, temp)

@@ -36,13 +36,25 @@ def spmm_ell(adj: SparseELL, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def spmm(adj, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
-    """Dispatch on container type; ``impl`` may force 'coo'/'ell'/'pallas'."""
+    """Dispatch on container type; ``impl`` forces 'coo'/'ell'/'pallas'
+    (raising if the container does not match — a silently ignored force
+    flag would benchmark the wrong kernel)."""
     if impl == "pallas":
         from inductive_recommendation_tpu.ops.pallas_spmm import spmm_ell_pallas
 
         if not isinstance(adj, SparseELL):
             raise TypeError("pallas impl requires SparseELL")
         return spmm_ell_pallas(adj, x)
+    if impl == "coo":
+        if not isinstance(adj, SparseCOO):
+            raise TypeError("coo impl requires SparseCOO")
+        return spmm_coo(adj, x)
+    if impl == "ell":
+        if not isinstance(adj, SparseELL):
+            raise TypeError("ell impl requires SparseELL")
+        return spmm_ell(adj, x)
+    if impl != "auto":
+        raise ValueError(f"unknown impl {impl!r}")
     if isinstance(adj, BucketedSpMM):
         return spmm_bucketed(adj, x)
     if isinstance(adj, SparseCOO):

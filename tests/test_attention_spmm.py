@@ -157,3 +157,27 @@ def test_att_igcn_end_to_end():
         assert np.isfinite(m["NDCG"][20])
     finally:
         os.chdir(cwd)
+
+
+def test_pallas_tile_kernel_ragged_k(rng):
+    """Regression: K not a multiple of 128 (cap-ladder caps never are) —
+    the wrapper must pad the slot axis; the kernel's chunk loop previously
+    dropped the ragged tail silently."""
+    T, K, d = 8, 141, 16
+    q = rng.standard_normal((T, d)).astype(np.float32)
+    keys = rng.standard_normal((T, K, d)).astype(np.float32)
+    vals = rng.standard_normal((T, K, d)).astype(np.float32)
+    mask = (rng.random((T, K)) > 0.3).astype(np.float32)
+    mask[:, -1] = 1.0  # live slots in the tail that must not be dropped
+    temperature = 4.0
+
+    out = np.asarray(
+        attention_spmm_pallas_tile(q, keys, vals, mask, temperature, interpret=True)
+    )
+    scores = np.einsum("td,tkd->tk", q, keys)
+    scores = np.where(mask > 0, scores, -1e30)
+    smax = scores.max(axis=1, keepdims=True)
+    ex = np.exp((scores - smax) / temperature) * mask
+    attn = ex / np.maximum(ex.sum(axis=1, keepdims=True), 1e-12)
+    oracle = np.einsum("tk,tkd->td", attn, vals)
+    np.testing.assert_allclose(out, oracle, rtol=1e-3, atol=1e-4)
