@@ -154,3 +154,32 @@ def test_spmm_bucketed_dropout_consistent_and_correct(rng):
 
     g = jax.grad(lambda xx: jnp.sum(spmm_bucketed_dropout(mat, xx, k, p) * w))(x)
     np.testing.assert_allclose(np.asarray(g), A.T @ np.asarray(w), rtol=1e-4, atol=1e-5)
+
+
+def test_bucket_merge_respects_padding_budget(rng):
+    """The upward bucket merge must stay within its extra-gather budget
+    (max(1% nnz, 4096)) on a power-law-ish degree distribution, and the
+    merged layout must still reproduce the dense product exactly."""
+    n_rows, n_cols = 600, 400
+    # zipf-ish degrees: many degree-1 rows, a heavy tail
+    degs = np.minimum(rng.zipf(1.5, size=n_rows), n_cols)
+    row = np.repeat(np.arange(n_rows), degs)
+    col = np.concatenate(
+        [rng.choice(n_cols, size=d, replace=False) for d in degs]
+    )
+    val = rng.random(len(row)).astype(np.float32) + 0.1
+    nnz = len(row)
+
+    mat = build_bucketed_spmm(row, col, val, (n_rows, n_cols))
+    gathers = sum(b.idx.size for b in mat.fwd.buckets)
+    budget = max(0.01 * nnz, 4096.0)
+    # padded gathers = nnz + (ladder padding, small) + (merge padding <= budget)
+    assert gathers <= nnz * 1.05 + budget
+    # merged layouts stay compact at test scale (compile-time guard)
+    assert len(mat.fwd.buckets) <= 12
+
+    dense = np.zeros((n_rows, n_cols))
+    np.add.at(dense, (row, col), val)
+    x = rng.standard_normal((n_cols, 8)).astype(np.float32)
+    out = np.asarray(spmm_bucketed(mat, jnp.asarray(x)))
+    np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
