@@ -119,6 +119,127 @@ def make_edge_sharded_bpr_step(
     return run
 
 
+def make_edge_sharded_igcn_step(
+    feat_emat,
+    adj_emat,
+    feat_row,
+    row_sum,
+    mesh,
+    optimizer,
+    sampler,
+    aux_sampler,
+    batch_size,
+    l2_reg,
+    aux_reg,
+    n_users,
+    user_dim,
+    n_layers,
+    dropout,
+    axis="model",
+):
+    """IGCN training step where the feature matrix, the adjacency AND the
+    core embedding table are all sharded — the flagship model with no
+    single-device materialization of any O(|E|) or O(n·d) object.
+
+    Layout contract (parallel/spmm.py): ``feat_emat`` is the [n_nodes x
+    feat_n_cols] template matrix column-block-sharded over ``axis`` — its
+    column blocks align with the row-sharded [n_cols_pad, d] embedding
+    table, so the inductive rep layer is local gathers + one reduce-scatter;
+    ``adj_emat`` is the square normalized adjacency, whose input/output
+    sharding match the feat output, so propagation layers chain with no
+    re-sharding (one reduce-scatter/layer fwd, one all-gather/layer bwd).
+
+    IGCN semantics match the single-device model (models/igcn.py):
+
+    - annealed feature weights ``row_sum^((alpha-1)/2 - 0.5)`` (reference
+      model.py:4127-4134) enter as a per-edge ``edge_scale`` computed in-jit
+      from ``feat_row`` (the feat row id of each edge, COO order) and the
+      traced ``alpha`` — annealing never retraces or rebuilds the layout;
+    - feature-matrix edge dropout (reference model.py:4189) is folded into
+      the same edge_scale: keep with prob 1-p, rescale 1/(1-p), one draw per
+      edge id so forward and transpose see the same mask;
+    - aux BPR on the raw core embedding rows weighted by ``w``
+      (reference trainer.py:542-549).
+
+    -> run(params, opt_state, rng, alpha) -> (params, opt_state, loss) with
+    params = {"embedding": [feat_emat.n_cols_pad, d] sharded over ``axis``,
+    "w": [d]}.
+    """
+    from inductive_recommendation_tpu.parallel.spmm import _wrap
+
+    if feat_emat.n_rows_pad != adj_emat.n_cols_pad:
+        raise ValueError(
+            "feat output rows and adjacency operand rows must pad identically"
+        )
+    feat_spmm = _wrap(feat_emat, mesh, axis, "scatter")
+    adj_spmm = _wrap(adj_emat, mesh, axis, "scatter")
+    p_drop = float(dropout)
+
+    def step(params, opt_state, ffwd, fbwd, afwd, abwd, frow, rs, smp, aux_smp, rng, alpha):
+        rng_s, rng_a, rng_d = jax.random.split(rng, 3)
+        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+        a_users, a_pos, a_neg = sample_bpr_batch(aux_smp, rng_a, batch_size)
+
+        expo = (alpha - 1.0) / 2.0 - 0.5
+        anneal = jnp.power(jnp.maximum(rs, 1e-12)[frow], expo)
+        if p_drop > 0.0:
+            keep = jax.random.uniform(rng_d, anneal.shape) >= p_drop
+            anneal = anneal * jnp.where(keep, 1.0 / (1.0 - p_drop), 0.0)
+
+        def loss_fn(p):
+            emb = jax.lax.with_sharding_constraint(
+                p["embedding"], NamedSharding(mesh, P(axis, None))
+            )
+            x0 = feat_spmm(ffwd, fbwd, anneal, emb)
+            acc, h = x0, x0
+            for _ in range(n_layers):
+                h = adj_spmm(afwd, abwd, None, h)
+                acc = acc + h
+            rep = acc / (n_layers + 1)
+            u_r = rep[users]
+            p_r = rep[n_users + pos]
+            n_r = rep[n_users + neg[:, 0]]
+            # per-sample sum of squared norms on the REP embeddings, exactly
+            # models/base.py::l2_sq_rows as used by IGCN.bpr_forward
+            l2 = jnp.sum(u_r**2, 1) + jnp.sum(p_r**2, 1) + jnp.sum(n_r**2, 1)
+            bpr = L.bpr_loss(u_r, p_r, n_r)
+            w = p["w"]
+            au = emb[a_users]
+            ap = emb[user_dim + a_pos]
+            an = emb[user_dim + a_neg[:, 0]]
+            pos_s = jnp.sum(au * ap * w[None, :], axis=1)
+            neg_s = jnp.sum(au * an * w[None, :], axis=1)
+            aux_loss = jnp.mean(jax.nn.softplus(neg_s - pos_s))
+            return bpr + l2_reg * l2.mean() + aux_reg * aux_loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+    frow_dev = jnp.asarray(feat_row, dtype=jnp.int32)
+    rs_dev = jnp.asarray(row_sum, dtype=jnp.float32)
+
+    def run(params, opt_state, rng, alpha=1.0):
+        return jitted(
+            params,
+            opt_state,
+            feat_emat.fwd,
+            feat_emat.bwd,
+            adj_emat.fwd,
+            adj_emat.bwd,
+            frow_dev,
+            rs_dev,
+            sampler,
+            aux_sampler,
+            rng,
+            jnp.asarray(alpha, jnp.float32),
+        )
+
+    return run
+
+
 def make_sharded_igcn_step(
     model, optimizer, sampler, aux_sampler, batch_size, l2_reg, aux_reg, mesh
 ):

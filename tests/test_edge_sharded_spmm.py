@@ -204,3 +204,131 @@ def test_per_device_memory_shrinks_with_shards(rng):
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("model")),
     )
     assert placed.addressable_shards[0].data.shape[0] == 1
+
+
+def test_edge_sharded_igcn_step_matches_single_device():
+    """Fully-sharded IGCN training (feature matrix + adjacency + core table
+    all sharded over 'model') computes the same loss as the single-device
+    IGCNTrainer loss on the same batch, including the annealed feature
+    weights entering as a traced edge_scale."""
+    import optax
+
+    from inductive_recommendation_tpu import get_dataset, get_model
+    from inductive_recommendation_tpu.data.dataset import AuxiliaryDataset
+    from inductive_recommendation_tpu.data.sampling import (
+        build_sampler_state,
+        sample_bpr_batch,
+    )
+    from inductive_recommendation_tpu.graph import build_feat_matrix
+    from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
+    from inductive_recommendation_tpu.parallel import make_edge_sharded_igcn_step
+    from inductive_recommendation_tpu.train import losses as L
+
+    ds = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 48,
+            "n_items": 40,
+            "n_interactions": 650,
+            "seed": 11,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+    n = ds.n_users + ds.n_items
+    model = get_model(
+        {
+            "name": "IGCN",
+            "embedding_size": 16,
+            "n_layers": 2,
+            "dropout": 0.0,
+            "feature_ratio": 1.0,
+            "table_align": 1,
+        },
+        ds,
+    )
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    aux = AuxiliaryDataset(ds, model.user_map, model.item_map)
+    aux_sampler = build_sampler_state(aux.train_data, aux.n_items)
+    params0 = model.init_params(jax.random.key(3))
+    l2_reg, aux_reg, bs = 1e-4, 0.01, 64
+
+    def single_loss(p, buffers, rng):
+        # buffers as jit ARGUMENTS (the codebase invariant): closure-captured
+        # buffers would be frozen into the first trace and silently reused
+        # when the annealed feat layout changes
+        rng_s, rng_a, _ = jax.random.split(rng, 3)
+        users, pos, neg = sample_bpr_batch(sampler, rng_s, bs)
+        a_users, a_pos, a_neg = sample_bpr_batch(aux_sampler, rng_a, bs)
+        u, pr, nr, l2 = model.bpr_forward(
+            p, users, pos, neg[:, 0], training=False, buffers=buffers
+        )
+        emb, w = p["embedding"], p["w"]
+        au, ap, an = (
+            emb[a_users],
+            emb[model.user_dim + a_pos],
+            emb[model.user_dim + a_neg[:, 0]],
+        )
+        aux_l = jnp.mean(
+            jax.nn.softplus(
+                jnp.sum(au * an * w[None, :], 1) - jnp.sum(au * ap * w[None, :], 1)
+            )
+        )
+        return L.bpr_loss(u, pr, nr) + l2_reg * l2.mean() + aux_reg * aux_l
+
+    # sharded layouts from the SAME feat/adj arrays the model built
+    frow, fcol, fval, row_sum = build_feat_matrix(
+        ds.train_array, ds.n_users, ds.n_items, model.user_map, model.item_map
+    )
+    r, c, v = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
+    mesh = make_mesh(n_data=1, n_model=8)
+    feat_emat = build_edge_sharded_spmm(
+        frow, fcol, fval, (n, model.feat_n_cols), 8
+    )
+    adj_emat = build_edge_sharded_spmm(r, c, v, (n, n), 8)
+    optimizer = optax.adam(1e-2)
+    step = make_edge_sharded_igcn_step(
+        feat_emat,
+        adj_emat,
+        frow,
+        row_sum,
+        mesh,
+        optimizer,
+        sampler,
+        aux_sampler,
+        bs,
+        l2_reg,
+        aux_reg,
+        ds.n_users,
+        model.user_dim,
+        2,
+        0.0,
+    )
+
+    def sharded_params():
+        emb = jnp.zeros((feat_emat.n_cols_pad, 16), jnp.float32)
+        emb = emb.at[: model.feat_n_cols].set(
+            params0["embedding"][: model.feat_n_cols]
+        )
+        return {
+            "embedding": shard_operand(emb, feat_emat, mesh),
+            # fresh buffer: the step donates params, and params0 stays live
+            # as the single-device oracle's input
+            "w": jnp.array(params0["w"]),
+        }
+
+    for alpha in (1.0, 0.99):
+        # single-device buffers carry the annealed weights baked in
+        buffers = dict(
+            model.buffers,
+            feat=model._anneal_jit(model._feat_base, model._feat_row_sum, alpha),
+        )
+        loss_ref = float(jax.jit(single_loss)(params0, buffers, jax.random.key(9)))
+        params = sharded_params()
+        opt_state = optimizer.init(params)
+        with mesh:
+            params, opt_state, loss = step(
+                params, opt_state, jax.random.key(9), alpha=alpha
+            )
+        assert abs(float(loss) - loss_ref) < 1e-4, (alpha, float(loss), loss_ref)
+        assert not params["embedding"].sharding.is_fully_replicated
