@@ -50,7 +50,6 @@ from inductive_recommendation_tpu.graph.views import (
 )
 from inductive_recommendation_tpu.models.base import l2_sq_rows
 from inductive_recommendation_tpu.models.igcn import IGCN
-from inductive_recommendation_tpu.models.sgl import padded_view_coo
 from inductive_recommendation_tpu.ops import blockwise_cosine_topk
 from inductive_recommendation_tpu.train.losses import info_nce
 
@@ -67,9 +66,19 @@ class _DOSEBase(IGCN):
         self.aug_rate = model_config.get("aug_rate", 0.2)
         self.aug_ratio = model_config.get("aug_ratio", 0.2)
         self.pai = model_config.get("pai", 0.9)
+        # stored for config parity only: the reference also defines taugh but
+        # never passes it to InfoNCE (model.py:564 constructs
+        # InfoNCE(negative_mode='unpaired') with the package default
+        # temperature 0.1) — so configured taugh values are inert there too
         self.taugh = model_config.get("taugh", 0.2)
         self._aug_seed = int(model_config.get("aug_seed", 0))
         self._np_rng = np.random.default_rng(model_config.get("aug_seed", 0))
+        self._views_updated = False
+        self._aug_counter_base = 0
+        self._establish_views(dataset)
+
+    def _establish_views(self, dataset):
+        """(Re)build the view engine + initial view buffers for ``dataset``."""
         self.view_engine = ViewEngine(
             dataset.train_array,
             self.n_users,
@@ -87,6 +96,14 @@ class _DOSEBase(IGCN):
             # step pays no per-step scale gathers (graph/views.py BakedView)
             self.buffers[k] = bake_view(self.view_engine.base, self._initial_view(k))
 
+    def _build_graph_buffers(self, dataset):
+        """IGCN's rebuild (restore_aux / attach_dataset) replaces
+        self.buffers wholesale — re-establish the view buffers on top, or
+        every later train step dies on a missing 'view_base'."""
+        super()._build_graph_buffers(dataset)
+        if hasattr(self, "view_engine"):  # not yet set during IGCN.__init__
+            self._establish_views(dataset)
+
     # -- per-variant recipe ---------------------------------------------------
     def _make_view(self, key, params):
         """EdgeView for view ``key`` given current params."""
@@ -98,10 +115,51 @@ class _DOSEBase(IGCN):
 
     # -- machinery ------------------------------------------------------------
     def update_aug_adj(self, params=None):
+        # snapshot the device-rng counter so a checkpoint restore can replay
+        # THIS update's draws exactly (rebuild_views)
+        self._aug_counter_base = getattr(self, "_aug_counter", 0)
+        self._views_updated = True
+        self._update_views(params)
+
+    def _update_views(self, params):
+        """Regenerate the per-epoch view buffers (per-variant override)."""
         new = dict(self.buffers)
         for k in self.view_keys:
             new[k] = bake_view(self.view_engine.base, self._make_view(k, params))
         self.buffers = new
+
+    def rebuild_views(self, params=None):
+        """Called by the trainer after a checkpoint load (with the restored
+        params): regenerate the exact views the saved run was training on —
+        random recipes replay their counter sequence from the snapshot,
+        cos-sim recipes re-select deterministically from the restored params
+        and annealed buffers. (The reference's load leaves a fresh model's
+        __init__ views in place, model.py:601-613 — ours reproduces the
+        actual training state.)"""
+        if self._views_updated:
+            self._aug_counter = self._aug_counter_base
+            self._update_views(params)
+
+    def checkpoint_aux(self):
+        aux = dict(super().checkpoint_aux())
+        aux["aug_counter"] = int(getattr(self, "_aug_counter", 0))
+        aux["aug_counter_base"] = int(self._aug_counter_base)
+        aux["views_updated"] = bool(self._views_updated)
+        return aux
+
+    def restore_aux(self, aux):
+        if not aux:
+            return
+        aux = dict(aux)
+        counter = int(aux.pop("aug_counter", 0))
+        base = int(aux.pop("aug_counter_base", 0))
+        updated = bool(aux.pop("views_updated", False))
+        # replay __init__'s draw sequence while the initial views rebuild
+        self._aug_counter = 0
+        super().restore_aux(aux)  # -> _build_graph_buffers -> _establish_views
+        self._aug_counter = counter
+        self._aug_counter_base = base
+        self._views_updated = updated
 
     def _cos_pairs(self, params, k, negate_items, restrict=None, device=False):
         """Top-k (u, i) pairs by (optionally negated-item) cosine similarity
@@ -112,11 +170,22 @@ class _DOSEBase(IGCN):
         here costs a dispatch round trip per op on remote backends."""
         if not hasattr(self, "_cos_jit_cache"):
             self._cos_jit_cache = {}
+            self._restrict_dev_cache = {}
         n_u = self.n_users if restrict is None else len(restrict[0])
         n_i = self.n_items if restrict is None else len(restrict[1])
         k = min(k, n_u * n_i)  # small catalogs: cannot select more pairs
-        r_users = None if restrict is None else jnp.asarray(restrict[0])
-        r_items = None if restrict is None else jnp.asarray(restrict[1])
+        if restrict is None:
+            r_users = r_items = None
+        else:
+            # static arrays (e.g. DOSE_aug_drop2's degree tails): upload once,
+            # not per epoch (H2D is ~MB/s on tunneled backends)
+            rid = (id(restrict[0]), id(restrict[1]))
+            if rid not in self._restrict_dev_cache:
+                self._restrict_dev_cache[rid] = (
+                    jnp.asarray(restrict[0]),
+                    jnp.asarray(restrict[1]),
+                )
+            r_users, r_items = self._restrict_dev_cache[rid]
         cache_key = (
             k,
             negate_items,
@@ -147,11 +216,6 @@ class _DOSEBase(IGCN):
             params, self.buffers, r_users, r_items
         )
         return pairs if device else np.asarray(pairs)
-
-    def _random_pairs(self, n):
-        user_id = self._np_rng.integers(0, self.n_users, n)
-        item_id = self._np_rng.integers(0, self.n_items, n)
-        return np.stack([user_id, item_id], axis=1)
 
     def _random_keep_mask(self, rate):
         n_pairs = len(self._dedup_train)
@@ -245,12 +309,18 @@ class DOSE_aug2(DOSE_aug):
     the same object; documented cost)."""
 
     def _make_view(self, key, params):
-        pairs = self._cos_pairs(params, self.aug_num, negate_items=False)
+        pairs_dev = self._cos_pairs(
+            params, self.aug_num, negate_items=False, device=True
+        )
         from inductive_recommendation_tpu.graph.build import aug_union_edges
 
+        # host copy only for the aug-feat rebuild ([aug_num, 2] D2H — small);
+        # the VIEW builds on device, avoiding the O(|E|) per-epoch base_scale
+        # upload of the host make_view path
+        pairs = np.asarray(pairs_dev)
         self._last_aug_pairs = pairs
         self._last_aug_union = aug_union_edges(self._dedup_train, pairs)
-        return self.view_engine.make_view(add_pairs=pairs)
+        return self.view_engine.make_view_on_device(add_pairs=pairs_dev)
 
     def _aug_core_maps(self):
         """Core maps for the AUG feature matrix. With feature_ratio < 1 the
@@ -277,8 +347,27 @@ class DOSE_aug2(DOSE_aug):
             self.aug_user_map, self.aug_item_map = um, im
         return self.aug_user_map, self.aug_item_map
 
-    def update_aug_adj(self, params=None):
-        super().update_aug_adj(params)
+    def checkpoint_aux(self):
+        aux = dict(super().checkpoint_aux())
+        if hasattr(self, "aug_user_map"):
+            # the aug-core selection is made once from the FIRST aug graph
+            # (is_updating=True keeps it thereafter) — persist it, a restore
+            # must not re-select from a later epoch's pairs
+            aux["aug_user_map"] = np.asarray(self.aug_user_map)
+            aux["aug_item_map"] = np.asarray(self.aug_item_map)
+        return aux
+
+    def restore_aux(self, aux):
+        if not aux:
+            return
+        aux = dict(aux)
+        if "aug_user_map" in aux:
+            self.aug_user_map = np.asarray(aux.pop("aug_user_map"))
+            self.aug_item_map = np.asarray(aux.pop("aug_item_map"))
+        super().restore_aux(aux)
+
+    def _update_views(self, params):
+        super()._update_views(params)
         # aug feature matrix over train ∪ aug (model.py:935-978)
         from inductive_recommendation_tpu.graph import build_feat_matrix
         from inductive_recommendation_tpu.ops import build_bucketed_spmm
@@ -412,17 +501,54 @@ class DOSE_drop3(DOSE_drop):
 
 class TEST(DOSE_drop2):
     """DOSE_drop2 variant whose MAIN adjacency is also a random-drop graph
-    (model.py:1989-1990; static for the run)."""
+    (model.py:1989-1990; static for the run).
+
+    The dropped MAIN graph is a bucketed layout (the per-step hot path must
+    stay gather-only), and its keep mask is persisted in the checkpoint —
+    restore_aux's buffer rebuild must restore THIS run's graph, not the full
+    one (and not a resample; the reference's load would silently score on a
+    freshly-sampled drop graph, model.py:601-613 + 1989-1990)."""
 
     def __init__(self, model_config, dataset):
         super().__init__(model_config, dataset)
-        keep = self._random_keep_mask(self.aug_rate)
-        pairs = self._dedup_train[keep]
-        budget = 2 * max(len(self._dedup_train), 1)
+        self._main_keep = self._random_keep_mask(self.aug_rate)
+        self._apply_main_drop()
+
+    def _apply_main_drop(self):
+        from inductive_recommendation_tpu.graph.build import (
+            sym_normalized_adjacency,
+        )
+        from inductive_recommendation_tpu.ops import build_bucketed_spmm
+
+        pairs = self._dedup_train[self._main_keep]
+        r, c, v = sym_normalized_adjacency(pairs, self.n_users, self.n_items)
+        n = self.n_users + self.n_items
         self.buffers = dict(
             self.buffers,
-            norm_adj=padded_view_coo(pairs, self.n_users, self.n_items, budget),
+            norm_adj=build_bucketed_spmm(r, c, v, (n, n), symmetric=True),
         )
+
+    def _build_graph_buffers(self, dataset):
+        super()._build_graph_buffers(dataset)
+        if hasattr(self, "_main_keep"):
+            if len(self._main_keep) != len(self._dedup_train):
+                # dataset changed (inductive attach_dataset): resample at the
+                # configured rate over the new edge set
+                self._main_keep = self._random_keep_mask(self.aug_rate)
+            self._apply_main_drop()
+
+    def checkpoint_aux(self):
+        aux = dict(super().checkpoint_aux())
+        aux["main_keep"] = np.asarray(self._main_keep)
+        return aux
+
+    def restore_aux(self, aux):
+        if not aux:
+            return
+        aux = dict(aux)
+        if "main_keep" in aux:
+            self._main_keep = np.asarray(aux.pop("main_keep")).astype(bool)
+        super().restore_aux(aux)
 
 
 class TEST2(DOSE_drop2):
@@ -501,7 +627,7 @@ class DOSE_aug_drop2(_DOSEBase):
         # both 'aug' and 'drop' resolve to the union (no-op drop quirk)
         return self.view_engine.make_view_on_device(add_pairs=pairs)
 
-    def update_aug_adj(self, params=None):
+    def _update_views(self, params):
         # one selection, one view build/bake: both keys ARE the same union
         # graph (the reference's no-op drop) — do not run the full-catalog
         # cos-topk selection twice per epoch
@@ -520,17 +646,10 @@ class DOSE_aug_drop3(_DOSEBase):
 
     view_keys = ("aug_adj", "drop_adj")
 
-    def _make_view(self, key, params):
-        pairs = self._cos_pairs(params, self.aug_num, negate_items=False, device=True)
-        if key == "aug_adj":
-            return self.view_engine.make_view_on_device(add_pairs=pairs)
-        return self.view_engine.make_view_on_device(
-            keep_pair_mask=self.view_engine.keep_mask_from_drop_pairs_on_device(pairs)
-        )
-
-    def update_aug_adj(self, params=None):
+    def _update_views(self, params):
         # ONE cos-topk selection feeds both graphs (model.py:3473-3497) —
-        # the per-key recipe would re-run the full-catalog selection twice
+        # a per-key _make_view recipe would re-run the full-catalog
+        # selection twice
         eng = self.view_engine
         pairs = self._cos_pairs(params, self.aug_num, negate_items=False, device=True)
         aug = eng.make_view_on_device(add_pairs=pairs)

@@ -73,10 +73,41 @@ class SGL(LightGCN):
         )
 
     def update_aug_adj(self, params=None):
-        """Per-epoch view regeneration (model.py:232-237)."""
+        """Per-epoch view regeneration (model.py:232-237). Snapshots the
+        counter so a checkpoint restore replays THIS update's draws."""
+        self._view_counter_base = getattr(self, "_view_counter", 0)
+        self._views_updated = True
+        self._regen_views()
+
+    def _regen_views(self):
         self.buffers = dict(
             self.buffers, aug_adj1=self._drop_view(), aug_adj2=self._drop_view()
         )
+
+    def rebuild_views(self, params=None):
+        """Trainer hook after a checkpoint load: regenerate the exact views
+        the saved run was training on (draws are a pure counter function)."""
+        if getattr(self, "_views_updated", False):
+            self._view_counter = self._view_counter_base
+            self._regen_views()
+
+    def checkpoint_aux(self):
+        aux = dict(super().checkpoint_aux())
+        aux["view_counter"] = int(getattr(self, "_view_counter", 0))
+        aux["view_counter_base"] = int(getattr(self, "_view_counter_base", 0))
+        aux["views_updated"] = bool(getattr(self, "_views_updated", False))
+        return aux
+
+    def restore_aux(self, aux):
+        if not aux:
+            return
+        aux = dict(aux)
+        self._view_counter = int(
+            aux.pop("view_counter", getattr(self, "_view_counter", 0))
+        )
+        self._view_counter_base = int(aux.pop("view_counter_base", 0))
+        self._views_updated = bool(aux.pop("views_updated", False))
+        super().restore_aux(aux)
 
     def _view_users(self, params, buffers, key, users):
         emb = params["embedding"][: self.n_users + self.n_items]
@@ -103,7 +134,7 @@ class SGL(LightGCN):
 class HALF(SGL):
     _n_views = 1  # single view (model.py:270-271)
 
-    def update_aug_adj(self, params=None):
+    def _regen_views(self):
         self.buffers = dict(self.buffers, aug_adj1=self._drop_view())
 
     def bpr_forward(

@@ -117,6 +117,14 @@ class BasicTrainer:
         payload = load_checkpoint(path)
         self.params = restore_like(self.params, payload["params"])
         self.model.restore_aux(payload.get("aux", {}))
+        self._rebuild_model_views()
+
+    def _rebuild_model_views(self):
+        """DOSE-family models regenerate their contrastive-view buffers from
+        the restored params/counters (restore_aux's buffer rebuild drops
+        them); other models have no such hook."""
+        if hasattr(self.model, "rebuild_views"):
+            self.model.rebuild_views(self.params)
 
     # -- full training-state resume (beyond the reference's best-params-only
     # checkpointing, trainer.py:94-112) --------------------------------------
@@ -138,6 +146,7 @@ class BasicTrainer:
         aux = dict(payload.get("aux", {}))
         ts = aux.pop("__trainer__", {})
         self.model.restore_aux(aux)
+        self._rebuild_model_views()
         self.epoch = int(ts.get("epoch", 0))
         self.best_ndcg = float(ts.get("best_ndcg", -np.inf))
         self._step_counter = int(ts.get("step_counter", 0))

@@ -189,3 +189,34 @@ def test_dose_aug2_feature_ratio_selects_aug_core(ds, tmp_path):
         assert np.isfinite(m["NDCG"][TOPKS[4]])
     finally:
         os.chdir(cwd)
+
+
+def test_TEST_main_drop_graph_survives_reload(ds, tmp_path):
+    """TEST's defining static random-drop MAIN adjacency must survive the
+    best-checkpoint reload (restore_aux rebuilds buffers with the FULL graph
+    unless the persisted keep mask is reapplied) and must be a bucketed
+    (gather-only) layout, not a segment-sum COO."""
+    from inductive_recommendation_tpu.ops.bucketed_spmm import BucketedSpMM
+
+    model = get_model(_mcfg("TEST"), ds)
+    trainer = get_trainer(
+        _tcfg("DOSEdropTrainer", aux_reg=0.01, contrastive_reg=0.1), ds, model
+    )
+    assert isinstance(model.buffers["norm_adj"], BucketedSpMM)
+    nnz_dropped = model.buffers["norm_adj"].nnz
+    # dropped graph: strictly fewer edges than the full sym adjacency
+    full_nnz = 2 * len(model._dedup_train) + 0  # sym: both directions
+    assert nnz_dropped < full_nnz
+    vals_before = np.asarray(model.buffers["norm_adj"].fwd.buckets[0].val)
+
+    trainer.train_one_epoch()
+    path = os.path.join(tmp_path, "best.ckpt")
+    trainer._save_model(path)
+    trainer._load_model(path)
+    adj = model.buffers["norm_adj"]
+    assert isinstance(adj, BucketedSpMM) and adj.nnz == nnz_dropped
+    np.testing.assert_array_equal(
+        np.asarray(adj.fwd.buckets[0].val), vals_before
+    )
+    # training continues after the reload (views re-established too)
+    trainer.train_one_epoch()

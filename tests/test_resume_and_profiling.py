@@ -119,3 +119,133 @@ def test_restore_like_long_lists_not_permuted(tmp_path):
     out = restore_like(template, load_checkpoint(path)["params"])
     for i, layer in enumerate(out["layers"]):
         np.testing.assert_array_equal(layer, np.full((2, 2), float(i)))
+
+
+def test_dose_resume_replays_views_exactly(tmp_path):
+    """DOSE-family resume: restore_aux's buffer rebuild must re-establish the
+    view buffers (a restored run used to crash with KeyError 'view_base'),
+    and rebuild_views must regenerate the EXACT views the saved run was
+    training on, so the resumed trajectory reproduces the uninterrupted one."""
+    ds = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 40,
+            "n_items": 30,
+            "n_interactions": 500,
+            "seed": 3,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        def make():
+            model = get_model(
+                {
+                    "name": "DOSE_drop2",
+                    "embedding_size": 16,
+                    "n_layers": 2,
+                    "dropout": 0.1,
+                    "feature_ratio": 1,
+                    "aug_rate": 0.6,
+                },
+                ds,
+            )
+            return get_trainer(
+                {
+                    "name": "DOSEdropTrainer",
+                    "optimizer": "Adam",
+                    "lr": 1e-2,
+                    "l2_reg": 0.0,
+                    "aux_reg": 0.01,
+                    "contrastive_reg": 0.1,
+                    "n_epochs": 10,
+                    "batch_size": 128,
+                    "test_batch_size": 32,
+                    "topks": TOPKS,
+                    "val_interval": 1,
+                    "seed": 0,
+                },
+                ds,
+                model,
+            )
+
+        t1 = make()
+        for _ in range(2):
+            t1.train_one_epoch()
+        t1.epoch = 2
+        t1.save_state("state.ckpt")
+        view_a = np.asarray(t1.model.buffers["aug_adj"].base.fwd.buckets[0].val)
+        loss_next_a = t1.train_one_epoch()
+
+        t2 = make()
+        t2.load_state("state.ckpt")
+        view_b = np.asarray(t2.model.buffers["aug_adj"].base.fwd.buckets[0].val)
+        np.testing.assert_array_equal(view_a, view_b)
+        loss_next_b = t2.train_one_epoch()  # used to raise KeyError 'view_base'
+        assert abs(loss_next_a - loss_next_b) < 1e-5
+    finally:
+        os.chdir(cwd)
+
+
+def test_sgl_resume_replays_views_exactly(tmp_path):
+    """SGL's random drop views replay their counter sequence on restore."""
+    ds = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 40,
+            "n_items": 30,
+            "n_interactions": 500,
+            "seed": 3,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        def make():
+            model = get_model(
+                {
+                    "name": "SGL",
+                    "embedding_size": 16,
+                    "n_layers": 2,
+                    "aug_rate": 0.7,
+                },
+                ds,
+            )
+            return get_trainer(
+                {
+                    "name": "SGLTrainer",
+                    "optimizer": "Adam",
+                    "lr": 1e-2,
+                    "l2_reg": 1e-4,
+                    "contrastive_reg": 0.1,
+                    "n_epochs": 10,
+                    "batch_size": 128,
+                    "test_batch_size": 32,
+                    "topks": TOPKS,
+                    "val_interval": 1,
+                    "seed": 0,
+                },
+                ds,
+                model,
+            )
+
+        t1 = make()
+        for _ in range(2):
+            t1.train_one_epoch()
+        t1.epoch = 2
+        t1.save_state("state.ckpt")
+        view_a = np.asarray(t1.model.buffers["aug_adj2"].base.fwd.buckets[0].val)
+        loss_next_a = t1.train_one_epoch()
+
+        t2 = make()
+        t2.load_state("state.ckpt")
+        view_b = np.asarray(t2.model.buffers["aug_adj2"].base.fwd.buckets[0].val)
+        np.testing.assert_array_equal(view_a, view_b)
+        loss_next_b = t2.train_one_epoch()
+        assert abs(loss_next_a - loss_next_b) < 1e-5
+    finally:
+        os.chdir(cwd)
