@@ -69,8 +69,14 @@ class Evaluator:
         self._host_excl_cache = {}
         # jit caches keyed per model object + its trace signature (python
         # state the traced functions read, e.g. NeuMF's arch phase — a stale
-        # trace would silently score with the previous architecture)
+        # trace would silently score with the previous architecture);
+        # size-bounded (insertion order) so a model sweep through one
+        # Evaluator doesn't pin every dead model + its executables forever
         self._fn_cache = {}
+        self._fn_cache_max = 8
+        # device ground-truth rows for the CANONICAL eval lists, uploaded
+        # once (identity-keyed: inductive slices pass fresh lists and skip it)
+        self._gt_cache = {}
 
     def _host_excl(self, stage):
         if stage not in self._host_excl_cache:
@@ -85,15 +91,42 @@ class Evaluator:
     def _fns(self, model):
         key = (id(model), model.trace_signature())
         if key not in self._fn_cache:
+            # evict stale signatures of the same model (e.g. NeuMF's previous
+            # arch phase) and the oldest entries beyond the size bound
+            self._fn_cache = {
+                k: v for k, v in self._fn_cache.items() if k[0] != id(model)
+            }
+            while len(self._fn_cache) >= self._fn_cache_max:
+                del self._fn_cache[next(iter(self._fn_cache))]
             k_max = self.k_max
 
             def scoring_state(params, buffers):
                 return model.make_scoring_state(params, buffers=buffers)
 
-            def rec_masked(state, users, excl_full, banned):
-                scores = model.score(state, users)
-                excl = excl_full[users]
-                return masked_topk(scores, k_max, exclude_idx=excl, banned_mask=banned)[1]
+            Brec = self.test_batch_size
+
+            def rec_masked(state, perm, excl_rows, banned):
+                # one dispatch per WIDTH BUCKET: fori_loop over batches of the
+                # bucket's user permutation with its narrow pre-gathered
+                # exclusion rows (a single max-degree-padded matrix makes the
+                # -inf scatter ~9x more expensive); eager per-batch slicing
+                # would cost a dispatch round trip per batch on tunneled
+                # backends
+                n_batches = perm.shape[0] // Brec
+
+                def body(i, out):
+                    users = jax.lax.dynamic_slice_in_dim(perm, i * Brec, Brec)
+                    rows = jax.lax.dynamic_slice_in_dim(excl_rows, i * Brec, Brec)
+                    scores = model.score(state, users)
+                    items = masked_topk(
+                        scores, k_max, exclude_idx=rows, banned_mask=banned
+                    )[1]
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        out, items, i * Brec, axis=0
+                    )
+
+                out0 = jnp.zeros((perm.shape[0], k_max), jnp.int32)
+                return jax.lax.fori_loop(0, n_batches, body, out0)
 
             def rec_plain(state, users):
                 scores = model.score(state, users)
@@ -148,21 +181,18 @@ class Evaluator:
             )
         return self._fn_cache[key][1:]
 
+    def _banned_dev(self, banned_items):
+        if banned_items is None:
+            return None
+        b = np.zeros(self.dataset.n_items, dtype=bool)
+        b[np.asarray(banned_items)] = True
+        return jnp.asarray(b)
+
     def recommend(self, model, params, stage, banned_items=None):
         """Top-k_max recommended items for every user -> [n_users, k_max]."""
         ds = self.dataset
         n_users, n_items = ds.n_users, ds.n_items
-        if stage == "test":
-            excl_dev = self._trainval_excl_dev
-        elif stage == "val":
-            excl_dev = self._train_excl_dev
-        else:
-            excl_dev = None
-        banned = None
-        if banned_items is not None:
-            b = np.zeros(n_items, dtype=bool)
-            b[np.asarray(banned_items)] = True
-            banned = jnp.asarray(b)
+        banned = self._banned_dev(banned_items)
 
         state_fn, rec_masked, rec_plain, _ = self._fns(model)
         state = state_fn(params, model.buffers)
@@ -190,28 +220,37 @@ class Evaluator:
             # ItemKNN) fall through to the single-device path
 
         B = self.test_batch_size
-        rec = []
-        for start in range(0, n_users, B):
-            users = np.arange(start, min(start + B, n_users))
-            pad = B - len(users)
-            users_p = np.concatenate([users, np.zeros(pad, dtype=users.dtype)])
-            if excl_dev is None and banned is None:
+        if stage not in ("val", "test") and banned is None:
+            rec = []
+            for start in range(0, n_users, B):
+                users = np.arange(start, min(start + B, n_users))
+                pad = B - len(users)
+                users_p = np.concatenate([users, np.zeros(pad, dtype=users.dtype)])
                 items = rec_plain(state, jnp.asarray(users_p))
-            else:
-                e = (
-                    excl_dev
-                    if excl_dev is not None
-                    else jnp.full((n_users, 1), n_items, jnp.int32)
-                )
-                bb = banned if banned is not None else jnp.zeros(n_items, bool)
-                items = rec_masked(state, jnp.asarray(users_p), e, bb)
-            # keep device handles; a per-batch np.asarray would serialize on
-            # the device->host round trip instead of pipelining dispatches
-            rec.append((items, len(users)))
-        fetched = jax.device_get([r for r, _ in rec])
-        return np.concatenate(
-            [np.asarray(r)[:k] for r, (_, k) in zip(fetched, rec)], axis=0
-        )
+                # keep device handles; a per-batch np.asarray would serialize
+                # on the device->host round trip instead of pipelining
+                rec.append((items, len(users)))
+            fetched = jax.device_get([r for r, _ in rec])
+            return np.concatenate(
+                [np.asarray(r)[:k] for r, (_, k) in zip(fetched, rec)], axis=0
+            )
+
+        # exclusion (and/or ban) path: drive the same degree-bucketed
+        # exclusion rows as the fused eval — the single max-degree-padded
+        # matrix costs ~9x on the -inf scatter (CLAUDE.md measurement); the
+        # bucket permutation is undone on the host after the fetch
+        bb = banned if banned is not None else self._no_banned_dev()
+        bucket_stage = stage if stage in ("val", "test") else "train"
+        parts = []
+        for perm, n_real, excl_rows in self._excl_buckets(bucket_stage):
+            parts.append(
+                (rec_masked(state, perm, excl_rows, bb), np.asarray(perm), int(n_real))
+            )
+        fetched = jax.device_get([p for p, _, _ in parts])
+        out = np.empty((n_users, self.k_max), dtype=np.asarray(fetched[0]).dtype)
+        for items, (_, perm_np, n_real) in zip(fetched, parts):
+            out[perm_np[:n_real]] = np.asarray(items)[:n_real]
+        return out
 
     def evaluate(self, model, params, stage, banned_items=None, eval_data=None):
         """-> (results_str, metrics dict); parity with trainer.py:146-210.
@@ -237,7 +276,20 @@ class Evaluator:
     def _gt_device(self, eval_data):
         """Padded ground-truth rows + lengths on device. Pad width is rounded
         to the next power of two so inductive slices with slightly different
-        max-|gt| reuse one jit specialization."""
+        max-|gt| reuse one jit specialization.
+
+        The CANONICAL per-stage lists (identity match against the dataset's
+        own val/test/train_data) upload once and are cached — the per-epoch
+        val eval must not redo O(E_val) host packing + H2D every time.
+        Inductive slices pass fresh lists and skip the cache."""
+        ds = self.dataset
+        cache_key = None
+        for stage in ("val", "test", "train"):
+            if eval_data is getattr(ds, stage + "_data", None):
+                cache_key = stage
+                break
+        if cache_key is not None and cache_key in self._gt_cache:
+            return self._gt_cache[cache_key]
         from inductive_recommendation_tpu.data.dataset import (
             device_padded_from_lists,
         )
@@ -254,17 +306,13 @@ class Evaluator:
         sorted_gt = pad_to > 256
         if sorted_gt:
             gt_rows = jnp.sort(gt_rows, axis=1)
-        return gt_rows, jnp.asarray(lengths, dtype=jnp.int32), sorted_gt
+        out = (gt_rows, jnp.asarray(lengths, dtype=jnp.int32), sorted_gt)
+        if cache_key is not None:
+            self._gt_cache[cache_key] = out
+        return out
 
     def _evaluate_on_device(self, model, params, stage, banned_items, eval_data):
-        ds = self.dataset
-        n_items = ds.n_items
-        banned = None
-        if banned_items is not None:
-            b = np.zeros(n_items, dtype=bool)
-            b[np.asarray(banned_items)] = True
-            banned = jnp.asarray(b)
-
+        banned = self._banned_dev(banned_items)
         state_fn, _, _, eval_sums_perm = self._fns(model)
         state = state_fn(params, model.buffers)
         gt_rows, gt_len, sorted_gt = self._gt_device(eval_data)

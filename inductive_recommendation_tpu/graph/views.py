@@ -286,8 +286,19 @@ class ViewEngine:
         else:
             add_pairs = jnp.asarray(add_pairs)
             if add_pairs.shape[0] > B:
-                raise ValueError(
-                    f"add_pairs {add_pairs.shape[0]} exceeds budget {B}"
+                # the host builder dedups and removes in-train pairs BEFORE
+                # its budget check; more raw candidates than budget is legal
+                # there, so fall back instead of imposing a stricter
+                # precondition (it still raises if the DEDUPED count exceeds
+                # the budget)
+                add_host = np.asarray(add_pairs)
+                if add_valid is not None:
+                    add_host = add_host[np.asarray(add_valid)]
+                return self.make_view(
+                    keep_pair_mask=None
+                    if keep_pair_mask is None
+                    else np.asarray(keep_pair_mask),
+                    add_pairs=add_host,
                 )
         # everything below (padding included) runs inside one jitted program
         # — eager dispatch costs ~seconds per op on tunneled backends
@@ -309,7 +320,10 @@ class ViewEngine:
 
     def keep_mask_from_drop_pairs_on_device(self, drop_pairs) -> jnp.ndarray:
         """Device analog of :meth:`keep_mask_from_drop_pairs`."""
-        if self.n_users * self.n_items >= 2**31:  # 32-bit pair-key range
+        # 32-bit pair-key range; empty train set: the zero-length gather in
+        # _device_keep_mask is undefined inside jit (same hazard as
+        # make_view_on_device's guard)
+        if self.n_users * self.n_items >= 2**31 or len(self.train_pairs) == 0:
             return jnp.asarray(
                 self.keep_mask_from_drop_pairs(np.asarray(drop_pairs))
             )

@@ -170,3 +170,46 @@ def test_device_keep_mask_matches_host(tiny_graph, rng):
     host = eng.keep_mask_from_drop_pairs(drops)
     dev = np.asarray(eng.keep_mask_from_drop_pairs_on_device(jnp.asarray(drops)))
     np.testing.assert_array_equal(host, dev)
+
+
+def test_device_keep_mask_empty_train_set():
+    """Zero-length train set must fall back to the host path (a zero-length
+    gather inside jit is undefined and crashed before)."""
+    eng = ViewEngine(np.zeros((0, 2), np.int64), 4, 4, delta_budget=2)
+    mask = np.asarray(
+        eng.keep_mask_from_drop_pairs_on_device(jnp.asarray([[0, 1]]))
+    )
+    assert mask.shape == (0,)
+
+
+def test_device_view_overlong_add_pairs_falls_back_to_host(tiny_graph, rng):
+    """More raw candidates than the budget is legal when dedup/in-train
+    removal brings the count under it (host semantics); the device builder
+    must not raise on the raw count."""
+    train_array, n_users, n_items = tiny_graph
+    eng = ViewEngine(train_array, n_users, n_items, delta_budget=4)
+    base = np.stack(
+        [rng.integers(0, n_users, 3), rng.integers(0, n_items, 3)], axis=1
+    )
+    # 9 raw rows, 3 unique — under the budget of 4 after dedup
+    add = np.concatenate([base, base, base])
+    host = eng.make_view(add_pairs=np.unique(add, axis=0))
+    dev = eng.make_view_on_device(add_pairs=jnp.asarray(add))
+    np.testing.assert_allclose(
+        np.asarray(dev.base_scale), np.asarray(host.base_scale), rtol=1e-6
+    )
+    d_host = {
+        (int(r), int(c)): float(v)
+        for r, c, v in zip(host.d_row, host.d_col, host.d_val)
+        if v != 0
+    }
+    d_dev = {
+        (int(r), int(c)): float(v)
+        for r, c, v in zip(
+            np.asarray(dev.d_row), np.asarray(dev.d_col), np.asarray(dev.d_val)
+        )
+        if v != 0
+    }
+    assert d_host.keys() == d_dev.keys()
+    for k in d_host:
+        assert abs(d_host[k] - d_dev[k]) < 1e-5
