@@ -47,7 +47,8 @@ def update_ui_sets(u, i, user_inter_sets, item_inter_sets):
 
 def update_user_inter_lists(u, i, t, user_map, item_map, user_inter_lists):
     """Dedupe repeated (u, i), keeping the earliest timestamp
-    (dataset.py:28-37)."""
+    (dataset.py:28-37). Per-item reference-parity form; the parsers use the
+    O(1)-per-interaction bulk :func:`build_user_inter_lists`."""
     if u in user_map and i in item_map:
         lst = user_inter_lists[user_map[u]]
         for entry in lst:
@@ -55,6 +56,32 @@ def update_user_inter_lists(u, i, t, user_map, item_map, user_inter_lists):
                 entry[1] = min(entry[1], t)
                 return
         lst.append([item_map[i], t])
+
+
+def build_user_inter_lists(triples, user_map, item_map, n_users):
+    """Bulk form of :func:`update_user_inter_lists`: identical output
+    (first-seen insertion order per user, earliest timestamp kept) at O(1)
+    per interaction — the reference's per-interaction linear scan is
+    O(sum deg^2) in pure Python, hours of host time on power-law users at
+    Amazon/Gowalla scale."""
+    user_inter_lists = [[] for _ in range(n_users)]
+    by_item = [{} for _ in range(n_users)]
+    for u, i, t in triples:
+        cu = user_map.get(u)
+        if cu is None:
+            continue
+        ci = item_map.get(i)
+        if ci is None:
+            continue
+        entry = by_item[cu].get(ci)
+        if entry is not None:
+            if t < entry[1]:
+                entry[1] = t
+        else:
+            entry = [ci, t]
+            user_inter_lists[cu].append(entry)
+            by_item[cu][ci] = entry
+    return user_inter_lists
 
 
 def output_data(file_path, data):
@@ -102,6 +129,12 @@ class BasicDataset:
         """
         from inductive_recommendation_tpu.native import kcore_masks
 
+        if self.min_interactions is None:
+            raise ValueError(
+                f"dataset '{self.name}' applies k-core filtering and requires "
+                "'min_inter' in its config (reference config.py sets it per "
+                "dataset, e.g. 10 for Gowalla)"
+            )
         users_order = list(user_inter_sets.keys())
         items_order = list(item_inter_sets.keys())
         uidx = {u: j for j, u in enumerate(users_order)}
@@ -139,6 +172,9 @@ class BasicDataset:
         for user in range(self.n_users):
             self.user_inter_lists[user].sort(key=lambda entry: entry[1])
             if self.shuffle:
+                # reference parity (dataset.py:102-103): the GLOBAL np.random
+                # stream, seeded by utils.run.set_seed — shuffled splits are
+                # reproducible only when set_seed ran first, exactly as there
                 np.random.shuffle(self.user_inter_lists[user])
             n_inter_items = len(self.user_inter_lists[user])
             average_inters.append(n_inter_items)
@@ -180,28 +216,29 @@ class ProcessedDataset(BasicDataset):
     def __init__(self, dataset_config):
         super().__init__(dataset_config)
         path = dataset_config["path"]
-        self.train_data = self.read_data(os.path.join(path, "train.txt"))
-        self.val_data = self.read_data(os.path.join(path, "val.txt"))
-        self.test_data = self.read_data(os.path.join(path, "test.txt"))
+        self.train_data, flat, offs = self._read(os.path.join(path, "train.txt"))
+        self.val_data, _, _ = self._read(os.path.join(path, "val.txt"))
+        self.test_data, _, _ = self._read(os.path.join(path, "test.txt"))
         assert len(self.train_data) == len(self.val_data)
         assert len(self.train_data) == len(self.test_data)
         self.n_users = len(self.train_data)
-        flat, offs = self._last_parse
         users = np.repeat(np.arange(self.n_users, dtype=np.int64), np.diff(offs))
         self.train_array = np.stack([users, flat], axis=1)
 
-    def read_data(self, file_path):
+    def _read(self, file_path):
         # native C parser with python fallback (native/graph_core.cpp);
         # reference semantics (dataset.py:145-164): leading user token
         # discarded, line order = user id, n_items = max id + 1 across files
         flat, offs = parse_adjacency_file(file_path)
         if len(flat):
             self.n_items = max(self.n_items, int(flat.max()) + 1)
-        if file_path.endswith("train.txt"):
-            self._last_parse = (flat, offs)
-        return [
+        lists = [
             flat[offs[u] : offs[u + 1]].tolist() for u in range(len(offs) - 1)
         ]
+        return lists, flat, offs
+
+    def read_data(self, file_path):
+        return self._read(file_path)[0]
 
 
 class GowallaDataset(BasicDataset):
@@ -223,25 +260,32 @@ class GowallaDataset(BasicDataset):
         for u, i in zip(ul, il):
             update_ui_sets(u, i, user_inter_sets, item_inter_sets)
         user_map, item_map = self.remove_sparse_ui(user_inter_sets, item_inter_sets)
-
-        self.user_inter_lists = [[] for _ in range(self.n_users)]
-        for u, i, t in zip(ul, il, tl):
-            update_user_inter_lists(
-                u, i, t, user_map, item_map, self.user_inter_lists
-            )
+        self.user_inter_lists = build_user_inter_lists(
+            zip(ul, il, tl), user_map, item_map, self.n_users
+        )
         self.generate_data()
 
 
 class YelpDataset(BasicDataset):
     """yelp_academic_dataset_review.json stream; keep stars > 3
-    (dataset.py:192-225)."""
+    (dataset.py:192-225).
+
+    Divergences from the reference, both deliberate: the ~7M-line JSON is
+    decoded ONCE (the kept (user, business, date) triples are cached between
+    the two passes — JSON decoding dominates load time), and timestamps use
+    calendar.timegm (UTC) instead of the host-timezone-dependent time.mktime
+    (dataset.py:221) — same fix as the Gowalla parser; only ordering feeds
+    the chronological split."""
 
     def __init__(self, dataset_config):
         super().__init__(dataset_config)
+        import calendar
+
         input_file_path = os.path.join(
             dataset_config["path"], "yelp_academic_dataset_review.json"
         )
         user_inter_sets, item_inter_sets = {}, {}
+        kept = []
         with open(input_file_path, "r") as f:
             for line in f:
                 line = line.strip()
@@ -249,6 +293,9 @@ class YelpDataset(BasicDataset):
                     continue
                 record = json.loads(line)
                 if float(record["stars"]) > 3.0:
+                    kept.append(
+                        (record["user_id"], record["business_id"], record["date"])
+                    )
                     update_ui_sets(
                         record["user_id"],
                         record["business_id"],
@@ -256,28 +303,23 @@ class YelpDataset(BasicDataset):
                         item_inter_sets,
                     )
         user_map, item_map = self.remove_sparse_ui(user_inter_sets, item_inter_sets)
-
-        self.user_inter_lists = [[] for _ in range(self.n_users)]
-        with open(input_file_path, "r") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                record = json.loads(line)
-                if float(record["stars"]) > 3.0:
-                    t = int(
-                        time_mod.mktime(
-                            time_mod.strptime(record["date"], "%Y-%m-%d %H:%M:%S")
+        self.user_inter_lists = build_user_inter_lists(
+            (
+                (
+                    u,
+                    i,
+                    int(
+                        calendar.timegm(
+                            time_mod.strptime(date, "%Y-%m-%d %H:%M:%S")
                         )
-                    )
-                    update_user_inter_lists(
-                        record["user_id"],
-                        record["business_id"],
-                        t,
-                        user_map,
-                        item_map,
-                        self.user_inter_lists,
-                    )
+                    ),
+                )
+                for u, i, date in kept
+            ),
+            user_map,
+            item_map,
+            self.n_users,
+        )
         self.generate_data()
 
 
@@ -299,17 +341,19 @@ class AmazonDataset(BasicDataset):
                     update_ui_sets(u, i, user_inter_sets, item_inter_sets)
         user_map, item_map = self.remove_sparse_ui(user_inter_sets, item_inter_sets)
 
-        self.user_inter_lists = [[] for _ in range(self.n_users)]
-        with open(input_file_path, "r") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                u, i, r, t = line.split(",")
-                if float(r) > 3.0:
-                    update_user_inter_lists(
-                        u, i, int(t), user_map, item_map, self.user_inter_lists
-                    )
+        def triples():
+            with open(input_file_path, "r") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    u, i, r, t = line.split(",")
+                    if float(r) > 3.0:
+                        yield u, i, int(t)
+
+        self.user_inter_lists = build_user_inter_lists(
+            triples(), user_map, item_map, self.n_users
+        )
         self.generate_data()
 
 
@@ -349,11 +393,12 @@ class SyntheticDataset(BasicDataset):
             item_map = {i: idx for idx, i in enumerate(sorted(item_inter_sets))}
             self.n_users, self.n_items = len(user_map), len(item_map)
 
-        self.user_inter_lists = [[] for _ in range(self.n_users)]
-        for u, i, t in zip(users.tolist(), items.tolist(), times.tolist()):
-            update_user_inter_lists(
-                u, i, int(t), user_map, item_map, self.user_inter_lists
-            )
+        self.user_inter_lists = build_user_inter_lists(
+            zip(users.tolist(), items.tolist(), times.tolist()),
+            user_map,
+            item_map,
+            self.n_users,
+        )
         self.generate_data()
 
 
@@ -394,6 +439,29 @@ def _as_map_array(mapping, size):
     return np.asarray(mapping, dtype=np.int64)
 
 
+def _flatten_ragged(lists, pad_to):
+    """(flat, rows, slots, lengths, pad_to) for ragged per-user lists — the
+    one implementation both padding helpers scatter from. Raises on a
+    ``pad_to`` narrower than the longest row: the host scatter would raise
+    anyway, but JAX DROPS out-of-bounds scatter updates, silently truncating
+    exclusion/ground-truth rows."""
+    lengths = np.fromiter((len(l) for l in lists), dtype=np.int64, count=len(lists))
+    max_len = int(lengths.max(initial=0))
+    if pad_to is None:
+        pad_to = max(1, max_len)
+    elif pad_to < max_len:
+        raise ValueError(f"pad_to {pad_to} < longest row {max_len}")
+    if lengths.sum() == 0:
+        return None, None, None, lengths, pad_to
+    flat = np.concatenate([np.asarray(l, dtype=np.int32) for l in lists if len(l)])
+    rows = np.repeat(np.arange(len(lists), dtype=np.int32), lengths)
+    slots = (
+        np.arange(len(flat), dtype=np.int64)
+        - np.repeat(np.cumsum(lengths) - lengths, lengths)
+    ).astype(np.int32)
+    return flat, rows, slots, lengths, pad_to
+
+
 def device_padded_from_lists(lists, n_items, pad_to=None):
     """[n_users, L] padded item matrix built ON DEVICE from E-sized scatter
     components — uploading the dense padded matrix costs O(n_users * L)
@@ -401,18 +469,10 @@ def device_padded_from_lists(lists, n_items, pad_to=None):
     O(E)."""
     import jax.numpy as jnp
 
-    lengths = np.fromiter((len(l) for l in lists), dtype=np.int64, count=len(lists))
-    if pad_to is None:
-        pad_to = max(1, int(lengths.max(initial=0)))
-    if lengths.sum() == 0:
-        return jnp.full((len(lists), pad_to), n_items, dtype=jnp.int32)
-    flat = np.concatenate([np.asarray(l, dtype=np.int32) for l in lists if len(l)])
-    rows = np.repeat(np.arange(len(lists), dtype=np.int32), lengths)
-    slots = (
-        np.arange(len(flat), dtype=np.int64)
-        - np.repeat(np.cumsum(lengths) - lengths, lengths)
-    ).astype(np.int32)
+    flat, rows, slots, lengths, pad_to = _flatten_ragged(lists, pad_to)
     padded = jnp.full((len(lists), pad_to), n_items, dtype=jnp.int32)
+    if flat is None:
+        return padded
     return padded.at[jnp.asarray(rows), jnp.asarray(slots)].set(jnp.asarray(flat))
 
 
@@ -423,21 +483,13 @@ def pad_user_lists(lists, n_items, pad_to=None, sort=True):
     membership tests via searchsorted / -inf scatter through an extra
     column both work. Returns (padded, lengths).
     """
-    lengths = np.fromiter((len(l) for l in lists), dtype=np.int32, count=len(lists))
-    if pad_to is None:
-        pad_to = max(1, int(lengths.max(initial=0)))
+    flat, rows, slots, lengths, pad_to = _flatten_ragged(lists, pad_to)
     padded = np.full((len(lists), pad_to), n_items, dtype=np.int32)
-    if lengths.sum() > 0:
-        flat = np.concatenate(
-            [np.asarray(l, dtype=np.int32) for l in lists if len(l)]
-        )
-        rows = np.repeat(np.arange(len(lists)), lengths)
-        starts = np.concatenate([[0], np.cumsum(lengths)[:-1].astype(np.int64)])
-        slots = np.arange(len(flat)) - starts[rows]
+    if flat is not None:
         padded[rows, slots] = flat
         if sort:
             padded.sort(axis=1)
-    return padded, lengths
+    return padded, lengths.astype(np.int32)
 
 
 def quick_synthetic_dataset(

@@ -56,14 +56,21 @@ class SamplerState:
 
 
 def build_sampler_state(train_data, n_items) -> SamplerState:
-    lengths = np.fromiter(
-        (len(l) for l in train_data), dtype=np.int64, count=len(train_data)
-    )
+    # per-user UNIQUE sorted items: the complement rank mapping requires
+    # strictly increasing positives (a duplicated item makes P[j] - j
+    # non-monotone, silently skewing negatives and never sampling some
+    # items). Duplicates can reach here through external train.txt files —
+    # the framework's own pipelines dedup earlier.
+    rows = [
+        np.unique(np.asarray(l, dtype=np.int64))
+        if len(l)
+        else np.zeros((0,), np.int64)
+        for l in train_data
+    ]
+    lengths = np.fromiter((len(r) for r in rows), dtype=np.int64, count=len(rows))
     offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
     if offsets[-1] > 0:
-        items_flat = np.concatenate(
-            [np.sort(np.asarray(l, dtype=np.int64)) for l in train_data if len(l)]
-        )
+        items_flat = np.concatenate([r for r in rows if len(r)])
     else:
         items_flat = np.zeros((0,), dtype=np.int64)
     valid = np.nonzero(lengths > 0)[0].astype(np.int32)
@@ -130,6 +137,9 @@ def sample_bpr_batch(
         0, max_deg, body, (jnp.zeros_like(deg), deg)
     )
     lo = jnp.minimum(lo, deg)  # belt and braces: lo in [0, deg] by invariant
-    neg = (r + lo).astype(pos_items.dtype)
+    # a user holding the ENTIRE catalog has no true negative (the reference's
+    # rejection loop would never terminate); the r + lo map would emit the
+    # out-of-catalog id n_items — clamp into the catalog instead
+    neg = jnp.minimum(r + lo, state.n_items - 1).astype(pos_items.dtype)
     neg_items = neg.reshape(batch_size, neg_ratio)
     return users, pos_items, neg_items

@@ -200,3 +200,83 @@ def test_sampler_complement_exact_distribution():
     # uniformity over the complement (loose chi-square-ish bound)
     live = counts[5:]
     assert live.min() > 0.3 * expected and live.max() < 2.5 * expected
+
+
+def test_sampler_dedups_duplicate_train_items(rng):
+    """Duplicate (u, i) pairs (reachable through external train.txt files)
+    must not skew exact-complement negative sampling: with duplicates the
+    rank map P[j]-j goes non-monotone and some items are NEVER sampled."""
+    import jax
+    from inductive_recommendation_tpu.data.sampling import (
+        build_sampler_state,
+        sample_bpr_batch,
+    )
+
+    n_items = 8
+    train = [[5, 5], [1, 1, 1, 3]]
+    state = build_sampler_state(train, n_items)
+    assert int(state.deg[0]) == 1 and int(state.deg[1]) == 2
+    seen = set()
+    for s in range(64):
+        users, pos, neg = sample_bpr_batch(state, jax.random.key(s), 32)
+        u = np.asarray(users)
+        n = np.asarray(neg)[:, 0]
+        p = np.asarray(pos)
+        for uu, pp, nn in zip(u, p, n):
+            assert nn < n_items
+            if uu == 0:
+                assert pp == 5 and nn != 5
+                seen.add(int(nn))
+    # all 7 non-positives of user 0 eventually appear (item 4 was never
+    # sampled before the dedup fix)
+    assert seen == {0, 1, 2, 3, 4, 6, 7}
+
+
+def test_sampler_full_catalog_user_stays_in_range():
+    """A user holding the entire catalog has no true negative; the sampler
+    must emit an in-catalog id, not n_items."""
+    import jax
+    from inductive_recommendation_tpu.data.sampling import (
+        build_sampler_state,
+        sample_bpr_batch,
+    )
+
+    n_items = 4
+    state = build_sampler_state([[0, 1, 2, 3]], n_items)
+    _, _, neg = sample_bpr_batch(state, jax.random.key(0), 64)
+    assert int(np.asarray(neg).max()) < n_items
+
+
+def test_build_user_inter_lists_matches_per_item_form(rng):
+    from inductive_recommendation_tpu.data.dataset import (
+        build_user_inter_lists,
+        update_user_inter_lists,
+    )
+
+    n_users, n_items = 12, 9
+    triples = [
+        (int(rng.integers(0, n_users + 2)), int(rng.integers(0, n_items + 2)),
+         int(rng.integers(0, 1000)))
+        for _ in range(400)
+    ]
+    user_map = {u: u for u in range(n_users)}
+    item_map = {i: i for i in range(n_items)}
+    ref = [[] for _ in range(n_users)]
+    for u, i, t in triples:
+        update_user_inter_lists(u, i, t, user_map, item_map, ref)
+    bulk = build_user_inter_lists(iter(triples), user_map, item_map, n_users)
+    assert ref == bulk
+
+
+def test_pad_helpers_reject_narrow_pad_to(rng):
+    import pytest
+    from inductive_recommendation_tpu.data.dataset import (
+        device_padded_from_lists,
+        pad_user_lists,
+    )
+
+    lists = [[0, 1, 2], [3]]
+    with pytest.raises(ValueError):
+        device_padded_from_lists(lists, 5, pad_to=2)
+    with pytest.raises(ValueError):
+        pad_user_lists(lists, 5, pad_to=2)
