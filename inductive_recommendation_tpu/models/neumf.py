@@ -21,6 +21,16 @@ class NeuMF(BasicModel):
         self.layer_sizes = list(model_config["layer_sizes"])
         self.arch = "gmf"
 
+    def checkpoint_aux(self):
+        # the pretrain phase is model state: a full-state resume past a phase
+        # boundary must land in the saved arch, not restart as 'gmf' (the
+        # BCETrainer switches fire only on exact boundary epochs)
+        return {"arch": self.arch}
+
+    def restore_aux(self, aux):
+        if aux and "arch" in aux:
+            self.arch = str(aux["arch"])
+
     def init_params(self, rng):
         keys = jax.random.split(rng, 5 + len(self.layer_sizes))
         half = self.layer_sizes[0] // 2

@@ -203,13 +203,9 @@ def make_edge_sharded_igcn_step(
             # models/base.py::l2_sq_rows as used by IGCN.bpr_forward
             l2 = jnp.sum(u_r**2, 1) + jnp.sum(p_r**2, 1) + jnp.sum(n_r**2, 1)
             bpr = L.bpr_loss(u_r, p_r, n_r)
-            w = p["w"]
-            au = emb[a_users]
-            ap = emb[user_dim + a_pos]
-            an = emb[user_dim + a_neg[:, 0]]
-            pos_s = jnp.sum(au * ap * w[None, :], axis=1)
-            neg_s = jnp.sum(au * an * w[None, :], axis=1)
-            aux_loss = jnp.mean(jax.nn.softplus(neg_s - pos_s))
+            aux_loss = L.aux_bpr_w(
+                emb, p["w"], a_users, a_pos, a_neg[:, 0], user_dim
+            )
             return bpr + l2_reg * l2.mean() + aux_reg * aux_loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -268,13 +264,9 @@ def make_sharded_igcn_step(
                 p, users, pos, neg[:, 0], rng=rng_m, training=True, buffers=buffers
             )[:4]
             bpr = L.bpr_loss(u_r, p_r, n_r)
-            emb, w = p["embedding"], p["w"]
-            au = emb[a_users]
-            ap = emb[user_dim + a_pos]
-            an = emb[user_dim + a_neg[:, 0]]
-            pos_s = jnp.sum(au * ap * w[None, :], axis=1)
-            neg_s = jnp.sum(au * an * w[None, :], axis=1)
-            aux_loss = jnp.mean(jax.nn.softplus(neg_s - pos_s))
+            aux_loss = L.aux_bpr_w(
+                p["embedding"], p["w"], a_users, a_pos, a_neg[:, 0], user_dim
+            )
             return bpr + l2_reg * l2.mean() + aux_reg * aux_loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -53,8 +53,24 @@ def bce_losses(pos_logits, neg_logits):
     return jnp.concatenate([softplus(-pos_logits), softplus(neg_logits)], axis=0)
 
 
-def multinomial_ll_loss(scores, profiles):
+def multinomial_ll_loss(scores, profiles, valid=None):
     """-sum(profile * log_softmax(scores)) averaged over users
-    (trainer.py:630-634)."""
+    (trainer.py:630-634). ``valid``: optional [B] 0/1 weights for padded
+    batch rows (mean over valid rows only)."""
     log_probs = jax.nn.log_softmax(scores, axis=1)
-    return -jnp.sum(profiles * log_probs, axis=1).mean()
+    ml = -jnp.sum(profiles * log_probs, axis=1)
+    if valid is None:
+        return ml.mean()
+    return jnp.sum(ml * valid) / jnp.maximum(valid.sum(), 1.0)
+
+
+def aux_bpr_w(emb, w, a_users, a_pos, a_neg, user_dim):
+    """IGCN-family auxiliary BPR on raw core embedding rows scored with the
+    per-dim weight vector ``w`` (trainer.py:542-549) — the one
+    implementation shared by the IGCN/DOSE trainers and the sharded steps."""
+    au = emb[a_users]
+    ap = emb[user_dim + a_pos]
+    an = emb[user_dim + a_neg]
+    pos_s = jnp.sum(au * ap * w[None, :], axis=1)
+    neg_s = jnp.sum(au * an * w[None, :], axis=1)
+    return jnp.mean(softplus(neg_s - pos_s))

@@ -98,7 +98,8 @@ class BasicTrainer:
         raise NotImplementedError
 
     # -- logging (trainer.py:51-56) -----------------------------------------
-    def record(self, writer, stage, metrics):
+    def record(self, writer, stage, metrics, epoch=None):
+        epoch = self.epoch if epoch is None else epoch
         for metric in metrics:
             for k in self.topks:
                 writer.add_scalar(
@@ -106,7 +107,7 @@ class BasicTrainer:
                         self.model.name, self.name, stage, metric, k
                     ),
                     metrics[metric][k],
-                    self.epoch,
+                    epoch,
                 )
 
     # -- checkpoint helpers --------------------------------------------------
@@ -158,17 +159,25 @@ class BasicTrainer:
             results, metrics = self.eval("val")
             if verbose:
                 print("Validation result. {:s}".format(results))
-            # non-trainable models report NDCG@topks[5] (trainer.py:64 quirk)
-            return metrics["NDCG"][self.topks[5]]
+            # non-trainable models report NDCG@topks[5] (trainer.py:64 quirk);
+            # clamped for short topks lists — the reference IndexErrors on
+            # them (its own yelp NeuMF config passes topks=[20])
+            return metrics["NDCG"][self.topks[min(5, len(self.topks) - 1)]]
 
         if not os.path.exists("checkpoints"):
             os.mkdir("checkpoints")
         patience = self.max_patience
         # resume-aware: self.epoch counts COMPLETED epochs (0 when fresh;
-        # restored by load_state) — a restored run continues, not replays
-        for self.epoch in range(self.epoch, self.n_epochs):
+        # restored by load_state). During an epoch it equals that epoch's
+        # index (what train_one_epoch phase checks and writer tags read,
+        # reference parity) and is bumped as soon as the epoch's training
+        # completes — so save_state at ANY point resumes without replaying
+        # an already-trained epoch.
+        for epoch in range(self.epoch, self.n_epochs):
+            self.epoch = epoch
             start_time = time.time()
             loss = self.train_one_epoch()
+            self.epoch = epoch + 1
             if writer:
                 # train-set metrics are logging-only in the reference
                 # (trainer.py:73); computed here only when a writer wants them
@@ -176,18 +185,18 @@ class BasicTrainer:
                 writer.add_scalar(
                     "{:s}_{:s}/train_loss".format(self.model.name, self.name),
                     loss,
-                    self.epoch,
+                    epoch,
                 )
-                self.record(writer, "train", train_metrics)
+                self.record(writer, "train", train_metrics, epoch=epoch)
             consumed_time = time.time() - start_time
             if verbose:
                 print(
                     "Epoch {:d}/{:d}, Loss: {:.6f}, Time: {:.3f}s".format(
-                        self.epoch, self.n_epochs, loss, consumed_time
+                        epoch, self.n_epochs, loss, consumed_time
                     )
                 )
 
-            if (self.epoch + 1) % self.val_interval != 0:
+            if (epoch + 1) % self.val_interval != 0:
                 continue
 
             start_time = time.time()
@@ -200,9 +209,12 @@ class BasicTrainer:
                     )
                 )
             if writer:
-                self.record(writer, "validation", metrics)
+                self.record(writer, "validation", metrics, epoch=epoch)
 
-            ndcg = metrics["NDCG"][self.topks[4]]
+            # early-stop metric NDCG@topks[4] (trainer.py:94), clamped for
+            # short topks lists (the reference IndexErrors on its own yelp
+            # NeuMF config's topks=[20])
+            ndcg = metrics["NDCG"][self.topks[min(4, len(self.topks) - 1)]]
             if ndcg > self.best_ndcg:
                 if self.save_path and os.path.exists(self.save_path):
                     # a restored save_path may point at a deleted file
@@ -228,7 +240,9 @@ class BasicTrainer:
                         print("Early stopping!")
                     break
 
-        if self.save_path:
+        # a restored save_path may point at a deleted file (same guard as the
+        # save-on-improve branch) — don't crash at the very end of a run
+        if self.save_path and os.path.exists(self.save_path):
             self._load_model(self.save_path)
         return self.best_ndcg
 
@@ -331,13 +345,9 @@ class IGCNTrainer(BasicTrainer):
                 bpr = L.bpr_loss(u_r, p_r, n_r)
                 # aux BPR on raw core embeddings scored with w
                 # (trainer.py:542-549)
-                emb, w = p["embedding"], p["w"]
-                au = emb[a_users]
-                ap = emb[user_dim + a_pos]
-                an = emb[user_dim + a_neg[:, 0]]
-                pos_s = jnp.sum(au * ap * w[None, :], axis=1)
-                neg_s = jnp.sum(au * an * w[None, :], axis=1)
-                aux_loss = jnp.mean(jax.nn.softplus(neg_s - pos_s))
+                aux_loss = L.aux_bpr_w(
+                    p["embedding"], p["w"], a_users, a_pos, a_neg[:, 0], user_dim
+                )
                 return bpr + l2_reg * l2.mean() + aux_reg * aux_loss
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -412,8 +422,11 @@ class SGLTrainer(BasicTrainer):
                 self._next_seed(),
             )
             losses.append(loss)
-        self.model.update_aug_adj(self.params)
+        self._epoch_end()
         return _epoch_mean(losses)
+
+    def _epoch_end(self):
+        self.model.update_aug_adj(self.params)
 
 
 class HALFTrainer(SGLTrainer):
@@ -455,13 +468,9 @@ class DOSEaugTrainer(BasicTrainer):
                     p, users, pos, neg[:, 0], rng=rng_m, training=True, buffers=buffers
                 )
                 bpr = L.bpr_loss(u_r, p_r, n_r)
-                emb, w = p["embedding"], p["w"]
-                au = emb[a_users]
-                ap = emb[user_dim + a_pos]
-                an = emb[user_dim + a_neg[:, 0]]
-                pos_s = jnp.sum(au * ap * w[None, :], axis=1)
-                neg_s = jnp.sum(au * an * w[None, :], axis=1)
-                aux_loss = jnp.mean(jax.nn.softplus(neg_s - pos_s))
+                aux_loss = L.aux_bpr_w(
+                    p["embedding"], p["w"], a_users, a_pos, a_neg[:, 0], user_dim
+                )
                 return (
                     bpr
                     + l2_reg * l2.mean()
@@ -502,55 +511,13 @@ class DOSEtestTrainer(DOSEaugTrainer):
     the aug-view user reps in the contrastive slot (reproduced literally)."""
 
 
-class IDCFTrainer(BasicTrainer):
-    """BPR + L2 + contrastive regularizer (trainer.py:488-515)."""
+class IDCFTrainer(SGLTrainer):
+    """BPR + L2 + contrastive regularizer (trainer.py:488-515) — the same
+    step as SGLTrainer minus the per-epoch view regeneration (IDCF has no
+    augmentation graphs to rebuild)."""
 
-    def __init__(self, trainer_config, dataset, model):
-        super().__init__(trainer_config, dataset, model)
-        self.l2_reg = trainer_config["l2_reg"]
-        self.contrastive_reg = trainer_config["contrastive_reg"]
-        self.initialize_optimizer()
-        self.sampler = build_sampler_state(dataset.train_data, dataset.n_items)
-        model_ref = self.model
-        l2_reg, c_reg = self.l2_reg, self.contrastive_reg
-        batch_size = self.batch_size
-        base_seed = self.seed
-        optimizer = self.optimizer
-
-        def step(params, opt_state, buffers, sampler, step_seed):
-            rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
-            rng_s, rng_m = jax.random.split(rng)
-            users, pos, neg = sample_bpr_batch(sampler, rng_s, batch_size)
-
-            def loss_fn(p):
-                u_r, p_r, n_r, l2, closs = model_ref.bpr_forward(
-                    p, users, pos, neg[:, 0], rng=rng_m, training=True, buffers=buffers
-                )
-                return (
-                    L.bpr_loss(u_r, p_r, n_r)
-                    + l2_reg * l2.mean()
-                    + c_reg * closs.mean()
-                )
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
-
-        self._step = jax.jit(step, donate_argnums=(0, 1))
-
-    def train_one_epoch(self):
-        losses = []
-        for _ in range(self.steps_per_epoch):
-            self.params, self.opt_state, loss = self._step(
-                self.params,
-                self.opt_state,
-                self.model.buffers,
-                self.sampler,
-                self._next_seed(),
-            )
-            losses.append(loss)
-        return _epoch_mean(losses)
+    def _epoch_end(self):
+        pass
 
 
 class BCETrainer(BasicTrainer):
@@ -600,19 +567,22 @@ class BCETrainer(BasicTrainer):
         return jax.jit(step, donate_argnums=(0, 1))
 
     def train_one_epoch(self):
-        # phase switches (trainer.py:576-586)
+        # phase switches (trainer.py:576-586). Reload the phase's best BEFORE
+        # switching arch: the checkpoint aux restores the arch it was saved
+        # in (persisted so a full-state resume lands in the right phase),
+        # which would otherwise undo the switch.
         if self.epoch == self.mf_pretrain_epochs:
+            if self.save_path and os.path.exists(self.save_path):
+                self._load_model(self.save_path)
             self.model.arch = "mlp"
             self.initialize_optimizer()
             self.best_ndcg = -np.inf
-            if self.save_path:
-                self._load_model(self.save_path)
         if self.epoch == self.mf_pretrain_epochs + self.mlp_pretrain_epochs:
+            if self.save_path and os.path.exists(self.save_path):
+                self._load_model(self.save_path)
             self.model.arch = "neumf"
             self.initialize_optimizer()
             self.best_ndcg = -np.inf
-            if self.save_path:
-                self._load_model(self.save_path)
             self.params = self.model.init_mlp_layers(
                 self.params, jax.random.key(self.seed + 7)
             )
@@ -652,11 +622,8 @@ class MLTrainer(BasicTrainer):
                     p, users, rng=rng, training=True, buffers=buffers
                 )
                 profiles = model_ref._profiles(buffers, users, normalized=False)
-                log_probs = jax.nn.log_softmax(scores, axis=1)
-                ml = -jnp.sum(profiles * log_probs, axis=1)
-                n_valid = jnp.maximum(valid.sum(), 1.0)
-                ml_loss = jnp.sum(ml * valid) / n_valid
-                kl_loss = jnp.sum(kl * valid) / n_valid
+                ml_loss = L.multinomial_ll_loss(scores, profiles, valid=valid)
+                kl_loss = jnp.sum(kl * valid) / jnp.maximum(valid.sum(), 1.0)
                 return ml_loss + kl_reg_t * kl_loss + l2_reg * l2.mean()
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -669,7 +636,13 @@ class MLTrainer(BasicTrainer):
 
     def train_one_epoch(self):
         kl_reg = min(self.kl_reg, 1.0 * self.epoch / max(self.n_epochs, 1))
-        perm = np.random.permutation(self.dataset.n_users)
+        # per-epoch permutation from (seed, epoch) — NOT the global np.random
+        # stream: every other trainer's trajectory is an exact function of
+        # (seed, step counter), and a save_state/load_state resume must
+        # reproduce the uninterrupted run's batch order
+        perm = np.random.default_rng((self.seed, 61, self.epoch)).permutation(
+            self.dataset.n_users
+        )
         losses = []
         B = self.batch_size
         for start in range(0, len(perm), B):

@@ -249,3 +249,148 @@ def test_sgl_resume_replays_views_exactly(tmp_path):
         assert abs(loss_next_a - loss_next_b) < 1e-5
     finally:
         os.chdir(cwd)
+
+
+def _tiny_ds():
+    return get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 40,
+            "n_items": 30,
+            "n_interactions": 500,
+            "seed": 3,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+
+
+def test_short_topks_and_epoch_invariant(tmp_path):
+    """topks=[20] (the reference's own yelp NeuMF quirk, which IndexErrors
+    there) must train end-to-end; and after train() the epoch counter equals
+    COMPLETED epochs so save_state/load_state does not replay an epoch."""
+    ds = _tiny_ds()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        def make(n_epochs):
+            model = get_model({"name": "MF", "embedding_size": 8}, ds)
+            return get_trainer(
+                {
+                    "name": "BPRTrainer",
+                    "optimizer": "Adam",
+                    "lr": 1e-2,
+                    "l2_reg": 1e-4,
+                    "n_epochs": n_epochs,
+                    "batch_size": 64,
+                    "test_batch_size": 16,
+                    "topks": [20],
+                    "val_interval": 1,
+                    "seed": 0,
+                },
+                ds,
+                model,
+            )
+
+        t1 = make(2)
+        t1.train(verbose=False)
+        assert t1.epoch == 2  # completed count, not last index
+        t1.save_state("s.ckpt")
+        t2 = make(2)
+        t2.load_state("s.ckpt")
+        sc = t2._step_counter
+        t2.train(verbose=False)  # nothing left to do; must not replay
+        assert t2._step_counter == sc
+    finally:
+        os.chdir(cwd)
+
+
+def test_neumf_resume_lands_in_saved_phase(tmp_path):
+    """A full-state resume past a BCETrainer phase boundary must continue in
+    the saved arch (it restarted as 'gmf' before arch was checkpointed)."""
+    ds = _tiny_ds()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        def make():
+            model = get_model(
+                {
+                    "name": "NeuMF",
+                    "embedding_size": 8,
+                    "layer_sizes": [16, 8],
+                },
+                ds,
+            )
+            return get_trainer(
+                {
+                    "name": "BCETrainer",
+                    "optimizer": "Adam",
+                    "lr": 1e-2,
+                    "l2_reg": 1e-4,
+                    "n_epochs": 6,
+                    "batch_size": 64,
+                    "test_batch_size": 16,
+                    "topks": [1, 5, 10, 15, 20, 25],
+                    "val_interval": 1,
+                    "mf_pretrain_epochs": 1,
+                    "mlp_pretrain_epochs": 2,
+                    "seed": 0,
+                },
+                ds,
+                model,
+            )
+
+        t1 = make()
+        for e in range(2):  # epochs 0 (gmf) and 1 (switch -> mlp)
+            t1.epoch = e
+            t1.train_one_epoch()
+        t1.epoch = 2
+        assert t1.model.arch == "mlp"
+        t1.save_state("s.ckpt")
+
+        t2 = make()
+        assert t2.model.arch == "gmf"
+        t2.load_state("s.ckpt")
+        assert t2.model.arch == "mlp"  # restored, not restarted
+        t2.train_one_epoch()  # epoch 2, still mlp
+        assert t2.model.arch == "mlp"
+        t2.epoch = 3
+        t2.train_one_epoch()  # epoch 3 == mf+mlp -> neumf switch
+        assert t2.model.arch == "neumf"
+    finally:
+        os.chdir(cwd)
+
+
+def test_mltrainer_epoch_is_seeded():
+    """MLTrainer's user permutation must be a pure function of (seed, epoch),
+    not the global numpy stream."""
+    ds = _tiny_ds()
+
+    def run():
+        model = get_model(
+            {"name": "MultiVAE", "layer_sizes": [16, 8], "dropout": 0.0}, ds
+        )
+        t = get_trainer(
+            {
+                "name": "MLTrainer",
+                "optimizer": "Adam",
+                "lr": 1e-2,
+                "l2_reg": 1e-4,
+                "kl_reg": 0.2,
+                "n_epochs": 4,
+                "batch_size": 16,
+                "test_batch_size": 16,
+                "topks": [1, 5, 10, 15, 20, 25],
+                "seed": 0,
+            },
+            ds,
+            model,
+        )
+        np.random.seed(123 if run.flip else 321)  # perturb the global stream
+        run.flip = not run.flip
+        return [t.train_one_epoch() for _ in range(2)]
+
+    run.flip = False
+    a = run()
+    b = run()
+    assert a == b
