@@ -43,7 +43,12 @@ def pagerank(row, col, weight, n_nodes, alpha=0.85, tol=1e-6, max_iter=100):
         if np.abs(p_new - p).sum() < n_nodes * tol:
             return p_new
         p = p_new
-    return p
+    # the reference's networkx call raises PowerIterationFailedConvergence
+    # here (utils.py:207-210) — proceeding with an unconverged vector would
+    # silently change the core (template) selection
+    raise RuntimeError(
+        f"PageRank power iteration failed to converge in {max_iter} iterations"
+    )
 
 
 def graph_rank_nodes(dataset, ranking_metric: str):
@@ -102,7 +107,10 @@ def rank_nodes_from_edges(edge_array, n_users, n_items, ranking_metric: str):
     elif ranking_metric == "page_rank":
         metrics = pagerank(row, col, counts, n)
     else:
-        return None
+        raise ValueError(
+            f"unknown ranking_metric {ranking_metric!r} "
+            "(expected 'degree', 'sort', 'greedy' or 'page_rank')"
+        )
 
     user_metrics, item_metrics = metrics[:n_users], metrics[n_users:]
     ranked_users = np.argsort(user_metrics)[::-1].copy()

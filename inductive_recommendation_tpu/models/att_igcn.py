@@ -25,7 +25,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from inductive_recommendation_tpu.models.base import kaiming_uniform_init
+from inductive_recommendation_tpu.models.base import (
+    init_linear,
+    kaiming_uniform_init,
+)
 from inductive_recommendation_tpu.models.igcn import IGCN
 from inductive_recommendation_tpu.ops import spmm_bucketed
 from inductive_recommendation_tpu.ops.attention_spmm import attention_spmm
@@ -54,14 +57,8 @@ class AttIGCN(IGCN):
             "embedding": kaiming_uniform_init(
                 r_emb, (self._align_rows(self.feat_n_cols), self.embedding_size)
             ),
-            "weight_q": {
-                "w": kaiming_uniform_init(r_q, (d * h, d)).T,
-                "b": jnp.zeros((d * h,), jnp.float32),
-            },
-            "weight_k": {
-                "w": kaiming_uniform_init(r_k, (d * h, d)).T,
-                "b": jnp.zeros((d * h,), jnp.float32),
-            },
+            "weight_q": init_linear(r_q, d, d * h),
+            "weight_k": init_linear(r_k, d, d * h),
             "w": jnp.ones((self.embedding_size,), dtype=jnp.float32),
         }
 

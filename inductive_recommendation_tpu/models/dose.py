@@ -178,14 +178,20 @@ class _DOSEBase(IGCN):
             r_users = r_items = None
         else:
             # static arrays (e.g. DOSE_aug_drop2's degree tails): upload once,
-            # not per epoch (H2D is ~MB/s on tunneled backends)
+            # not per epoch (H2D is ~MB/s on tunneled backends). The cache
+            # value HOLDS the host arrays — keying by id() alone would go
+            # stale if CPython recycled a freed array's id
             rid = (id(restrict[0]), id(restrict[1]))
-            if rid not in self._restrict_dev_cache:
-                self._restrict_dev_cache[rid] = (
+            hit = self._restrict_dev_cache.get(rid)
+            if hit is None or hit[0] is not restrict[0] or hit[1] is not restrict[1]:
+                hit = (
+                    restrict[0],
+                    restrict[1],
                     jnp.asarray(restrict[0]),
                     jnp.asarray(restrict[1]),
                 )
-            r_users, r_items = self._restrict_dev_cache[rid]
+                self._restrict_dev_cache[rid] = hit
+            r_users, r_items = hit[2], hit[3]
         cache_key = (
             k,
             negate_items,
@@ -346,6 +352,18 @@ class DOSE_aug2(DOSE_aug):
             im[core_i] = np.arange(len(core_i))
             self.aug_user_map, self.aug_item_map = um, im
         return self.aug_user_map, self.aug_item_map
+
+    def attach_dataset(self, dataset):
+        # extend the cached aug core maps with -1 for newly-appeared nodes,
+        # exactly as IGCN.attach_dataset extends the main maps — stale
+        # short maps would IndexError in the aug-feat rebuild
+        if hasattr(self, "aug_user_map"):
+            um = np.full(dataset.n_users, -1, dtype=np.int64)
+            um[: len(self.aug_user_map)] = self.aug_user_map
+            im = np.full(dataset.n_items, -1, dtype=np.int64)
+            im[: len(self.aug_item_map)] = self.aug_item_map
+            self.aug_user_map, self.aug_item_map = um, im
+        super().attach_dataset(dataset)
 
     def checkpoint_aux(self):
         aux = dict(super().checkpoint_aux())
@@ -607,11 +625,21 @@ class DOSE_aug_drop2(_DOSEBase):
     view_keys = ("aug_adj", "drop_adj")
 
     def __init__(self, model_config, dataset):
-        ranked_users, ranked_items = graph_rank_nodes(dataset, "degree")
         aug_ratio = model_config.get("aug_ratio", 0.2)
+        self._rank_tails(dataset, aug_ratio)
+        super().__init__(model_config, dataset)
+
+    def _rank_tails(self, dataset, aug_ratio):
+        ranked_users, ranked_items = graph_rank_nodes(dataset, "degree")
         self._tail_users = ranked_users[int(dataset.n_users * aug_ratio) :].copy()
         self._tail_items = ranked_items[int(dataset.n_items * aug_ratio) :].copy()
-        super().__init__(model_config, dataset)
+
+    def attach_dataset(self, dataset):
+        # re-rank over the NEW dataset: the degree tail is exactly where
+        # newly-appeared cold nodes live — the variant's selection must be
+        # able to target them on the inductive path
+        self._rank_tails(dataset, self.aug_ratio)
+        super().attach_dataset(dataset)
 
     def _select(self, params):
         return self._cos_pairs(

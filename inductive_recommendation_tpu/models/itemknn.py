@@ -20,9 +20,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from inductive_recommendation_tpu.data.dataset import pad_user_lists
+from inductive_recommendation_tpu.data.dataset import device_padded_from_lists
 from inductive_recommendation_tpu.models.base import BasicModel
 from inductive_recommendation_tpu.ops import build_bucketed_spmm, spmm_bucketed
+from inductive_recommendation_tpu.utils.profiles import dense_profiles
 
 
 class ItemKNN(BasicModel):
@@ -32,12 +33,20 @@ class ItemKNN(BasicModel):
         super().__init__(model_config, dataset)
         self.k = model_config["k"]
         self._build_similarity(dataset, block=model_config.get("sim_block", 512))
-        train_padded, _ = pad_user_lists(dataset.train_data, self.n_items, sort=False)
-        self.buffers["train_padded"] = jnp.asarray(train_padded)
+        # built ON DEVICE from O(E) components — never upload an
+        # O(n_users * max_degree) padded matrix over the ~MB/s H2D path
+        self.buffers["train_padded"] = device_padded_from_lists(
+            dataset.train_data, self.n_items
+        )
 
     def _build_similarity(self, dataset, block):
         n_users, n_items = self.n_users, self.n_items
         train_array = np.asarray(dataset.train_array).reshape(-1, 2)
+        # coalesce duplicate (u, i) pairs (external train files may repeat
+        # them): the Jaccard numerator must be binary on BOTH sides — a
+        # multiplicity-weighted R^T against one-hot block columns would make
+        # S asymmetric (the reference's scipy-CSR semantics are set-based)
+        train_array = np.unique(train_array, axis=0)
         users, items = train_array[:, 0], train_array[:, 1]
         item_deg = np.bincount(items, minlength=n_items).astype(np.float32)
 
@@ -45,12 +54,12 @@ class ItemKNN(BasicModel):
         rt = build_bucketed_spmm(
             items, users, np.ones(len(items), np.float32), (n_items, n_users)
         )
-        # per-item user lists, padded (sentinel n_users scatters off the edge)
+        # per-item user lists, padded (sentinel n_users scatters off the
+        # edge); device-built from O(E) components
         item_users = [[] for _ in range(n_items)]
         for u, i in zip(users.tolist(), items.tolist()):
             item_users[i].append(u)
-        iu_padded, _ = pad_user_lists(item_users, n_users, sort=False)
-        iu_padded = jnp.asarray(iu_padded)
+        iu_padded = device_padded_from_lists(item_users, n_users)
         deg_d = jnp.asarray(item_deg)
         k = min(self.k, n_items)
 
@@ -99,8 +108,5 @@ class ItemKNN(BasicModel):
         return self._buf(buffers)
 
     def score(self, state, users):
-        rows = state["train_padded"][users]  # [B, L]
-        B = rows.shape[0]
-        profiles = jnp.zeros((B, self.n_items + 1), jnp.float32)
-        profiles = profiles.at[jnp.arange(B)[:, None], rows].set(1.0)[:, : self.n_items]
+        profiles = dense_profiles(state["train_padded"], users, self.n_items)
         return spmm_bucketed(state["sim_t"], profiles.T).T

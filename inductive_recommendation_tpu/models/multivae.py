@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from inductive_recommendation_tpu.data.dataset import pad_user_lists
+from inductive_recommendation_tpu.data.dataset import device_padded_from_lists
 from inductive_recommendation_tpu.models.base import (
     BasicModel,
     apply_linear,
@@ -32,9 +32,17 @@ class MultiVAE(BasicModel):
         self.mid_size = self.e_layer_sizes[-1]
         self.e_layer_sizes[-1] = self.mid_size * 2  # mean ++ log_var
 
-        train_padded, deg = pad_user_lists(dataset.train_data, self.n_items, sort=False)
+        # built ON DEVICE from O(E) components — never upload an
+        # O(n_users * max_degree) padded matrix over the ~MB/s H2D path
+        deg = np.fromiter(
+            (len(l) for l in dataset.train_data),
+            dtype=np.int64,
+            count=len(dataset.train_data),
+        )
         self.buffers = {
-            "train_padded": jnp.asarray(train_padded),
+            "train_padded": device_padded_from_lists(
+                dataset.train_data, self.n_items
+            ),
             "inv_norm": jnp.asarray(
                 (1.0 / np.sqrt(np.maximum(deg, 1))).astype(np.float32)
             ),

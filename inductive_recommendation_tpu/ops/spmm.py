@@ -94,6 +94,12 @@ def segment_softmax(
     The attention-SpMM building block (AttIGCN spec, model.py:4270-4274:
     gspmm copy_rhs/max then copy_rhs/sum). ``scores`` may be [nnz] or
     [nnz, h] for multi-head. ``mask`` (1/0 per edge) excludes padding.
+
+    PRECONDITION: ``row`` must be sorted ascending (a ``SparseCOO``'s row
+    array is; a transpose direction's is NOT). The segment reductions are
+    lowered with indices_are_sorted=True — on CPU the hint is ignored, but
+    on TPU unsorted indices under it are undefined behavior and produce
+    silently wrong softmax weights.
     """
     if mask is not None:
         neg = jnp.asarray(-1e30, scores.dtype)

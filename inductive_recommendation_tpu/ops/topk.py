@@ -28,21 +28,25 @@ def masked_topk(
 ):
     """Top-k after masking excluded per-row items and globally banned items.
 
-    ``exclude_idx`` is [n_rows, m] padded with ``n_items`` (a sentinel column
-    is appended so out-of-range scatters are harmless, mirroring the -inf
-    masking at trainer.py:155-167). ``banned_mask`` is a [n_items] bool.
+    ``exclude_idx`` is [n_rows, m] padded with ``n_items``: under jit,
+    ``mode='drop'`` discards the out-of-range sentinel updates, so no
+    sentinel column (and no extra [n_rows, n_items] copy for the
+    concatenate+slice) is needed — mirroring the -inf masking at
+    trainer.py:155-167. ``banned_mask`` is a [n_items] bool.
     """
-    n_rows, n_items = scores.shape
+    return jax.lax.top_k(mask_scores(scores, exclude_idx, banned_mask), k)
+
+
+def mask_scores(scores, exclude_idx=None, banned_mask=None):
+    """-inf the excluded per-row ids (out-of-range ids dropped) and banned
+    columns; shared by masked_topk and the sharded retrieval's local shards."""
+    n_rows, _ = scores.shape
     if banned_mask is not None:
         scores = jnp.where(banned_mask[None, :], -jnp.inf, scores)
     if exclude_idx is not None:
-        padded = jnp.concatenate(
-            [scores, jnp.zeros((n_rows, 1), scores.dtype)], axis=1
-        )
         rows = jnp.arange(n_rows)[:, None]
-        padded = padded.at[rows, exclude_idx].set(-jnp.inf)
-        scores = padded[:, :n_items]
-    return jax.lax.top_k(scores, k)
+        scores = scores.at[rows, exclude_idx].set(-jnp.inf, mode="drop")
+    return scores
 
 
 def sharded_topk(local_scores: jnp.ndarray, k: int, axis_name: str):

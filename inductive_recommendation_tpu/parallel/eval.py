@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from inductive_recommendation_tpu.ops.topk import sharded_topk
+from inductive_recommendation_tpu.ops.topk import mask_scores, sharded_topk
 
 
 def pad_items_to_mesh(n_items: int, mesh: Mesh) -> int:
@@ -37,16 +37,12 @@ def make_sharded_recommender(mesh: Mesh, n_items: int, k: int):
     def local_fn(users_rep, items_local, exclude, banned_local):
         shard = jax.lax.axis_index("model")
         scores = users_rep @ items_local.T  # [B, n_local]
-        scores = jnp.where(banned_local[None, :], -jnp.inf, scores)
-        # exclusion: map global ids into this shard's local range
+        # exclusion: map global ids into this shard's local range; ids
+        # outside it become the sentinel n_local, which masked_topk's
+        # drop-mode scatter discards
         local_e = exclude - shard * n_local
-        B = scores.shape[0]
-        padded = jnp.concatenate(
-            [scores, jnp.zeros((B, 1), scores.dtype)], axis=1
-        )
         safe_e = jnp.where((local_e >= 0) & (local_e < n_local), local_e, n_local)
-        padded = padded.at[jnp.arange(B)[:, None], safe_e].set(-jnp.inf)
-        scores = padded[:, :n_local]
+        scores = mask_scores(scores, safe_e, banned_local)
         _, idx = sharded_topk(scores, k, "model")
         return idx
 

@@ -181,3 +181,50 @@ def test_pallas_tile_kernel_ragged_k(rng):
     attn = ex / np.maximum(ex.sum(axis=1, keepdims=True), 1e-12)
     oracle = np.einsum("tk,tkd->td", attn, vals)
     np.testing.assert_allclose(out, oracle, rtol=1e-3, atol=1e-4)
+
+
+def test_attention_grads_match_dense_oracle(tiny_graph, rng):
+    """Gradients through the bucketed attention SpMM must equal autodiff
+    through a dense masked-softmax oracle for dq, dk and dv."""
+    import jax
+    import jax.numpy as jnp
+    from inductive_recommendation_tpu.ops import build_bucketed_spmm
+    from inductive_recommendation_tpu.ops.attention_spmm import attention_spmm
+
+    train_array, n_users, n_items = tiny_graph
+    ta = np.asarray(train_array)
+    vals = np.ones(len(ta), np.float32)
+    mat = build_bucketed_spmm(
+        ta[:, 0], ta[:, 1], vals, (n_users, n_items), symmetric=False
+    )
+    H, dh, dv = 2, 4, 6
+    q = jnp.asarray(rng.standard_normal((n_users, H, dh)).astype(np.float32))
+    k_tab = jnp.asarray(rng.standard_normal((n_items, H * dh)).astype(np.float32))
+    v_tab = jnp.asarray(rng.standard_normal((n_items, dv)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((n_users, dv)).astype(np.float32))
+    T = 1.7
+
+    adj = np.zeros((n_users, n_items), np.float32)
+    adj[ta[:, 0], ta[:, 1]] = 1.0
+    adj_d = jnp.asarray(adj)
+
+    def loss_bucketed(q, k_tab, v_tab):
+        return jnp.sum(attention_spmm(mat, q, k_tab, v_tab, T) * w)
+
+    def loss_dense(q, k_tab, v_tab):
+        keys = k_tab.reshape(n_items, H, dh)
+        scores = jnp.einsum("rhd,chd->rch", q, keys)  # [n_u, n_i, h]
+        scores = jnp.where(adj_d[:, :, None] > 0, scores, -jnp.inf)
+        smax = jnp.max(scores, axis=1, keepdims=True)
+        smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+        ex = jnp.exp((scores - smax) / T) * adj_d[:, :, None]
+        attn = ex / jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-12)
+        out = jnp.einsum("rc,cd->rd", attn.mean(-1), v_tab)
+        return jnp.sum(out * w)
+
+    gc = jax.grad(loss_bucketed, argnums=(0, 1, 2))(q, k_tab, v_tab)
+    ga = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k_tab, v_tab)
+    for name, a, b in zip("q k v".split(), gc, ga):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=name
+        )
