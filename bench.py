@@ -15,8 +15,6 @@ import re
 import sys
 import time
 
-import numpy as np
-
 
 def _baseline_value():
     here = os.path.dirname(os.path.abspath(__file__))
@@ -42,7 +40,6 @@ def main():
     import jax
 
     from inductive_recommendation_tpu.data.dataset import quick_synthetic_dataset
-    from inductive_recommendation_tpu.data.sampling import build_sampler_state
     from inductive_recommendation_tpu.models import get_model
     from inductive_recommendation_tpu.train.trainer import BPRTrainer
 

@@ -48,11 +48,12 @@ def _hits_bsearch(rec, gt_sorted):
     return jnp.logical_and(lo < m, found == rec)
 
 
-def batch_metric_sums(rec, gt_rows, gt_len, valid, topks, n_items, sorted_gt=False):
+def batch_metric_sums(rec, gt_rows, gt_len, valid, topks, sorted_gt=False):
     """Per-batch metric partial sums, all on device.
 
     rec:     [B, K] int32 recommended items (rank order)
-    gt_rows: [B, m] int32 ground-truth items padded with ``n_items``
+    gt_rows: [B, m] int32 ground-truth items padded with the catalog-size
+             sentinel (which can never equal a recommended id)
     gt_len:  [B] int32 ground-truth sizes
     valid:   [B] bool — False for padding users in the (short) last batch
     topks:   static tuple of cutoff ks

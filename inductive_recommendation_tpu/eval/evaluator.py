@@ -23,7 +23,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from inductive_recommendation_tpu.data.dataset import pad_user_lists
 from inductive_recommendation_tpu.eval.device_metrics import (
     batch_metric_sums,
     combine_metric_sums,
@@ -64,9 +63,6 @@ class Evaluator:
         self._train_excl_dev = device_padded_from_lists(dataset.train_data, n_items)
         self._trainval_excl_dev = device_padded_from_lists(trainval, n_items)
         self._trainval_lists = trainval
-        # the HOST-padded O(n_users * max_degree) matrices are only consumed
-        # by the sharded mesh path — built lazily there
-        self._host_excl_cache = {}
         # jit caches keyed per model object + its trace signature (python
         # state the traced functions read, e.g. NeuMF's arch phase — a stale
         # trace would silently score with the previous architecture);
@@ -77,16 +73,6 @@ class Evaluator:
         # device ground-truth rows for the CANONICAL eval lists, uploaded
         # once (identity-keyed: inductive slices pass fresh lists and skip it)
         self._gt_cache = {}
-
-    def _host_excl(self, stage):
-        if stage not in self._host_excl_cache:
-            lists = (
-                self._trainval_lists if stage == "test" else self.dataset.train_data
-            )
-            self._host_excl_cache[stage] = pad_user_lists(
-                lists, self.dataset.n_items, sort=False
-            )[0]
-        return self._host_excl_cache[stage]
 
     def _fns(self, model):
         key = (id(model), model.trace_signature())
@@ -164,7 +150,6 @@ class Evaluator:
                         gt_len[users],
                         valid,
                         topks,
-                        n_items,
                         sorted_gt=sorted_gt,
                     )
                     return acc[0] + s, acc[1] + v
@@ -204,15 +189,18 @@ class Evaluator:
 
             rep = state if not isinstance(state, (tuple, dict)) else None
             if rep is not None and getattr(rep, "ndim", 0) == 2:
+                excl_dev = (
+                    self._trainval_excl_dev
+                    if stage == "test"
+                    else self._train_excl_dev if stage == "val" else None
+                )
                 return sharded_recommend_all_users(
                     self.mesh,
                     rep,
                     n_users,
                     n_items,
                     k=self.k_max,
-                    exclude_rows=(
-                        self._host_excl(stage) if stage in ("val", "test") else None
-                    ),
+                    exclude_rows=excl_dev,  # device matrix: zero H2D per eval
                     banned_items=banned_items,
                     batch_size=self.test_batch_size,
                 )

@@ -180,9 +180,10 @@ int64_t parse_gowalla(const char* path, int64_t cap, int64_t* users,
     int64_t i;
     p = parse_int(p, end, &i);
     if (!p) return -2;
-    // trailing garbage after the item id must fail (reference int() raised)
-    if (p < end && *p != '\n' && *p != '\r' && *p != ' ' && *p != '\t')
-      return -2;
+    // ANY trailing content after the item id must fail: the reference
+    // tab-splits and calls int() on the whole 5th field, so "123 junk"
+    // raises there — exempting spaces/tabs would silently accept it here
+    if (p < end && *p != '\n' && *p != '\r') return -2;
     users[n] = u;
     items[n] = i;
     ts[n] = days_from_civil(y, mo, d) * 86400 + h * 3600 + mi * 60 + s;
@@ -203,24 +204,53 @@ int64_t parse_adjacency(const char* path, int64_t cap_items,
   if (buf.empty()) return -1;
   const char* p = buf.data();
   const char* end = p + buf.size();
-  int64_t n_lines = 0, n_items = 0;
+  // match the python fallback's read().strip().split('\n') exactly:
+  // leading/trailing blank lines are dropped, INTERIOR blank lines are
+  // EMPTY ROWS (line order is the user id — skipping them would shift
+  // every later user's list onto the wrong user, silent corruption)
+  while (p < end &&
+         (*p == '\n' || *p == '\r' || *p == ' ' || *p == '\t'))
+    ++p;
+  int64_t n_lines = 0, n_items = 0, pending_blank = 0;
   while (p < end) {
-    while (p < end && (*p == '\n' || *p == '\r')) ++p;
-    if (p >= end) break;
-    if (n_lines >= cap_lines) return -2;
-    offsets[n_lines] = n_items;
-    int64_t first;
-    p = parse_int(p, end, &first);  // user id token: discarded
-    if (!p) return -2;
-    while (p < end && *p != '\n' && *p != '\r') {
-      if (*p == ' ' || *p == '\t') { ++p; continue; }
-      int64_t v;
-      p = parse_int(p, end, &v);
-      if (!p) return -2;
-      if (n_items >= cap_items) return -2;
-      flat_items[n_items++] = v;
+    const char* le = p;
+    while (le < end && *le != '\n') ++le;
+    bool blank = true;
+    for (const char* q = p; q < le; ++q) {
+      if (*q != ' ' && *q != '\t' && *q != '\r') {
+        blank = false;
+        break;
+      }
     }
-    ++n_lines;
+    if (blank) {
+      ++pending_blank;  // emitted only if a non-blank line follows
+    } else {
+      for (; pending_blank > 0; --pending_blank) {
+        if (n_lines >= cap_lines) return -2;
+        offsets[n_lines++] = n_items;
+      }
+      if (n_lines >= cap_lines) return -2;
+      offsets[n_lines] = n_items;
+      const char* q = p;
+      bool first = true;
+      while (q < le) {
+        if (*q == ' ' || *q == '\t' || *q == '\r') {
+          ++q;
+          continue;
+        }
+        int64_t v;
+        q = parse_int(q, le, &v);
+        if (!q) return -2;
+        if (first) {
+          first = false;  // user id token: discarded
+        } else {
+          if (n_items >= cap_items) return -2;
+          flat_items[n_items++] = v;
+        }
+      }
+      ++n_lines;
+    }
+    p = (le < end) ? le + 1 : le;
   }
   offsets[n_lines] = n_items;
   return n_lines;

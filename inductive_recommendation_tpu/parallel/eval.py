@@ -23,13 +23,15 @@ def pad_items_to_mesh(n_items: int, mesh: Mesh) -> int:
     return -(-n_items // n_model) * n_model
 
 
-def make_sharded_recommender(mesh: Mesh, n_items: int, k: int):
+def make_sharded_recommender(mesh: Mesh, n_items: int, k: int, jit: bool = True):
     """-> fn(users_rep [B, d], items_rep [n_items_pad, d], exclude [B, L],
     banned [n_items_pad] bool) -> [B, k] global item ids.
 
     ``items_rep``/``banned`` must be padded to a multiple of the 'model'
     axis size (pad rows scored -inf via ``banned``). ``exclude`` uses global
-    item ids padded with n_items_pad (out-of-range = no-op).
+    item ids; any id outside a shard's local range (incl. the n_items or
+    n_items_pad sentinels) is a no-op there. ``jit=False`` returns the bare
+    shard_map for embedding into a caller's larger jit.
     """
     n_pad = pad_items_to_mesh(n_items, mesh)
     n_local = n_pad // mesh.shape["model"]
@@ -53,7 +55,7 @@ def make_sharded_recommender(mesh: Mesh, n_items: int, k: int):
         out_specs=P(None, None),
         check_vma=False,
     )
-    return jax.jit(fn)
+    return jax.jit(fn) if jit else fn
 
 
 def sharded_recommend_all_users(
@@ -69,7 +71,11 @@ def sharded_recommend_all_users(
     """Full-catalog top-k for every user with item-sharded scoring.
 
     ``rep`` is the [(n_users+n_items), d] representation matrix;
-    ``exclude_rows`` the padded per-user exclusion index matrix.
+    ``exclude_rows`` the padded per-user exclusion index matrix — pass the
+    DEVICE matrix (the evaluator's device_padded_from_lists product); a host
+    array is uploaded once, never in per-batch slices (H2D is ~MB/s on
+    tunneled backends). Per batch only the [B] user ids go host->device, and
+    the user-row/exclusion gathers happen in-jit.
     """
     n_pad = pad_items_to_mesh(n_items, mesh)
     items_rep = jnp.zeros((n_pad, rep.shape[1]), rep.dtype)
@@ -85,18 +91,36 @@ def sharded_recommend_all_users(
     banned = jax.device_put(banned, jax.sharding.NamedSharding(mesh, P("model")))
 
     kk = min(k, n_items)
-    recommender = make_sharded_recommender(mesh, n_items, kk)
-    L = exclude_rows.shape[1] if exclude_rows is not None else 1
-    out = []
+    recommender = make_sharded_recommender(mesh, n_items, kk, jit=False)
+    excl_dev = None
+    if exclude_rows is not None:
+        excl_dev = jnp.asarray(np.asarray(exclude_rows).astype(np.int32)) \
+            if isinstance(exclude_rows, np.ndarray) else exclude_rows
+
+    @jax.jit
+    def run_batch(rep, items_rep, excl, banned, users):
+        users_rep = rep[users]
+        e = excl[users]
+        return recommender(users_rep, items_rep, e, banned)
+
+    @jax.jit
+    def run_batch_plain(rep, items_rep, banned, users):
+        users_rep = rep[users]
+        e = jnp.full((users.shape[0], 1), n_pad, jnp.int32)
+        return recommender(users_rep, items_rep, e, banned)
+
+    parts = []
     for start in range(0, n_users, batch_size):
         users = np.arange(start, min(start + batch_size, n_users))
         pad = batch_size - len(users)
-        users_p = np.concatenate([users, np.zeros(pad, users.dtype)])
-        users_rep = rep[jnp.asarray(users_p)]
-        if exclude_rows is not None:
-            e = jnp.asarray(exclude_rows[users_p].astype(np.int32))
+        users_p = jnp.asarray(np.concatenate([users, np.zeros(pad, users.dtype)]))
+        if excl_dev is not None:
+            idx = run_batch(rep, items_rep, excl_dev, banned, users_p)
         else:
-            e = jnp.full((batch_size, 1), n_pad, jnp.int32)
-        idx = recommender(users_rep, items_rep, e, banned)
-        out.append(np.asarray(idx[: len(users)]))
-    return np.concatenate(out, axis=0)
+            idx = run_batch_plain(rep, items_rep, banned, users_p)
+        # keep device handles; fetch once (pipelines the dispatches)
+        parts.append((idx, len(users)))
+    fetched = jax.device_get([p for p, _ in parts])
+    return np.concatenate(
+        [np.asarray(r)[:n] for r, (_, n) in zip(fetched, parts)], axis=0
+    )

@@ -68,15 +68,24 @@ class _StackedSide:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["fwd", "bwd"],
+    data_fields=["fwd", "bwd", "eid_map"],
     meta_fields=["n_rows", "n_cols", "n_rows_pad", "n_cols_pad", "n_shards", "nnz"],
 )
 @dataclasses.dataclass(frozen=True)
 class EdgeShardedSpMM:
-    """Column-block-sharded A: per-shard forward and transpose layouts."""
+    """Column-block-sharded A: per-shard forward and transpose layouts.
+
+    Bucket ``eid`` entries are LOCAL to the shard (0..nnz_shard-1, raw COO
+    order within the shard) and shared between the forward and transpose
+    sides (a shard holds the same edge set in both). ``eid_map`` [S, E_pad]
+    maps local -> GLOBAL edge id (raw COO order, zero-valued entries
+    included) so per-edge state keyed on global ids — a global edge_scale
+    vector, counter-hash dropout — reaches each shard through an O(nnz/S)
+    sharded gather instead of an O(nnz) replicated vector."""
 
     fwd: _StackedSide  # shard s: A[:, blk_s]      ([n_rows_pad] x block)
     bwd: _StackedSide  # shard s: A[:, blk_s]^T    (block x [n_rows_pad])
+    eid_map: jnp.ndarray  # [S, E_pad] int32 global eid per local slot (0 pad)
     n_rows: int
     n_cols: int
     n_rows_pad: int  # padded to a multiple of n_shards (psum_scatter tiles)
@@ -153,40 +162,53 @@ def build_edge_sharded_spmm(row, col, val, shape, n_shards: int) -> EdgeShardedS
 
     Columns are split into ``n_shards`` contiguous blocks; both dimensions
     are zero-padded to multiples of ``n_shards`` (pad rows/cols carry no
-    edges, so they only pad the operand/output). Edge ids are assigned in
-    the given COO order — ``edge_scale`` vectors use that order, exactly as
-    in :func:`ops.bucketed_spmm.spmm_bucketed`.
+    edges, so they only pad the operand/output). GLOBAL edge ids are
+    assigned over the RAW input order — zero-valued entries included, so an
+    ``edge_scale`` vector built in the caller's COO order stays aligned
+    (assigning after the zero filter shifted every later edge's id) —
+    exactly as in :func:`ops.bucketed_spmm.spmm_bucketed`. Bucket eids are
+    per-shard LOCAL ids; ``eid_map`` carries local -> global.
     """
     row = np.asarray(row, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
     val = np.asarray(val, dtype=np.float32)
+    eid = np.arange(len(row), dtype=np.int64)  # raw order, BEFORE filtering
     nz = val != 0.0
-    row, col, val = row[nz], col[nz], val[nz]
-    eid = np.arange(len(row), dtype=np.int64)
+    row, col, val, eid = row[nz], col[nz], val[nz], eid[nz]
     n_rows, n_cols = shape
     n_rows_pad = -(-n_rows // n_shards) * n_shards
     n_cols_pad = -(-n_cols // n_shards) * n_shards
     blk = n_cols_pad // n_shards
 
-    fwd_shards, bwd_shards = [], []
+    fwd_shards, bwd_shards, eid_shards = [], [], []
     for s in range(n_shards):
         m = (col >= s * blk) & (col < (s + 1) * blk)
-        fwd_shards.append((row[m], col[m] - s * blk, val[m], eid[m]))
-        bwd_shards.append((col[m] - s * blk, row[m], val[m], eid[m]))
+        local = np.arange(int(m.sum()), dtype=np.int64)
+        fwd_shards.append((row[m], col[m] - s * blk, val[m], local))
+        bwd_shards.append((col[m] - s * blk, row[m], val[m], local))
+        eid_shards.append(eid[m])
+    e_pad = max((len(e) for e in eid_shards), default=0) or 1
+    eid_map = np.zeros((n_shards, e_pad), dtype=np.int32)
+    for s, e in enumerate(eid_shards):
+        eid_map[s, : len(e)] = e
     return EdgeShardedSpMM(
         fwd=_build_stacked_side(fwd_shards, n_rows_pad),
         bwd=_build_stacked_side(bwd_shards, blk),
+        eid_map=jnp.asarray(eid_map),
         n_rows=int(n_rows),
         n_cols=int(n_cols),
         n_rows_pad=int(n_rows_pad),
         n_cols_pad=int(n_cols_pad),
         n_shards=int(n_shards),
-        nnz=int(len(row)),
+        nnz=int(sum(len(e) for e in eid_shards)),
     )
 
 
 def _apply_stacked(side: _StackedSide, x: jnp.ndarray, edge_scale) -> jnp.ndarray:
-    """Local gather-reduce; leaves carry the shard_map-sliced [1, ...] axis."""
+    """Local gather-reduce; leaves carry the shard_map-sliced [1, ...] axis.
+
+    ``edge_scale`` is this shard's LOCAL [E_pad] per-edge vector (bucket eids
+    are local ids) — an O(nnz/S) slice, not the global vector."""
     parts = []
     for b in side.buckets:
         v = b.val[0]
@@ -204,10 +226,14 @@ def _make_local_fn(axis: str, mode: str):
 
     ``scatter``: out rows sharded (psum_scatter fwd, all_gather bwd).
     ``replicated``: out replicated (psum fwd, bwd uses g as-is).
+    ``edge_scale`` here is the STACKED [S, E_pad] local-id form (shard_map
+    slices it to [1, E_pad]); it receives a ZERO cotangent — edge scales are
+    graph buffers, not parameters (same contract as ops.bucketed_spmm).
     """
 
     @jax.custom_vjp
     def local_spmm(fwd, bwd, edge_scale, x):
+        edge_scale = None if edge_scale is None else edge_scale[0]
         part = _apply_stacked(fwd, x, edge_scale)
         if mode == "scatter":
             return jax.lax.psum_scatter(part, axis, scatter_dimension=0, tiled=True)
@@ -218,15 +244,17 @@ def _make_local_fn(axis: str, mode: str):
 
     def bwd_rule(res, g):
         fwd, bwd, edge_scale = res
+        scale_local = None if edge_scale is None else edge_scale[0]
         if mode == "scatter":
             g = jax.lax.all_gather(g, axis, axis=0, tiled=True)
         else:
             # shard_map transposes a replicated (P(None)) output by handing
             # each device 1/S of the global cotangent — reassemble it
             g = jax.lax.psum(g, axis)
-        dx = _apply_stacked(bwd, g, edge_scale)
+        dx = _apply_stacked(bwd, g, scale_local)
         zf = jax.tree_util.tree_map(jnp.zeros_like, fwd)
         zb = jax.tree_util.tree_map(jnp.zeros_like, bwd)
+        # zero cotangent: edge scales are graph buffers, not parameters
         zs = None if edge_scale is None else jnp.zeros_like(edge_scale)
         return (zf, zb, zs, dx)
 
@@ -244,7 +272,9 @@ def _wrap(mat: EdgeShardedSpMM, mesh, axis: str, mode: str):
     return jax.shard_map(
         _make_local_fn(axis, mode),
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P(axis, None)),
+        # edge_scale is the stacked [S, E_pad] local-id form, sharded like
+        # the layout leaves — each device holds only its own O(nnz/S) slice
+        in_specs=(P(axis), P(axis), P(axis), P(axis, None)),
         out_specs=out_spec,
         check_vma=False,
     )
@@ -253,15 +283,33 @@ def _wrap(mat: EdgeShardedSpMM, mesh, axis: str, mode: str):
 def make_edge_sharded_spmm(mat: EdgeShardedSpMM, mesh, axis="model", mode="scatter"):
     """-> fn(x [n_cols_pad, d] row-sharded over ``axis``, edge_scale=None)
 
+    ``edge_scale`` is a GLOBAL [raw nnz] per-edge vector in the COO order
+    given at construction; it is re-indexed into each shard's local edge
+    space in-jit through ``eid_map`` (an O(nnz/S)-per-device gather).
     ``scatter``: returns [n_rows_pad, d] row-sharded over ``axis``.
     ``replicated``: returns [n_rows_pad, d] replicated.
     The layout is passed as a jit ARGUMENT (never a closure constant — large
     constants break the remote-compile path).
     """
-    wrapped = jax.jit(_wrap(mat, mesh, axis, mode))
+    wrapped = _wrap(mat, mesh, axis, mode)
+
+    @jax.jit
+    def run_plain(fwd, bwd, x):
+        return wrapped(fwd, bwd, None, x)
+
+    @jax.jit
+    def run_scale(fwd, bwd, eid_map, edge_scale, x):
+        stacked = jax.lax.with_sharding_constraint(
+            edge_scale[eid_map], NamedSharding(mesh, P(axis, None))
+        )
+        return wrapped(fwd, bwd, stacked, x)
 
     def run(x, edge_scale=None):
-        return wrapped(mat.fwd, mat.bwd, edge_scale, x)
+        if edge_scale is None:
+            return run_plain(mat.fwd, mat.bwd, x)
+        return run_scale(
+            mat.fwd, mat.bwd, mat.eid_map, jnp.asarray(edge_scale), x
+        )
 
     return run
 
@@ -277,17 +325,22 @@ def make_edge_sharded_propagation(
         raise ValueError("layer chaining requires a square adjacency")
     spmm = _wrap(mat, mesh, axis, "scatter")
 
-    def prop(fwd, bwd, x, edge_scale=None):
+    def prop(fwd, bwd, eid_map, x, edge_scale=None):
+        stacked = None
+        if edge_scale is not None:
+            stacked = jax.lax.with_sharding_constraint(
+                edge_scale[eid_map], NamedSharding(mesh, P(axis, None))
+            )
         acc, h = x, x
         for _ in range(n_layers):
-            h = spmm(fwd, bwd, edge_scale, h)
+            h = spmm(fwd, bwd, stacked, h)
             acc = acc + h
         return acc / (n_layers + 1)
 
     jitted = jax.jit(prop)
 
     def run(x, edge_scale=None):
-        return jitted(mat.fwd, mat.bwd, x, edge_scale)
+        return jitted(mat.fwd, mat.bwd, mat.eid_map, x, edge_scale)
 
     return run
 

@@ -10,6 +10,7 @@ into a psum — no hand-written communication.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -152,12 +153,14 @@ def make_edge_sharded_igcn_step(
     IGCN semantics match the single-device model (models/igcn.py):
 
     - annealed feature weights ``row_sum^((alpha-1)/2 - 0.5)`` (reference
-      model.py:4127-4134) enter as a per-edge ``edge_scale`` computed in-jit
-      from ``feat_row`` (the feat row id of each edge, COO order) and the
-      traced ``alpha`` — annealing never retraces or rebuilds the layout;
-    - feature-matrix edge dropout (reference model.py:4189) is folded into
-      the same edge_scale: keep with prob 1-p, rescale 1/(1-p), one draw per
-      edge id so forward and transpose see the same mask;
+      model.py:4127-4134) enter as a SHARDED per-edge scale: each device
+      computes its own [nnz/S] slice from a pre-sharded feat-row table (the
+      layout's local edge ids), so no O(|E|) vector is ever replicated and
+      annealing never retraces or rebuilds the layout;
+    - feature-matrix edge dropout (reference model.py:4189) folds into the
+      same sharded scale; both SpMM sides of a shard read the SAME local
+      vector, giving the forward/transpose mask consistency dropout
+      gradients require;
     - aux BPR on the raw core embedding rows weighted by ``w``
       (reference trainer.py:542-549).
 
@@ -174,17 +177,21 @@ def make_edge_sharded_igcn_step(
     feat_spmm = _wrap(feat_emat, mesh, axis, "scatter")
     adj_spmm = _wrap(adj_emat, mesh, axis, "scatter")
     p_drop = float(dropout)
+    scale_sharding = NamedSharding(mesh, P(axis, None))
 
-    def step(params, opt_state, ffwd, fbwd, afwd, abwd, frow, rs, smp, aux_smp, rng, alpha):
+    def step(params, opt_state, ffwd, fbwd, afwd, abwd, frow_st, rs, smp, aux_smp, rng, alpha):
         rng_s, rng_a, rng_d = jax.random.split(rng, 3)
         users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
         a_users, a_pos, a_neg = sample_bpr_batch(aux_smp, rng_a, batch_size)
 
+        # per-shard [S, E_pad] scale in the layout's LOCAL edge space; the
+        # sharding constraint keeps the compute (and the result) distributed
         expo = (alpha - 1.0) / 2.0 - 0.5
-        anneal = jnp.power(jnp.maximum(rs, 1e-12)[frow], expo)
+        anneal = jnp.power(jnp.maximum(rs, 1e-12)[frow_st], expo)
         if p_drop > 0.0:
             keep = jax.random.uniform(rng_d, anneal.shape) >= p_drop
             anneal = anneal * jnp.where(keep, 1.0 / (1.0 - p_drop), 0.0)
+        anneal = jax.lax.with_sharding_constraint(anneal, scale_sharding)
 
         def loss_fn(p):
             emb = jax.lax.with_sharding_constraint(
@@ -214,7 +221,12 @@ def make_edge_sharded_igcn_step(
         return params, opt_state, loss
 
     jitted = jax.jit(step, donate_argnums=(0, 1))
-    frow_dev = jnp.asarray(feat_row, dtype=jnp.int32)
+    # feat-row id per LOCAL edge slot, pre-sharded like the layout: each
+    # device holds only its shard's O(nnz/S) slice
+    frow_np = np.asarray(feat_row, dtype=np.int32)
+    frow_stacked = jax.device_put(
+        frow_np[np.asarray(feat_emat.eid_map)], scale_sharding
+    )
     rs_dev = jnp.asarray(row_sum, dtype=jnp.float32)
 
     def run(params, opt_state, rng, alpha=1.0):
@@ -225,7 +237,7 @@ def make_edge_sharded_igcn_step(
             feat_emat.bwd,
             adj_emat.fwd,
             adj_emat.bwd,
-            frow_dev,
+            frow_stacked,
             rs_dev,
             sampler,
             aux_sampler,

@@ -38,14 +38,13 @@ def _device_metrics(rec, gt, n_items, topks, sorted_gt):
     if sorted_gt:
         rows = np.sort(rows, axis=1)
     sums, n_valid = jax.jit(
-        batch_metric_sums, static_argnames=("topks", "n_items", "sorted_gt")
+        batch_metric_sums, static_argnames=("topks", "sorted_gt")
     )(
         jnp.asarray(rec),
         jnp.asarray(rows),
         jnp.asarray([len(l) for l in gt], dtype=jnp.int32),
         jnp.ones(n_users, bool),
         tuple(topks),
-        n_items,
         sorted_gt=sorted_gt,
     )
     return combine_metric_sums([sums], [n_valid], topks)

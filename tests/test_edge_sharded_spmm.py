@@ -332,3 +332,21 @@ def test_edge_sharded_igcn_step_matches_single_device():
             )
         assert abs(float(loss) - loss_ref) < 1e-4, (alpha, float(loss), loss_ref)
         assert not params["embedding"].sharding.is_fully_replicated
+
+
+def test_edge_scale_order_with_zero_valued_entries(rng):
+    """Global edge ids are assigned over the RAW COO order, zero-valued
+    entries included — assigning after the zero filter shifted every later
+    edge's id, silently applying edge_scale to the wrong edges."""
+    n = 24
+    row, col, val = _random_coo(rng, n, n, 150)
+    val[3] = 0.0  # a zero-valued entry early in the raw order
+    val[17] = 0.0
+    scale = rng.uniform(0.5, 1.5, len(val)).astype(np.float32)
+    mesh = make_mesh(n_data=2, n_model=4)
+    mat = build_edge_sharded_spmm(row, col, val, (n, n), 4)
+    fn = make_edge_sharded_spmm(mat, mesh, mode="scatter")
+    x = rng.normal(size=(n, 5)).astype(np.float32)
+    out = np.asarray(fn(shard_operand(x, mat, mesh), jnp.asarray(scale)))[:n]
+    expect = _dense(row, col, val * scale, (n, n)) @ x
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)

@@ -123,3 +123,42 @@ def test_parse_gowalla_native_matches_numpy(tmp_path):
         dtype="datetime64[s]",
     ).astype(np.int64)
     assert t.tolist() == expect.tolist()
+
+
+def test_parse_adjacency_blank_lines_match_python(tmp_path):
+    """Interior blank lines are EMPTY ROWS (line order is the user id);
+    leading/trailing blanks are dropped — exactly the python fallback's
+    read().strip().split('\\n'). The native parser used to skip interior
+    blanks, shifting every later user's items onto the wrong user."""
+    from inductive_recommendation_tpu.native import _load, parse_adjacency_file
+
+    path = tmp_path / "train.txt"
+    path.write_text("\n0 5 3 7\n\n2 1\n3\n  \n4 2 2\n\n\n")
+    flat, offs = parse_adjacency_file(str(path))
+    # fallback oracle (force the python path)
+    lines = path.read_text().strip().split("\n")
+    exp_rows = [[int(t) for t in l.split(" ")[1:] if t] for l in lines]
+    exp_flat = [i for r in exp_rows for i in r]
+    exp_offs = np.cumsum([0] + [len(r) for r in exp_rows]).tolist()
+    assert _load() is not None  # the native path must be the one under test
+    assert flat.tolist() == exp_flat, (flat.tolist(), exp_flat)
+    assert offs.tolist() == exp_offs, (offs.tolist(), exp_offs)
+
+
+def test_parse_gowalla_rejects_trailing_garbage(tmp_path):
+    """'123 junk' in the item field must fail loudly (the reference's int()
+    on the tab-split field raises), not silently truncate to 123."""
+    from inductive_recommendation_tpu.native import _load
+    import ctypes
+
+    lib = _load()
+    assert lib is not None
+    path = tmp_path / "g.txt"
+    path.write_text("0\t2010-10-19T23:55:27Z\t30.2\t-97.8\t123 junk\n")
+    cap = 8
+    u = np.empty(cap, np.int64)
+    i = np.empty(cap, np.int64)
+    t = np.empty(cap, np.int64)
+    p64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    n = lib.parse_gowalla(str(path).encode(), cap, p64(u), p64(i), p64(t))
+    assert n == -2
