@@ -220,3 +220,81 @@ def test_TEST_main_drop_graph_survives_reload(ds, tmp_path):
     )
     # training continues after the reload (views re-established too)
     trainer.train_one_epoch()
+
+
+def _grow_dataset(ds, n_new_users=5, n_new_items=4, seed=0):
+    """ds + new users/items with a few edges (the inductive protocol's
+    attach payload), as in test_igcn.py::test_inductive_attach_new_dataset."""
+    from inductive_recommendation_tpu.data.dataset import BasicDataset
+
+    new_ds = BasicDataset({"name": "BasicDataset"})
+    new_ds.n_users = ds.n_users + n_new_users
+    new_ds.n_items = ds.n_items + n_new_items
+    rng = np.random.default_rng(seed)
+    extra = []
+    for nu in range(ds.n_users, new_ds.n_users):
+        for i in rng.choice(ds.n_items, size=3, replace=False):
+            extra.append([nu, int(i)])
+    new_ds.train_data = [list(t) for t in ds.train_data] + [
+        [] for _ in range(n_new_users)
+    ]
+    for u, i in extra:
+        new_ds.train_data[u].append(i)
+    new_ds.train_array = np.concatenate(
+        [np.asarray(ds.train_array), np.asarray(extra)], axis=0
+    )
+    new_ds.val_data = [[] for _ in range(new_ds.n_users)]
+    new_ds.test_data = [[] for _ in range(new_ds.n_users)]
+    return new_ds
+
+
+def test_dose_attach_dataset_reestablishes_views(ds):
+    """attach_dataset rebuilds the graph buffers — the view engine and view
+    buffers must follow (the old buffers crashed on 'view_base'), and the
+    epoch update must keep working on the grown graph."""
+    model = get_model(_mcfg("DOSE_drop2"), ds)
+    params = model.init_params(jax.random.key(0))
+    model.update_aug_adj(params)
+    new_ds = _grow_dataset(ds)
+    model.attach_dataset(new_ds)
+    assert "view_base" in model.buffers and "aug_adj" in model.buffers
+    assert len(model._dedup_train) > 0
+    model.update_aug_adj(params=None)  # random recipe: params-free
+    rep = np.asarray(model.get_rep(params, training=False))
+    assert rep.shape[0] == new_ds.n_users + new_ds.n_items
+    assert np.isfinite(rep).all()
+
+
+def test_dose_aug2_attach_extends_aug_core_maps(ds):
+    """DOSE_aug2's cached aug core maps (feature_ratio < 1) must extend with
+    -1 for new nodes on attach — stale short maps IndexError'd in the next
+    epoch's aug-feat rebuild."""
+    model = get_model(_mcfg("DOSE_aug2", feature_ratio=0.6), ds)
+    trainer = get_trainer(
+        _tcfg("DOSEaugTrainer", aux_reg=0.01, contrastive_reg=0.1), ds, model
+    )
+    trainer.train_one_epoch()  # populates aug_user_map/aug_item_map
+    assert hasattr(model, "aug_user_map")
+    new_ds = _grow_dataset(ds)
+    model.attach_dataset(new_ds)
+    assert len(model.aug_user_map) == new_ds.n_users
+    assert (model.aug_user_map[ds.n_users :] == -1).all()
+    model.update_aug_adj(trainer.params)  # used to IndexError
+    assert "aug_feat" in model.buffers
+
+
+def test_dose_aug_drop2_attach_reranks_tails(ds):
+    """The degree-tail restriction must re-rank over the grown graph so
+    newly-appeared cold nodes are selectable for injection."""
+    model = get_model(_mcfg("DOSE_aug_drop2", aug_ratio=0.2), ds)
+    params = model.init_params(jax.random.key(0))
+    new_ds = _grow_dataset(ds)
+    model.attach_dataset(new_ds)
+    assert model._tail_users.max() >= ds.n_users  # new cold users in the tail
+    assert len(model._tail_users) == new_ds.n_users - int(
+        new_ds.n_users * model.aug_ratio
+    )
+    model.update_aug_adj(params)
+    assert np.isfinite(
+        np.asarray(model.buffers["aug_adj"].base.fwd.buckets[0].val)
+    ).all()
