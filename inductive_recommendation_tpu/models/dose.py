@@ -86,10 +86,16 @@ class _DOSEBase(IGCN):
             delta_budget=max(self.aug_num, 1),
         )
         self._dedup_train = self.view_engine.train_pairs
+        self.buffers = dict(self.buffers, view_base=self.view_engine.base)
+        if getattr(self, "_defer_views", False):
+            # checkpoint restore of an already-updated run: rebuild_views
+            # (trainer hook) regenerates the real views right after and
+            # resets the rng counter to its snapshot — building (and baking)
+            # the initial views here would be multi-dispatch work thrown away
+            return
         # initial views: the reference builds them in __init__ from the
         # INITIAL parameters; selection-based recipes fall back to the plain
         # train view until the first update_aug_adj
-        self.buffers = dict(self.buffers, view_base=self.view_engine.base)
         for k in self.view_keys:
             # views are BAKED: the per-epoch keep-mask x normalization is
             # folded into a per-view copy of the layout values, so the train
@@ -148,6 +154,9 @@ class _DOSEBase(IGCN):
         return aux
 
     def restore_aux(self, aux):
+        """NOTE: the trainer's load paths always follow this with
+        rebuild_views(params) — for an already-updated run the view buffers
+        are deferred to that call (see _establish_views)."""
         if not aux:
             return
         aux = dict(aux)
@@ -155,8 +164,13 @@ class _DOSEBase(IGCN):
         base = int(aux.pop("aug_counter_base", 0))
         updated = bool(aux.pop("views_updated", False))
         # replay __init__'s draw sequence while the initial views rebuild
+        # (fresh-run restores only; updated runs defer to rebuild_views)
         self._aug_counter = 0
-        super().restore_aux(aux)  # -> _build_graph_buffers -> _establish_views
+        self._defer_views = updated
+        try:
+            super().restore_aux(aux)  # -> _build_graph_buffers -> _establish_views
+        finally:
+            self._defer_views = False
         self._aug_counter = counter
         self._aug_counter_base = base
         self._views_updated = updated

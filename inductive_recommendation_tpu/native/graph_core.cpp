@@ -225,6 +225,14 @@ int64_t parse_adjacency(const char* path, int64_t cap_items,
     if (blank) {
       ++pending_blank;  // emitted only if a non-blank line follows
     } else {
+      // strictness guards: the fallback splits on SINGLE SPACES, so a line
+      // with leading whitespace discards an EMPTY first token (every numeric
+      // token is then an item), and a tab inside a token makes int() raise.
+      // Both cases must fail over to the fallback's exact semantics rather
+      // than silently re-interpreting the line here.
+      if (*p == ' ' || *p == '\t') return -2;
+      for (const char* q = p; q < le; ++q)
+        if (*q == '\t') return -2;
       for (; pending_blank > 0; --pending_blank) {
         if (n_lines >= cap_lines) return -2;
         offsets[n_lines++] = n_items;
@@ -234,7 +242,7 @@ int64_t parse_adjacency(const char* path, int64_t cap_items,
       const char* q = p;
       bool first = true;
       while (q < le) {
-        if (*q == ' ' || *q == '\t' || *q == '\r') {
+        if (*q == ' ' || *q == '\r') {
           ++q;
           continue;
         }

@@ -10,6 +10,8 @@ communication O(n_dev * k) instead of O(n_items) per user row.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -58,6 +60,30 @@ def make_sharded_recommender(mesh: Mesh, n_items: int, k: int, jit: bool = True)
     return jax.jit(fn) if jit else fn
 
 
+@functools.lru_cache(maxsize=8)
+def _batched_recommenders(mesh: Mesh, n_items: int, k: int):
+    """Cached jitted batch runners: jax's jit cache is keyed on the callable,
+    so rebuilding these closures per evaluate() would re-trace (and, without
+    a warm persistent cache, recompile) the whole sharded retrieval program
+    every epoch. Mesh is hashable; one entry per (mesh, n_items, k)."""
+    n_pad = pad_items_to_mesh(n_items, mesh)
+    recommender = make_sharded_recommender(mesh, n_items, k, jit=False)
+
+    @jax.jit
+    def run_batch(rep, items_rep, excl, banned, users):
+        users_rep = rep[users]
+        e = excl[users]
+        return recommender(users_rep, items_rep, e, banned)
+
+    @jax.jit
+    def run_batch_plain(rep, items_rep, banned, users):
+        users_rep = rep[users]
+        e = jnp.full((users.shape[0], 1), n_pad, jnp.int32)
+        return recommender(users_rep, items_rep, e, banned)
+
+    return run_batch, run_batch_plain
+
+
 def sharded_recommend_all_users(
     mesh: Mesh,
     rep: jnp.ndarray,
@@ -91,23 +117,11 @@ def sharded_recommend_all_users(
     banned = jax.device_put(banned, jax.sharding.NamedSharding(mesh, P("model")))
 
     kk = min(k, n_items)
-    recommender = make_sharded_recommender(mesh, n_items, kk, jit=False)
     excl_dev = None
     if exclude_rows is not None:
         excl_dev = jnp.asarray(np.asarray(exclude_rows).astype(np.int32)) \
             if isinstance(exclude_rows, np.ndarray) else exclude_rows
-
-    @jax.jit
-    def run_batch(rep, items_rep, excl, banned, users):
-        users_rep = rep[users]
-        e = excl[users]
-        return recommender(users_rep, items_rep, e, banned)
-
-    @jax.jit
-    def run_batch_plain(rep, items_rep, banned, users):
-        users_rep = rep[users]
-        e = jnp.full((users.shape[0], 1), n_pad, jnp.int32)
-        return recommender(users_rep, items_rep, e, banned)
+    run_batch, run_batch_plain = _batched_recommenders(mesh, n_items, kk)
 
     parts = []
     for start in range(0, n_users, batch_size):

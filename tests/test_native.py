@@ -162,3 +162,28 @@ def test_parse_gowalla_rejects_trailing_garbage(tmp_path):
     p64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     n = lib.parse_gowalla(str(path).encode(), cap, p64(u), p64(i), p64(t))
     assert n == -2
+
+
+def test_parse_adjacency_falls_back_on_nonstandard_whitespace(tmp_path):
+    """Leading spaces shift the fallback's discarded empty token (every
+    numeric token is then an item) and tabs make its int() raise — the
+    native parser must return the fallback's exact result for the former
+    and not silently re-interpret either."""
+    from inductive_recommendation_tpu.native import parse_adjacency_file
+
+    p = tmp_path / "train.txt"
+    p.write_text("1 7 8\n 0 5\n2 9\n")
+    flat, offs = parse_adjacency_file(str(p))
+    # fallback semantics: line.split(' ')[1:] — ' 0 5' discards the EMPTY
+    # first token, so both 0 and 5 are items
+    assert flat.tolist() == [7, 8, 0, 5, 9]
+    assert offs.tolist() == [0, 2, 4, 5]
+
+    p2 = tmp_path / "tabs.txt"
+    p2.write_text("0\t3\t4\n1 7\n")
+    flat2, offs2 = parse_adjacency_file(str(p2))
+    # fallback: '0\t3\t4'.split(' ') is ONE token — the discarded user id —
+    # so the tab line is an empty row; the native parser must defer, not
+    # parse the tab-separated numbers as items
+    assert flat2.tolist() == [7]
+    assert offs2.tolist() == [0, 0, 1]
