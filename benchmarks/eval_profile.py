@@ -57,9 +57,12 @@ def main():
     t = timeit(lambda: mk(scores_const, excl))
     print(f"exclusion scatter:         {t*1e3:8.2f} ms", file=sys.stderr)
 
+    from inductive_recommendation_tpu.ops.sol import TopkCost
+
     tk = jax.jit(lambda s: jax.lax.top_k(s, k))
     t = timeit(lambda: tk(scores_const))
-    print(f"lax.top_k k=100:           {t*1e3:8.2f} ms", file=sys.stderr)
+    pct = TopkCost(rows=B, n=n_items, k=k).report(t)["pct_sol"]
+    print(f"lax.top_k k=100:           {t*1e3:8.2f} ms ({pct:.0f}% SoL)", file=sys.stderr)
 
     tk32 = jax.jit(lambda s: jax.lax.top_k(s, 32))
     t = timeit(lambda: tk32(scores_const))

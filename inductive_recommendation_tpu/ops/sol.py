@@ -66,3 +66,90 @@ def spmm_cost(mat, d: int, dtype_bytes: int = 4) -> SpmmCost:
     """Cost model for a BucketedSpMM forward."""
     padded = sum(b.idx.shape[0] * b.idx.shape[1] for b in mat.fwd.buckets)
     return SpmmCost(nnz=mat.nnz, padded_nnz=padded, d=d, dtype_bytes=dtype_bytes)
+
+
+# measured random-row-gather transaction rate on v5e: ~366M rows/s for rows
+# up to 512B (flat in row width below that; see CLAUDE.md pack-2 note)
+RANDOM_GATHER_ROWS_PER_S = 366e6
+
+
+@dataclasses.dataclass
+class GatherCost:
+    """Random row gather (embedding lookup / SpMM operand fetch): the floor
+    is max(transaction rate, stream bandwidth)."""
+
+    n_rows: int
+    d: int
+    dtype_bytes: int = 4
+
+    def sol_seconds(self, gbps: float = DEFAULT_HBM_GBPS) -> float:
+        stream = self.n_rows * self.d * self.dtype_bytes / (gbps * 1e9)
+        transactions = self.n_rows / RANDOM_GATHER_ROWS_PER_S
+        return max(stream, transactions)
+
+    def report(self, measured_seconds: float) -> dict:
+        return {
+            "n_rows": self.n_rows,
+            "measured_ms": measured_seconds * 1e3,
+            "sol_ms": self.sol_seconds() * 1e3,
+            "pct_sol": 100.0 * self.sol_seconds() / measured_seconds,
+        }
+
+
+@dataclasses.dataclass
+class TopkCost:
+    """Exact top-k over [rows, n] scores: the floor is one HBM read of the
+    score matrix (the k results are negligible writeback)."""
+
+    rows: int
+    n: int
+    k: int
+    dtype_bytes: int = 4
+
+    def sol_seconds(self, gbps: float = DEFAULT_HBM_GBPS) -> float:
+        read = self.rows * self.n * self.dtype_bytes
+        write = self.rows * self.k * (self.dtype_bytes + 4)
+        return (read + write) / (gbps * 1e9)
+
+    def report(self, measured_seconds: float) -> dict:
+        return {
+            "rows": self.rows,
+            "n": self.n,
+            "k": self.k,
+            "measured_ms": measured_seconds * 1e3,
+            "sol_ms": self.sol_seconds() * 1e3,
+            "pct_sol": 100.0 * self.sol_seconds() / measured_seconds,
+        }
+
+
+# v5e ICI: 2D torus, ~45 GB/s one-way per link per direction; override for
+# other generations/topologies
+DEFAULT_ICI_GBPS_PER_LINK = 45.0
+
+
+@dataclasses.dataclass
+class AllToAllCost:
+    """All-to-all of ``bytes_per_device`` over an ``n_devices`` ring/torus
+    axis (the sharded-embedding lookup/grad-scatter collective). Each device
+    sends (n-1)/n of its payload; a bidirectional ring moves it in n/2 hops
+    overlapped, so the wall-clock floor is bytes * (n-1)/n / (2 * link_bw)."""
+
+    bytes_per_device: int
+    n_devices: int
+    links: int = 2  # bidirectional ring along one torus axis
+
+    def sol_seconds(self, gbps: float = DEFAULT_ICI_GBPS_PER_LINK) -> float:
+        if self.n_devices <= 1:
+            return 0.0
+        off_device = self.bytes_per_device * (self.n_devices - 1) / self.n_devices
+        return off_device / (self.links * gbps * 1e9)
+
+    def report(self, measured_seconds: float) -> dict:
+        sol = self.sol_seconds()
+        return {
+            "bytes_per_device": self.bytes_per_device,
+            "n_devices": self.n_devices,
+            "measured_ms": measured_seconds * 1e3,
+            "sol_ms": sol * 1e3,
+            "pct_sol": (100.0 * sol / measured_seconds) if measured_seconds else 0.0,
+        }

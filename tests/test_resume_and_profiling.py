@@ -91,6 +91,33 @@ def test_spmm_cost_report(tiny_graph):
     assert rep["measured_ms"] == 1.0
 
 
+def test_topk_gather_alltoall_cost_models():
+    from inductive_recommendation_tpu.ops.sol import (
+        AllToAllCost,
+        GatherCost,
+        TopkCost,
+    )
+
+    # top-k floor: one HBM read of the score matrix
+    tc = TopkCost(rows=512, n=40960, k=100)
+    read_s = 512 * 40960 * 4 / 819e9
+    assert tc.sol_seconds() >= read_s
+    assert 0 < tc.report(8e-3)["pct_sol"] < 100
+
+    # gather: small-row gathers are transaction-bound, huge rows stream-bound
+    small = GatherCost(n_rows=1_850_000, d=64)
+    assert small.sol_seconds() == 1_850_000 / 366e6  # transaction floor
+    big = GatherCost(n_rows=1000, d=1 << 20)
+    assert big.sol_seconds() == 1000 * (1 << 20) * 4 / 819e9  # stream floor
+
+    # all-to-all: zero cost on one device, (n-1)/n scaling beyond
+    assert AllToAllCost(bytes_per_device=1 << 20, n_devices=1).sol_seconds() == 0.0
+    c4 = AllToAllCost(bytes_per_device=1 << 20, n_devices=4)
+    c8 = AllToAllCost(bytes_per_device=1 << 20, n_devices=8)
+    assert 0 < c4.sol_seconds() < c8.sol_seconds()
+    assert c8.report(1e-3)["pct_sol"] > 0
+
+
 def test_nan_check_and_timer():
     tree = {"a": np.ones(3), "b": {"c": np.array([1.0, np.nan])}}
     bad = nan_check(tree)
