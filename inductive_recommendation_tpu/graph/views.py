@@ -131,6 +131,93 @@ def _delta_bwd(delta, g):
 _delta_spmm.defvjp(_delta_fwd, _delta_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def delta_spmm_rect(n_out: int, delta, x):
+    """Rectangular fixed-budget delta SpMM: out [n_out, d] = D @ x.
+
+    ``delta`` = (d_row, d_col, d_val, dt_row, dt_col, dt_val) with d_row
+    sorted and dt_col sorted (transpose copy for the gather-only backward).
+    Unlike :func:`_delta_spmm` the output row count is decoupled from
+    ``x.shape[0]`` — needed for the (n_nodes x feat_cols) aug feature
+    matrix's injected entries (DOSE_aug2, reference model.py:935-978)."""
+    d_row, d_col, d_val = delta[0], delta[1], delta[2]
+    g = jnp.take(x, d_col, axis=0) * d_val[:, None]
+    return jax.ops.segment_sum(
+        g, d_row, num_segments=n_out, indices_are_sorted=True
+    )
+
+
+def _rect_fwd(n_out, delta, x):
+    return delta_spmm_rect(n_out, delta, x), (delta, x)
+
+
+def _rect_bwd(n_out, res, g):
+    delta, x = res
+    dt_row, dt_col, dt_val = delta[3], delta[4], delta[5]
+    gg = jnp.take(g, dt_row, axis=0) * dt_val[:, None]
+    dx = jax.ops.segment_sum(
+        gg, dt_col, num_segments=x.shape[0], indices_are_sorted=True
+    )
+    return jax.tree_util.tree_map(jnp.zeros_like, delta), dx
+
+
+delta_spmm_rect.defvjp(_rect_fwd, _rect_bwd)
+
+
+def _uniform_from_entry(key_data, ids):
+    """U(0,1) per delta entry from a SALTED counter-hash of the entry key —
+    order-invariant (the forward and transpose copies hold the same
+    (row, col) entries in different orders) and decorrelated from the base
+    layout's eid draws (ops.bucketed_spmm._uniform_from_eid)."""
+    key = jax.random.fold_in(jax.random.wrap_key_data(key_data), 0x7FFFFFFF)
+    flat = jax.vmap(lambda e: jax.random.fold_in(key, e))(ids.ravel())
+    return jax.vmap(jax.random.uniform)(flat).reshape(ids.shape)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def delta_spmm_rect_dropout(n_out: int, n_cols: int, delta, key_data, p, x):
+    """:func:`delta_spmm_rect` with in-place entry dropout (keep with prob
+    1-p, rescale 1/(1-p)): the mask is a hash of the entry key
+    row * n_cols + col (int32 wraparound is deterministic, so the forward
+    and transpose orderings draw identically per entry)."""
+    d_row, d_col, d_val = delta[0], delta[1], delta[2]
+    keep = _uniform_from_entry(key_data, d_row * jnp.int32(n_cols) + d_col) >= p
+    v = jnp.where(keep, d_val / (1.0 - p), 0.0)
+    g = jnp.take(x, d_col, axis=0) * v[:, None]
+    return jax.ops.segment_sum(
+        g, d_row, num_segments=n_out, indices_are_sorted=True
+    )
+
+
+def _rect_drop_fwd(n_out, n_cols, delta, key_data, p, x):
+    return delta_spmm_rect_dropout(n_out, n_cols, delta, key_data, p, x), (
+        delta,
+        key_data,
+        p,
+        x,
+    )
+
+
+def _rect_drop_bwd(n_out, n_cols, res, g):
+    delta, key_data, p, x = res
+    dt_row, dt_col, dt_val = delta[3], delta[4], delta[5]
+    keep = _uniform_from_entry(key_data, dt_row * jnp.int32(n_cols) + dt_col) >= p
+    v = jnp.where(keep, dt_val / (1.0 - p), 0.0)
+    gg = jnp.take(g, dt_row, axis=0) * v[:, None]
+    dx = jax.ops.segment_sum(
+        gg, dt_col, num_segments=x.shape[0], indices_are_sorted=True
+    )
+    return (
+        jax.tree_util.tree_map(jnp.zeros_like, delta),
+        jnp.zeros_like(key_data),
+        jnp.zeros_like(p),
+        dx,
+    )
+
+
+delta_spmm_rect_dropout.defvjp(_rect_drop_fwd, _rect_drop_bwd)
+
+
 class ViewEngine:
     """Per-model factory for EdgeViews over one shared raw-train layout."""
 
@@ -434,6 +521,85 @@ def _device_make_view(
     d_row, d_col, d_val = rr[o], cc[o], vv[o]
     t = jnp.argsort(d_col)
     return base_scale, d_row, d_col, d_val, d_row[t], d_col[t], d_val[t]
+
+
+@partial(jax.jit, static_argnames=("budget", "n_users", "n_items", "user_dim"))
+def device_make_feat_delta(
+    train_keys,
+    user_map,
+    item_map,
+    base_row_sum,
+    add_pairs,
+    alpha,
+    *,
+    budget: int,
+    n_users: int,
+    n_items: int,
+    user_dim: int,
+):
+    """Fixed-budget injected-entry delta for the IGCN aug FEATURE matrix over
+    train ∪ add_pairs (DOSE_aug2, reference model.py:935-978) — the feat
+    analog of :func:`_device_make_view`, entirely on device.
+
+    Each non-train injected pair (u, i) contributes a user-row entry
+    (u, user_dim + item_map[i]) and an item-row entry (n_users + i,
+    user_map[u]) where the maps are >= 0 (core membership), all with
+    multiplicity 1 (the union dedups). The train part of the matrix is the
+    STATIC base layout; only the returned row sums and delta arrays change
+    per epoch, so the train step never retraces.
+
+    Returns (row_sum_view, d_row, d_col, d_val, dt_row, dt_col, dt_val):
+    the view's unweighted row sums (base + injected entries; feeds
+    with_annealed_values for the base part) and the delta COO in forward /
+    transpose orderings with the alpha-annealed weights already applied.
+    """
+    E = train_keys.shape[0]
+    B = budget
+    m = add_pairs.shape[0]
+    pad = B - m
+    au = jnp.concatenate(
+        [add_pairs[:, 0].astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
+    )
+    ai = jnp.concatenate(
+        [add_pairs[:, 1].astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
+    )
+    valid = jnp.concatenate([jnp.ones((m,), bool), jnp.zeros((pad,), bool)])
+
+    keys = au * n_items + ai
+    keys = jnp.where(valid, keys, n_users * n_items + jnp.arange(B))
+    # dedup within adds
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    dup_sorted = jnp.concatenate([jnp.zeros((1,), bool), sk[1:] == sk[:-1]])
+    valid = jnp.zeros((B,), bool).at[order].set(~dup_sorted) & valid
+    # union semantics: pairs already in train contribute nothing new
+    pos = jnp.clip(jnp.searchsorted(train_keys, keys), 0, max(E - 1, 0))
+    valid = valid & ~((train_keys[pos] == keys) if E else jnp.zeros((B,), bool))
+
+    im = item_map[ai]
+    um = user_map[au]
+    e1_valid = valid & (im >= 0)
+    e2_valid = valid & (um >= 0)
+    rows1 = jnp.where(e1_valid, au, 0)
+    cols1 = jnp.where(e1_valid, user_dim + jnp.maximum(im, 0), 0)
+    rows2 = jnp.where(e2_valid, n_users + ai, 0)
+    cols2 = jnp.where(e2_valid, jnp.maximum(um, 0), 0)
+    e1f = e1_valid.astype(jnp.float32)
+    e2f = e2_valid.astype(jnp.float32)
+
+    row_sum_view = (
+        jnp.asarray(base_row_sum, jnp.float32).at[rows1].add(e1f).at[rows2].add(e2f)
+    )
+    expo = (jnp.asarray(alpha, jnp.float32) - 1.0) / 2.0 - 0.5
+    w = jnp.power(jnp.maximum(row_sum_view, 1e-12), expo)
+
+    rr = jnp.concatenate([rows1, rows2]).astype(jnp.int32)
+    cc = jnp.concatenate([cols1, cols2]).astype(jnp.int32)
+    vv = jnp.concatenate([e1f, e2f]) * w[rr]
+    o = jnp.argsort(rr)
+    d_row, d_col, d_val = rr[o], cc[o], vv[o]
+    t = jnp.argsort(d_col)
+    return row_sum_view, d_row, d_col, d_val, d_row[t], d_col[t], d_val[t]
 
 
 @partial(jax.jit, static_argnames=("n", "n_users", "n_items", "seed"))

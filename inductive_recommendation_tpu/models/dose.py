@@ -324,23 +324,30 @@ class DOSE_aug2(DOSE_aug):
     (model.py:1034-1051 has no negation) and which also rebuilds the feature
     matrix over the augmented graph (model.py:935-978).
 
-    The aug feature matrix is rebuilt as a fresh bucketed layout each epoch —
-    the one DOSE variant whose epoch update retraces (the reference rebuilds
-    the same object; documented cost)."""
+    The aug feature matrix is STATIC-SHAPED: a bucketed base layout over the
+    train edges (built once; annealed per epoch via with_annealed_values with
+    the VIEW's row sums) plus a fixed-budget injected-entry delta COO
+    (graph/views.py device_make_feat_delta + delta_spmm_rect) — per-epoch
+    regeneration writes new value/delta arrays of fixed shapes, so the
+    jitted train step never retraces (the repo's static-shape invariant;
+    an earlier revision rebuilt a fresh bucketed layout per epoch, which
+    recompiled the step every epoch)."""
 
     def _make_view(self, key, params):
         pairs_dev = self._cos_pairs(
             params, self.aug_num, negate_items=False, device=True
         )
-        from inductive_recommendation_tpu.graph.build import aug_union_edges
-
-        # host copy only for the aug-feat rebuild ([aug_num, 2] D2H — small);
-        # the VIEW builds on device, avoiding the O(|E|) per-epoch base_scale
-        # upload of the host make_view path
-        pairs = np.asarray(pairs_dev)
-        self._last_aug_pairs = pairs
-        self._last_aug_union = aug_union_edges(self._dedup_train, pairs)
+        # pairs stay ON DEVICE; the host copy is fetched lazily only for the
+        # one-time aug-core ranking (feature_ratio < 1) or the 32-bit-range
+        # host fallback
+        self._last_aug_pairs_dev = pairs_dev
+        self._last_aug_pairs_host = None
         return self.view_engine.make_view_on_device(add_pairs=pairs_dev)
+
+    def _aug_pairs_host(self):
+        if getattr(self, "_last_aug_pairs_host", None) is None:
+            self._last_aug_pairs_host = np.asarray(self._last_aug_pairs_dev)
+        return self._last_aug_pairs_host
 
     def _aug_core_maps(self):
         """Core maps for the AUG feature matrix. With feature_ratio < 1 the
@@ -356,7 +363,7 @@ class DOSE_aug2(DOSE_aug):
             )
 
             ranked_u, ranked_i = graph_aug_rank_nodes(
-                self.dataset, self.ranking_metric, self._last_aug_pairs
+                self.dataset, self.ranking_metric, self._aug_pairs_host()
             )
             core_u = ranked_u[: int(self.n_users * self.feature_ratio)]
             core_i = ranked_i[: int(self.n_items * self.feature_ratio)]
@@ -398,23 +405,78 @@ class DOSE_aug2(DOSE_aug):
             self.aug_item_map = np.asarray(aux.pop("aug_item_map"))
         super().restore_aux(aux)
 
+    def _build_graph_buffers(self, dataset):
+        # attach_dataset / restore rebuild everything; the static aug-feat
+        # base (train edges + maps + row sums) is stale with it
+        for attr in ("_aug_feat_base", "_aug_feat_static"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        super()._build_graph_buffers(dataset)
+
     def _update_views(self, params):
         super()._update_views(params)
         # aug feature matrix over train ∪ aug (model.py:935-978)
+        aug_user_map, aug_item_map = self._aug_core_maps()
+        if self.n_users * self.n_items + max(self.aug_num, 1) >= 2**31:
+            # pair keys exceed the 32-bit lattice: host rebuild fallback
+            # (same matrix, per-epoch retrace cost)
+            self._update_aug_feat_host(aug_user_map, aug_item_map)
+            return
         from inductive_recommendation_tpu.graph import build_feat_matrix
+        from inductive_recommendation_tpu.graph.views import device_make_feat_delta
         from inductive_recommendation_tpu.ops import build_bucketed_spmm
 
-        aug_user_map, aug_item_map = self._aug_core_maps()
-        row, col, counts, row_sum = build_feat_matrix(
-            self._last_aug_union,
-            self.n_users,
-            self.n_items,
-            aug_user_map,
-            aug_item_map,
+        if not hasattr(self, "_aug_feat_base"):
+            row, col, counts, base_row_sum = build_feat_matrix(
+                self._dedup_train,
+                self.n_users,
+                self.n_items,
+                aug_user_map,
+                aug_item_map,
+            )
+            self._aug_feat_base = build_bucketed_spmm(
+                row,
+                col,
+                counts,
+                (self.n_users + self.n_items, self.feat_n_cols),
+                symmetric=False,
+            )
+            self._aug_feat_static = {
+                "base_row_sum": jnp.asarray(base_row_sum),
+                "user_map": jnp.asarray(aug_user_map, jnp.int32),
+                "item_map": jnp.asarray(aug_item_map, jnp.int32),
+            }
+        s = self._aug_feat_static
+        row_sum_view, *delta = device_make_feat_delta(
+            self.view_engine._device_buffers()["train_keys"],
+            s["user_map"],
+            s["item_map"],
+            s["base_row_sum"],
+            self._last_aug_pairs_dev,
+            jnp.float32(self.alpha),
+            budget=max(self.aug_num, 1),
+            n_users=self.n_users,
+            n_items=self.n_items,
+            user_dim=self.user_dim,
         )
         # annealed weights baked at rebuild time (the rebuild happens right
         # after feat_mat_anneal each epoch, so alpha is current); per-step
-        # dropout is in-layout (spmm_bucketed_dropout)
+        # dropout is in-layout (spmm_bucketed_dropout / the delta entry hash)
+        self.buffers = dict(
+            self.buffers,
+            aug_feat=self._anneal_jit(self._aug_feat_base, row_sum_view, self.alpha),
+            aug_feat_delta=tuple(delta),
+        )
+
+    def _update_aug_feat_host(self, aug_user_map, aug_item_map):
+        from inductive_recommendation_tpu.graph import build_feat_matrix
+        from inductive_recommendation_tpu.graph.build import aug_union_edges
+        from inductive_recommendation_tpu.ops import build_bucketed_spmm
+
+        union = aug_union_edges(self._dedup_train, self._aug_pairs_host())
+        row, col, counts, row_sum = build_feat_matrix(
+            union, self.n_users, self.n_items, aug_user_map, aug_item_map
+        )
         aug_feat = build_bucketed_spmm(
             row,
             col,
@@ -422,25 +484,44 @@ class DOSE_aug2(DOSE_aug):
             (self.n_users + self.n_items, self.feat_n_cols),
             symmetric=False,
         )
-        self.buffers = dict(
+        new = dict(
             self.buffers,
             aug_feat=self._anneal_jit(aug_feat, jnp.asarray(row_sum), self.alpha),
         )
+        new.pop("aug_feat_delta", None)
+        self.buffers = new
 
     def view_users(self, params, buffers, key, users, rng, training):
         if "aug_feat" in buffers:
+            from inductive_recommendation_tpu.graph.views import (
+                delta_spmm_rect,
+                delta_spmm_rect_dropout,
+            )
             from inductive_recommendation_tpu.ops import spmm_bucketed
             from inductive_recommendation_tpu.ops.bucketed_spmm import (
                 spmm_bucketed_dropout,
             )
 
             emb = params["embedding"][: self.feat_n_cols]
+            delta = buffers.get("aug_feat_delta")
+            n_nodes = self.n_users + self.n_items
             if training and self.dropout > 0.0:
                 x0 = spmm_bucketed_dropout(
                     buffers["aug_feat"], emb, rng, self.dropout
                 )
+                if delta is not None:
+                    x0 = x0 + delta_spmm_rect_dropout(
+                        n_nodes,
+                        self.feat_n_cols,
+                        delta,
+                        jax.random.key_data(rng),
+                        jnp.asarray(self.dropout, jnp.float32),
+                        emb,
+                    )
             else:
                 x0 = spmm_bucketed(buffers["aug_feat"], emb)
+                if delta is not None:
+                    x0 = x0 + delta_spmm_rect(n_nodes, delta, emb)
         else:
             x0 = self.inductive_rep_layer(params, buffers, rng=rng, training=training)
         rep = view_propagate_mean(
@@ -470,10 +551,17 @@ class DOSE_aug4(_DOSEBase):
     view_keys = ("aug_adj",)
 
     def _make_view(self, key, params):
+        # the pair-count cap is a trace constant: cache per k, or a stale
+        # closure keeps the pre-attach_dataset catalog's (smaller) cap after
+        # the catalog grows
         k = max(min(self.aug_num, self.n_users * self.n_items), 1)
-        if not hasattr(self, "_thr_jit"):
+        cache = getattr(self, "_thr_jits", None)
+        if cache is None:
+            cache = self._thr_jits = {}
+        ck = (k, self.n_users, self.n_items)
+        if ck not in cache:
 
-            def select(params, buffers, pai):
+            def select(params, buffers, pai, k=k):
                 rep = self.get_rep(params, training=False, buffers=buffers)
                 vals, uid, iid = blockwise_cosine_topk(
                     rep[: self.n_users], rep[self.n_users :], k, negate_items=False
@@ -483,8 +571,8 @@ class DOSE_aug4(_DOSEBase):
                 )
                 return pairs, vals >= pai
 
-            self._thr_jit = jax.jit(select)
-        pairs, valid = self._thr_jit(params, self.buffers, jnp.float32(self.pai))
+            cache[ck] = jax.jit(select)
+        pairs, valid = cache[ck](params, self.buffers, jnp.float32(self.pai))
         return self.view_engine.make_view_on_device(add_pairs=pairs, add_valid=valid)
 
 

@@ -18,9 +18,14 @@ class MF(BasicModel):
 
     def init_params(self, rng):
         r1, r2 = jax.random.split(rng)
+        # row-aligned for the mesh 'model' axis (padding rows never indexed)
         return {
-            "user_embedding": normal_init(r1, (self.n_users, self.embedding_size)),
-            "item_embedding": normal_init(r2, (self.n_items, self.embedding_size)),
+            "user_embedding": normal_init(
+                r1, (self._align_rows(self.n_users), self.embedding_size)
+            ),
+            "item_embedding": normal_init(
+                r2, (self._align_rows(self.n_items), self.embedding_size)
+            ),
         }
 
     def bpr_forward(
@@ -36,4 +41,5 @@ class MF(BasicModel):
         return params
 
     def score(self, state, users):
-        return state["user_embedding"][users] @ state["item_embedding"].T
+        items = state["item_embedding"][: self.n_items]
+        return state["user_embedding"][users] @ items.T

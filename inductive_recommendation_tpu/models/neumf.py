@@ -34,15 +34,17 @@ class NeuMF(BasicModel):
     def init_params(self, rng):
         keys = jax.random.split(rng, 5 + len(self.layer_sizes))
         half = self.layer_sizes[0] // 2
+        n_u = self._align_rows(self.n_users)  # mesh-divisible (rows > n never indexed)
+        n_i = self._align_rows(self.n_items)
         params = {
             "mf_user_embedding": kaiming_uniform_init(
-                keys[0], (self.n_users, self.embedding_size)
+                keys[0], (n_u, self.embedding_size)
             ),
             "mf_item_embedding": kaiming_uniform_init(
-                keys[1], (self.n_items, self.embedding_size)
+                keys[1], (n_i, self.embedding_size)
             ),
-            "mlp_user_embedding": kaiming_uniform_init(keys[2], (self.n_users, half)),
-            "mlp_item_embedding": kaiming_uniform_init(keys[3], (self.n_items, half)),
+            "mlp_user_embedding": kaiming_uniform_init(keys[2], (n_u, half)),
+            "mlp_item_embedding": kaiming_uniform_init(keys[3], (n_i, half)),
             "mlp_layers": [
                 init_linear(keys[5 + i], self.layer_sizes[i], self.layer_sizes[i + 1])
                 for i in range(len(self.layer_sizes) - 1)

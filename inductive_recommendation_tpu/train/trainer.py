@@ -69,6 +69,9 @@ class BasicTrainer:
         self.batch_size = trainer_config.get("batch_size", 2048)
         self.epoch = 0
         self.best_ndcg = -np.inf
+        # remaining early-stop budget; persisted by save_state so a resumed
+        # run stops at the same epoch the uninterrupted run would have
+        self.patience = self.max_patience
         self.save_path = None
         # integer step counter folded into a fixed base seed INSIDE jitted
         # steps — per-step eager jax.random.split calls are surprisingly
@@ -136,6 +139,7 @@ class BasicTrainer:
             "best_ndcg": float(self.best_ndcg),
             "step_counter": self._step_counter,
             "save_path": self.save_path or "",
+            "patience": int(self.patience),
         }
         save_checkpoint(path, self.params, opt_state=self.opt_state, aux=aux)
 
@@ -152,6 +156,7 @@ class BasicTrainer:
         self.best_ndcg = float(ts.get("best_ndcg", -np.inf))
         self._step_counter = int(ts.get("step_counter", 0))
         self.save_path = ts.get("save_path") or None
+        self.patience = int(ts.get("patience", self.max_patience))
 
     # -- main loop (trainer.py:58-113) --------------------------------------
     def train(self, verbose=True, writer=None):
@@ -166,7 +171,6 @@ class BasicTrainer:
 
         if not os.path.exists("checkpoints"):
             os.mkdir("checkpoints")
-        patience = self.max_patience
         # resume-aware: self.epoch counts COMPLETED epochs (0 when fresh;
         # restored by load_state). During an epoch it equals that epoch's
         # index (what train_one_epoch phase checks and writer tags read,
@@ -230,12 +234,12 @@ class BasicTrainer:
                 )
                 self.best_ndcg = ndcg
                 self._save_model(self.save_path)
-                patience = self.max_patience
+                self.patience = self.max_patience
                 if verbose:
                     print("Best NDCG, save model to {:s}".format(self.save_path))
             else:
-                patience -= self.val_interval
-                if patience <= 0:
+                self.patience -= self.val_interval
+                if self.patience <= 0:
                     if verbose:
                         print("Early stopping!")
                     break

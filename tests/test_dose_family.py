@@ -96,9 +96,10 @@ def test_dose_variant_trains(ds, tmp_path, model_name, trainer_name, extra):
         shapes_after = jax.tree_util.tree_map(
             lambda x: getattr(x, "shape", None), model.buffers
         )
-        # view regeneration must keep buffer shapes static (no jit retrace)
-        if model_name != "DOSE_aug2":  # aug2's aug-feat layout may reshape
-            assert shapes_before == shapes_after, model_name
+        # view regeneration must keep buffer shapes static (no jit retrace) —
+        # including DOSE_aug2's aug feature matrix (static base + fixed-budget
+        # injected-entry delta)
+        assert shapes_before == shapes_after, model_name
         assert np.isfinite(first) and np.isfinite(last)
         _, m = trainer.eval("val")
         assert np.isfinite(m["NDCG"][TOPKS[4]])
@@ -191,6 +192,135 @@ def test_dose_aug2_feature_ratio_selects_aug_core(ds, tmp_path):
         os.chdir(cwd)
 
 
+def test_dose_aug2_static_aug_feat_matches_union_oracle(ds, tmp_path):
+    """DOSE_aug2's static aug feature matrix (annealed bucketed base over
+    train edges + fixed-budget injected-entry delta) must represent EXACTLY
+    the matrix the reference builds over train ∪ aug (model.py:935-978):
+    values = multiplicity x row_sum^((alpha-1)/2 - 0.5) over the union —
+    checked for the product AND its gradient, across two epoch updates
+    (annealed alphas), against a dense host oracle."""
+    import jax.numpy as jnp
+    from inductive_recommendation_tpu.graph import build_feat_matrix
+    from inductive_recommendation_tpu.graph.build import aug_union_edges
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model = get_model(_mcfg("DOSE_aug2", dropout=0.0), ds)
+        trainer = get_trainer(
+            _tcfg("DOSEaugTrainer", contrastive_reg=0.1, aux_reg=0.01), ds, model
+        )
+        trainer.train_one_epoch()  # fires update_aug_adj at epoch end
+        for _ in range(2):
+            assert "aug_feat" in model.buffers and "aug_feat_delta" in model.buffers
+            emb = np.asarray(
+                jax.random.normal(jax.random.key(3), (model.feat_n_cols, 8))
+            )
+
+            def ours(e):
+                return model.view_users(
+                    {"embedding": jnp.asarray(e), "w": model_w},
+                    model.buffers,
+                    "aug_adj",
+                    jnp.arange(ds.n_users),
+                    None,
+                    False,
+                )
+
+            model_w = jnp.ones((8,), jnp.float32)
+
+            # oracle x0 via the dense union feat matrix at the current alpha
+            union = aug_union_edges(
+                model._dedup_train, np.asarray(model._last_aug_pairs_dev)
+            )
+            row, col, counts, row_sum = build_feat_matrix(
+                union, ds.n_users, ds.n_items, model.user_map, model.item_map
+            )
+            dense = np.zeros((ds.n_users + ds.n_items, model.feat_n_cols))
+            w = row_sum[row] ** ((model.alpha - 1.0) / 2.0 - 0.5)
+            dense[row, col] = counts * w
+
+            # compare the x0 SpMM directly (base + delta vs dense oracle)
+            from inductive_recommendation_tpu.graph.views import delta_spmm_rect
+            from inductive_recommendation_tpu.ops import spmm_bucketed
+
+            def x0_ours(e):
+                return spmm_bucketed(
+                    model.buffers["aug_feat"], jnp.asarray(e)
+                ) + delta_spmm_rect(
+                    ds.n_users + ds.n_items,
+                    model.buffers["aug_feat_delta"],
+                    jnp.asarray(e),
+                )
+
+            got = np.asarray(x0_ours(emb))
+            np.testing.assert_allclose(got, dense @ emb, rtol=2e-4, atol=2e-5)
+
+            # gradient parity (exercises the transpose delta copy)
+            g = np.asarray(
+                jax.grad(lambda e: jnp.sum(jnp.sin(x0_ours(e))))(jnp.asarray(emb))
+            )
+            g_ref = dense.T @ np.cos(dense @ emb)
+            np.testing.assert_allclose(g, g_ref, rtol=2e-4, atol=2e-5)
+
+            trainer.train_one_epoch()  # new selection + anneal; shapes static
+    finally:
+        os.chdir(cwd)
+
+
+def test_delta_spmm_rect_dropout_consistency():
+    """The injected-entry dropout hash must draw identically in the forward
+    and transpose orderings (gradient correctness) and reduce to the plain
+    op at p=0."""
+    import jax.numpy as jnp
+    from inductive_recommendation_tpu.graph.views import (
+        _uniform_from_entry,
+        delta_spmm_rect,
+        delta_spmm_rect_dropout,
+    )
+
+    rng = np.random.default_rng(0)
+    n_out, n_in, D = 12, 9, 20
+    rr = np.sort(rng.integers(0, n_out, D)).astype(np.int32)
+    cc = rng.integers(0, n_in, D).astype(np.int32)
+    vv = rng.standard_normal(D).astype(np.float32)
+    t = np.argsort(cc, kind="stable")
+    delta = tuple(
+        jnp.asarray(a) for a in (rr, cc, vv, rr[t], cc[t], vv[t])
+    )
+    x = jnp.asarray(rng.standard_normal((n_in, 4)).astype(np.float32))
+    key_data = jax.random.key_data(jax.random.key(7))
+
+    out0 = delta_spmm_rect_dropout(n_out, n_in, delta, key_data, jnp.float32(0.0), x)
+    np.testing.assert_allclose(
+        np.asarray(out0), np.asarray(delta_spmm_rect(n_out, delta, x)), rtol=1e-6
+    )
+
+    # p > 0: value and grad must match a dense oracle built from the SAME
+    # entry-hash mask
+    p = 0.4
+    keep = np.asarray(
+        _uniform_from_entry(key_data, jnp.asarray(rr * np.int32(n_in) + cc)) >= p
+    )
+    dense = np.zeros((n_out, n_in), np.float32)
+    np.add.at(dense, (rr[keep], cc[keep]), vv[keep] / (1.0 - p))
+
+    def f(x):
+        return jnp.sum(
+            jnp.sin(
+                delta_spmm_rect_dropout(
+                    n_out, n_in, delta, key_data, jnp.float32(p), x
+                )
+            )
+        )
+
+    out = delta_spmm_rect_dropout(n_out, n_in, delta, key_data, jnp.float32(p), x)
+    np.testing.assert_allclose(np.asarray(out), dense @ np.asarray(x), rtol=1e-5, atol=1e-6)
+    g = np.asarray(jax.grad(f)(x))
+    g_ref = dense.T @ np.cos(dense @ np.asarray(x))
+    np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-5)
+
+
 def test_TEST_main_drop_graph_survives_reload(ds, tmp_path):
     """TEST's defining static random-drop MAIN adjacency must survive the
     best-checkpoint reload (restore_aux rebuilds buffers with the FULL graph
@@ -281,6 +411,38 @@ def test_dose_aug2_attach_extends_aug_core_maps(ds):
     assert (model.aug_user_map[ds.n_users :] == -1).all()
     model.update_aug_adj(trainer.params)  # used to IndexError
     assert "aug_feat" in model.buffers
+
+
+def test_dose_aug4_threshold_cap_tracks_attached_catalog(ds):
+    """DOSE_aug4's selection cap k = min(aug_num, n_users * n_items) is a
+    trace constant; after attach_dataset grows the catalog the selection must
+    re-jit at the NEW cap (a stale closure silently kept selecting at the old
+    catalog's size)."""
+    small = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 10,
+            "n_items": 8,
+            "n_interactions": 120,
+            "seed": 5,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 1,
+        }
+    )
+    model = get_model(_mcfg("DOSE_aug4", aug_num=500, pai=-1.0), small)
+    params = model.init_params(jax.random.key(0))
+    model.update_aug_adj(params)
+    k_small = small.n_users * small.n_items  # aug_num clamps to the catalog
+    assert {ck[0] for ck in model._thr_jits} == {k_small}
+
+    grown = _grow_dataset(small)
+    model.attach_dataset(grown)
+    model.update_aug_adj(params)
+    k_grown = grown.n_users * grown.n_items
+    assert k_grown != k_small
+    assert any(ck[0] == k_grown for ck in model._thr_jits), (
+        "selection still capped at the pre-attach catalog size"
+    )
 
 
 def test_dose_aug_drop2_attach_reranks_tails(ds):

@@ -146,6 +146,41 @@ def test_sharded_bpr_matches_unsharded_loss():
     assert abs(float(loss1) - float(loss8)) < 1e-5
 
 
+def test_mf_neumf_tables_align_for_model_axis():
+    """MF's and NeuMF's tables (all listed in mesh._TABLE_KEYS) must honor
+    table_align so shard_params' row-sharding divides on catalogs whose
+    n_users/n_items are not multiples of the 'model' axis — and the padded
+    item rows must not leak into MF's full-catalog scores."""
+    ds = _dataset()  # 50 users / 44 items after k-core (not multiples of 8)
+    mesh = make_mesh(n_data=1, n_model=8)
+
+    mf = get_model({"name": "MF", "embedding_size": 16, "table_align": 8}, ds)
+    p = shard_params(mf.init_params(jax.random.key(0)), mesh)
+    assert p["user_embedding"].shape[0] % 8 == 0
+    scores = mf.score(mf.make_scoring_state(p), jnp.arange(4))
+    assert scores.shape == (4, ds.n_items)
+
+    neumf = get_model(
+        {
+            "name": "NeuMF",
+            "embedding_size": 8,
+            "layer_sizes": [16, 16, 8],
+            "table_align": 8,
+        },
+        ds,
+    )
+    pn = shard_params(neumf.init_params(jax.random.key(1)), mesh)
+    for k in (
+        "mf_user_embedding",
+        "mf_item_embedding",
+        "mlp_user_embedding",
+        "mlp_item_embedding",
+    ):
+        assert pn[k].shape[0] % 8 == 0, k
+    logits, l2 = neumf.bce_forward(pn, jnp.arange(4), jnp.arange(4))
+    assert logits.shape == (4,) and np.isfinite(np.asarray(l2)).all()
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as g
 

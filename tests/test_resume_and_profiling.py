@@ -60,6 +60,7 @@ def test_trainer_save_load_state(tmp_path):
             t1.train_one_epoch()
         t1.epoch = 3
         t1.best_ndcg = 0.42
+        t1.patience = 7  # mid-losing-streak budget
         t1.save_state("state.ckpt")
         loss_next_a = t1.train_one_epoch()
 
@@ -68,6 +69,9 @@ def test_trainer_save_load_state(tmp_path):
         assert t2.epoch == 3 and abs(t2.best_ndcg - 0.42) < 1e-9
         assert t2._step_counter == t1._step_counter - t1.steps_per_epoch
         assert abs(t2.model.alpha - 0.99**3) < 1e-9
+        # the early-stop budget resumes exactly: a reset-to-max patience
+        # would early-stop later than the uninterrupted run
+        assert t2.patience == t1.patience == 7
         loss_next_b = t2.train_one_epoch()
         # identical rng counters + identical state => identical next epoch
         assert abs(loss_next_a - loss_next_b) < 1e-5
