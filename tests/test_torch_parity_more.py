@@ -49,6 +49,31 @@ def adam_pair(lr, jax_params):
     return optimizer, optimizer.init(jax_params)
 
 
+def torch_norm_adj_from_pairs(pairs, n_users, n_items):
+    n = n_users + n_items
+    A = torch.zeros((n, n), dtype=torch.float64)
+    for u, i in np.asarray(pairs):
+        A[u, n_users + i] += 1.0
+        A[n_users + i, u] += 1.0
+    deg = torch.clamp(A.sum(dim=1), min=1.0)
+    d_inv = deg.pow(-0.5)
+    return (d_inv[:, None] * A * d_inv[None, :]).to(torch.float32)
+
+
+def torch_info_nce(q, p, n, temperature=0.1):
+    """info-nce-pytorch 'unpaired' semantics (losses.info_nce parity)."""
+
+    def l2n(x, eps=1e-12):
+        sq = (x * x).sum(dim=-1, keepdim=True)
+        return x / torch.sqrt(torch.clamp(sq, min=eps * eps))
+
+    q, p, n = l2n(q), l2n(p), l2n(n)
+    pos = (q * p).sum(dim=-1, keepdim=True)
+    neg = q @ n.T
+    logits = torch.cat([pos, neg], dim=1) / temperature
+    return -torch.log_softmax(logits, dim=1)[:, 0]
+
+
 # ---------------------------------------------------------------------------
 # NGCF
 # ---------------------------------------------------------------------------
@@ -457,4 +482,201 @@ def test_multivae_training_parity():
         decb_t[-1].detach().numpy(),
         rtol=5e-3,
         atol=5e-4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SGL (two-view InfoNCE) and IMCGAE (layer-scaled sum combine)
+# ---------------------------------------------------------------------------
+
+
+def test_sgl_training_parity():
+    """SGL's defining loss — BPR on the main propagation + InfoNCE between
+    the user reps of two random-edge-drop views (model.py:130-244 +
+    trainer.py:432-459) — vs an independent torch replica with the SAME keep
+    masks injected on both sides, regenerated between steps."""
+    from inductive_recommendation_tpu.graph.views import bake_view
+
+    ds = make_ds(36, 28, 450, seed=21)
+    model = get_model(
+        {"name": "SGL", "embedding_size": 16, "n_layers": 2, "aug_rate": 0.7}, ds
+    )
+    n = ds.n_users + ds.n_items
+    d, lr, l2_reg, c_reg = 16, 1e-2, 1e-3, 0.1
+    rng = np.random.default_rng(8)
+    emb0 = rng.standard_normal((n, d)).astype(np.float32) * 0.1
+    E = len(model.view_engine.train_pairs)
+    # two keep masks per "epoch", two epochs
+    masks = [rng.random(E) < 0.7 for _ in range(4)]
+    batches = [
+        (
+            rng.integers(0, ds.n_users, 48),
+            rng.integers(0, ds.n_items, 48),
+            rng.integers(0, ds.n_items, 48),
+        )
+        for _ in range(4)
+    ]
+
+    # ---- torch replica ----
+    A = torch_norm_adj_from_pairs(ds.train_array, ds.n_users, ds.n_items)
+    emb_t = torch.nn.Parameter(torch.tensor(emb0))
+    opt = torch.optim.Adam([emb_t], lr=lr)
+
+    def t_prop(Ax):
+        h = emb_t
+        acc = emb_t.clone()
+        for _ in range(2):
+            h = Ax @ h
+            acc = acc + h
+        return acc / 3.0
+
+    t_losses = []
+    for s, (users, pos, neg) in enumerate(batches):
+        e = (s // 2) * 2  # masks pair per epoch
+        A1 = torch_norm_adj_from_pairs(
+            np.asarray(model.view_engine.train_pairs)[masks[e]], ds.n_users, ds.n_items
+        )
+        A2 = torch_norm_adj_from_pairs(
+            np.asarray(model.view_engine.train_pairs)[masks[e + 1]],
+            ds.n_users,
+            ds.n_items,
+        )
+        rep = t_prop(A)
+        u_r, p_r, n_r = rep[users], rep[ds.n_users + pos], rep[ds.n_users + neg]
+        v1 = t_prop(A1)[users]
+        v2 = t_prop(A2)[users]
+        l2 = (u_r**2).sum(1) + (p_r**2).sum(1) + (n_r**2).sum(1)
+        loss = (
+            torch.nn.functional.softplus((u_r * n_r).sum(1) - (u_r * p_r).sum(1)).mean()
+            + l2_reg * l2.mean()
+            + c_reg * torch_info_nce(v1, v2, v2).mean()
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss))
+
+    # ---- ours (same masks baked into the view buffers) ----
+    params = {"embedding": jnp.asarray(emb0)}
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    def step(params, opt_state, buffers, users, pos, neg):
+        def loss_fn(p):
+            u_r, p_r, n_r, l2, closs = model.bpr_forward(
+                p, users, pos, neg, training=False, buffers=buffers
+            )
+            return L.bpr_loss(u_r, p_r, n_r) + l2_reg * l2.mean() + c_reg * closs.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step)
+    j_losses = []
+    for s, (users, pos, neg) in enumerate(batches):
+        e = (s // 2) * 2
+        model.buffers = dict(
+            model.buffers,
+            aug_adj1=bake_view(
+                model.view_engine.base,
+                model.view_engine.make_view(keep_pair_mask=masks[e]),
+            ),
+            aug_adj2=bake_view(
+                model.view_engine.base,
+                model.view_engine.make_view(keep_pair_mask=masks[e + 1]),
+            ),
+        )
+        args = [jnp.asarray(a.astype(np.int32)) for a in (users, pos, neg)]
+        params, opt_state, loss = jstep(params, opt_state, model.buffers, *args)
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["embedding"]), emb_t.detach().numpy(), rtol=5e-3, atol=5e-4
+    )
+
+
+def test_imcgae_training_parity():
+    """IMCGAE's 3d-wide shared/personal embedding concat, 1/(i+2) layer
+    scaling and sum combine (model.py:4300-4345) vs a torch replica
+    (dropout off for determinism)."""
+    ds = make_ds(30, 24, 350, seed=23)
+    model = get_model(
+        {"name": "IMCGAE", "embedding_size": 16, "n_layers": 2, "dropout": 0.0}, ds
+    )
+    n = ds.n_users + ds.n_items
+    d, lr, l2_reg = 16, 1e-2, 1e-3
+    rng = np.random.default_rng(9)
+    emb0 = rng.standard_normal((n + 3, d)).astype(np.float32) * 0.1
+    batches = [
+        (
+            rng.integers(0, ds.n_users, 32),
+            rng.integers(0, ds.n_items, 32),
+            rng.integers(0, ds.n_items, 32),
+        )
+        for _ in range(5)
+    ]
+
+    A = torch_norm_adj_from_pairs(ds.train_array, ds.n_users, ds.n_items)
+    emb_t = torch.nn.Parameter(torch.tensor(emb0))
+    opt = torch.optim.Adam([emb_t], lr=lr)
+    t_losses = []
+    for users, pos, neg in batches:
+        pu = emb_t[: ds.n_users]
+        pi = emb_t[ds.n_users : n]
+        identical = emb_t[n]
+        gu, gi = emb_t[n + 1], emb_t[n + 2]
+        u_rep = torch.cat(
+            [pu, gu[None, :].expand(pu.shape), identical[None, :].expand(pu.shape)],
+            dim=1,
+        )
+        i_rep = torch.cat(
+            [pi, gi[None, :].expand(pi.shape), identical[None, :].expand(pi.shape)],
+            dim=1,
+        )
+        h = torch.cat([u_rep, i_rep], dim=0)
+        final = h.clone()
+        x = h
+        for i in range(2):
+            x = A @ x
+            final = final + x / float(i + 2)
+        u_r = final[users]
+        p_r = final[ds.n_users + pos]
+        n_r = final[ds.n_users + neg]
+        l2 = (u_r**2).sum(1) + (p_r**2).sum(1) + (n_r**2).sum(1)
+        loss = (
+            torch.nn.functional.softplus((u_r * n_r).sum(1) - (u_r * p_r).sum(1)).mean()
+            + l2_reg * l2.mean()
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss))
+
+    params = {"embedding": jnp.asarray(emb0)}
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, buffers, users, pos, neg):
+        def loss_fn(p):
+            u_r, p_r, n_r, l2 = model.bpr_forward(
+                p, users, pos, neg, training=False, buffers=buffers
+            )
+            return L.bpr_loss(u_r, p_r, n_r) + l2_reg * l2.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    j_losses = []
+    for users, pos, neg in batches:
+        args = [jnp.asarray(a.astype(np.int32)) for a in (users, pos, neg)]
+        params, opt_state, loss = step(params, opt_state, model.buffers, *args)
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["embedding"]), emb_t.detach().numpy(), rtol=5e-3, atol=5e-4
     )
