@@ -29,7 +29,9 @@ import numpy as np
 
 from inductive_recommendation_tpu.native import (
     parse_adjacency_file,
+    parse_amazon_file,
     parse_gowalla_file,
+    parse_yelp_file,
 )
 
 
@@ -115,6 +117,21 @@ class BasicDataset:
         self.val_data = None
         self.test_data = None
         self.train_array = None
+
+    def _init_from_interned(self, users_raw, items_raw, ts_raw):
+        """Finish construction from KEPT interactions with dense-interned ids
+        (the native parsers' output). Interning is injective and downstream
+        re-indexes in first-seen order (remove_sparse_ui), so the result is
+        identical to parsing the raw string ids."""
+        ul, il, tl = users_raw.tolist(), items_raw.tolist(), ts_raw.tolist()
+        user_inter_sets, item_inter_sets = {}, {}
+        for u, i in zip(ul, il):
+            update_ui_sets(u, i, user_inter_sets, item_inter_sets)
+        user_map, item_map = self.remove_sparse_ui(user_inter_sets, item_inter_sets)
+        self.user_inter_lists = build_user_inter_lists(
+            zip(ul, il, tl), user_map, item_map, self.n_users
+        )
+        self.generate_data()
 
     # -- k-core filtering (dataset.py:66-92) --------------------------------
     def remove_sparse_ui(self, user_inter_sets, item_inter_sets):
@@ -284,6 +301,13 @@ class YelpDataset(BasicDataset):
         input_file_path = os.path.join(
             dataset_config["path"], "yelp_academic_dataset_review.json"
         )
+        # native fast path: field-scan + string interning in C++ (json.loads
+        # per line dominates load time at the ~7M-line full file); declines
+        # (None) on anything surprising, falling back to the exact json path
+        parsed = parse_yelp_file(input_file_path)
+        if parsed is not None:
+            self._init_from_interned(*parsed)
+            return
         user_inter_sets, item_inter_sets = {}, {}
         kept = []
         with open(input_file_path, "r") as f:
@@ -330,6 +354,10 @@ class AmazonDataset(BasicDataset):
     def __init__(self, dataset_config):
         super().__init__(dataset_config)
         input_file_path = os.path.join(dataset_config["path"], "ratings_Books.csv")
+        parsed = parse_amazon_file(input_file_path)
+        if parsed is not None:
+            self._init_from_interned(*parsed)
+            return
         user_inter_sets, item_inter_sets = {}, {}
         with open(input_file_path, "r") as f:
             for line in f:

@@ -76,6 +76,17 @@ def _load():
                 i64p,
             ]
             lib.parse_adjacency.restype = ctypes.c_int64
+            for fn in (lib.parse_yelp, lib.parse_amazon):
+                fn.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int64,
+                    i64p,
+                    i64p,
+                    i64p,
+                    i64p,
+                    i64p,
+                ]
+                fn.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _unavailable = True
@@ -156,6 +167,44 @@ def parse_gowalla_file(path):
         else np.zeros(0, np.int64)
     )
     return users, items, ts
+
+
+def _parse_interned(fn_name, path, min_line_bytes):
+    """Shared driver for the interning parsers (yelp/amazon): returns
+    (users, items, ts) dense-int64 arrays of the KEPT interactions, or None
+    when the native library is unavailable or declined the file (the caller
+    then runs its exact python parser)."""
+    lib = _load()
+    if lib is None:
+        return None
+    size = os.path.getsize(path)
+    cap = size // min_line_bytes + 16
+    users = np.empty(cap, dtype=np.int64)
+    items = np.empty(cap, dtype=np.int64)
+    ts = np.empty(cap, dtype=np.int64)
+    ndu = np.zeros(1, dtype=np.int64)
+    ndi = np.zeros(1, dtype=np.int64)
+    n = getattr(lib, fn_name)(
+        path.encode(), cap, _p64(users), _p64(items), _p64(ts), _p64(ndu), _p64(ndi)
+    )
+    if n < 0:
+        return None
+    return users[:n].copy(), items[:n].copy(), ts[:n].copy()
+
+
+def parse_yelp_file(path):
+    """yelp_academic_dataset_review.json -> kept (stars > 3) interactions as
+    dense-interned (users, items, ts) int64 arrays, or None (caller falls
+    back to the exact json.loads path). Interning is first-seen order, which
+    downstream re-indexing (remove_sparse_ui) makes parity-preserving."""
+    # min JSON review line in the real dataset is far above 80 bytes
+    return _parse_interned("parse_yelp", path, 80)
+
+
+def parse_amazon_file(path):
+    """ratings_Books.csv -> kept (rating > 3) interactions as dense-interned
+    (users, items, ts) int64 arrays, or None for the python fallback."""
+    return _parse_interned("parse_amazon", path, 8)
 
 
 def parse_adjacency_file(path):

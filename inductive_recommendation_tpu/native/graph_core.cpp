@@ -10,6 +10,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <string>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -190,6 +192,184 @@ int64_t parse_gowalla(const char* path, int64_t cap, int64_t* users,
     ++n;
     while (p < end && *p != '\n') ++p;
   }
+  return n;
+}
+
+// yelp_academic_dataset_review.json: one JSON object per line; the framework
+// consumes (user_id, business_id, stars, date) and keeps stars > 3
+// (reference dataset.py:192-225). String ids are interned to dense int64 in
+// first-seen order — downstream only ever re-maps them (remove_sparse_ui),
+// so interning is parity-preserving. The reference json.loads's per-line
+// decode is the load-time hot spot at the ~7M-line full file.
+//
+// Field extraction is positional-scanning, NOT a JSON parser: user_id /
+// business_id / stars are taken at their FIRST occurrence (they precede the
+// free-text "text" field in the dataset), "date" at its LAST (it follows
+// it). Every extracted value is format-validated; anything surprising —
+// escapes in an id, a malformed date, a missing key — returns -2 so the
+// caller falls back to the exact python json path.
+int64_t parse_yelp(const char* path, int64_t cap, int64_t* users,
+                   int64_t* items, int64_t* ts, int64_t* n_distinct_users,
+                   int64_t* n_distinct_items) {
+  std::vector<char> buf = read_all(path);
+  if (buf.empty()) return -1;
+  std::unordered_map<std::string, int64_t> umap, imap;
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  int64_t n = 0;
+  auto find = [](const char* a, const char* b, const char* pat,
+                 bool last) -> const char* {
+    size_t m = std::strlen(pat);
+    const char* hit = nullptr;
+    for (const char* q = a; q + (long)m <= b; ++q) {
+      if (std::memcmp(q, pat, m) == 0) {
+        hit = q + m;
+        if (!last) return hit;
+      }
+    }
+    return hit;
+  };
+  while (p < end) {
+    const char* le = p;
+    while (le < end && *le != '\n') ++le;
+    bool blank = true;
+    for (const char* q = p; q < le; ++q)
+      if (*q != ' ' && *q != '\t' && *q != '\r') { blank = false; break; }
+    if (!blank) {
+      const char* up = find(p, le, "\"user_id\":\"", false);
+      const char* bp = find(p, le, "\"business_id\":\"", false);
+      const char* sp = find(p, le, "\"stars\":", false);
+      const char* dp = find(p, le, "\"date\":\"", true);
+      if (!up || !bp || !sp || !dp) return -2;
+      auto read_id = [&](const char* q, std::string* out) -> bool {
+        const char* s = q;
+        while (q < le && *q != '"' && *q != '\\') ++q;
+        if (q >= le || *q != '"' || q == s) return false;  // escape/empty: bail
+        out->assign(s, q - s);
+        return true;
+      };
+      std::string uid, bid;
+      if (!read_id(up, &uid) || !read_id(bp, &bid)) return -2;
+      // stars: number (e.g. 5.0 / 4); keep if > 3.0
+      const char* q = sp;
+      while (q < le && *q == ' ') ++q;
+      int64_t ip = 0;
+      const char* q2 = parse_int(q, le, &ip);
+      if (!q2) return -2;
+      double stars = (double)ip;
+      if (q2 < le && *q2 == '.') {
+        ++q2;
+        double f = 0.1;
+        while (q2 < le && *q2 >= '0' && *q2 <= '9') {
+          stars += (*q2 - '0') * f;
+          f *= 0.1;
+          ++q2;
+        }
+      }
+      if (stars > 3.0) {
+        // date: "%Y-%m-%d %H:%M:%S" (19 chars) + closing quote
+        if (le - dp < 20 || !all_digits(dp, 4) || dp[4] != '-' ||
+            !all_digits(dp + 5, 2) || dp[7] != '-' || !all_digits(dp + 8, 2) ||
+            dp[10] != ' ' || !all_digits(dp + 11, 2) || dp[13] != ':' ||
+            !all_digits(dp + 14, 2) || dp[16] != ':' ||
+            !all_digits(dp + 17, 2) || dp[19] != '"')
+          return -2;
+        if (n >= cap) return -2;
+        auto intern = [](std::unordered_map<std::string, int64_t>& m,
+                         std::string& k) {
+          auto it = m.find(k);
+          if (it != m.end()) return it->second;
+          int64_t id = (int64_t)m.size();
+          m.emplace(std::move(k), id);
+          return id;
+        };
+        users[n] = intern(umap, uid);
+        items[n] = intern(imap, bid);
+        const int64_t y = fixed_digits(dp, 4), mo = fixed_digits(dp + 5, 2),
+                      d = fixed_digits(dp + 8, 2), h = fixed_digits(dp + 11, 2),
+                      mi = fixed_digits(dp + 14, 2), s = fixed_digits(dp + 17, 2);
+        ts[n] = days_from_civil(y, mo, d) * 86400 + h * 3600 + mi * 60 + s;
+        ++n;
+      }
+    }
+    p = (le < end) ? le + 1 : le;
+  }
+  *n_distinct_users = (int64_t)umap.size();
+  *n_distinct_items = (int64_t)imap.size();
+  return n;
+}
+
+// ratings_Books.csv: "user,item,rating,timestamp"; keep rating > 3
+// (reference dataset.py:228-255). Same interning contract as parse_yelp.
+int64_t parse_amazon(const char* path, int64_t cap, int64_t* users,
+                     int64_t* items, int64_t* ts, int64_t* n_distinct_users,
+                     int64_t* n_distinct_items) {
+  std::vector<char> buf = read_all(path);
+  if (buf.empty()) return -1;
+  std::unordered_map<std::string, int64_t> umap, imap;
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  int64_t n = 0;
+  while (p < end) {
+    const char* le = p;
+    while (le < end && *le != '\n') ++le;
+    const char* lstop = le;
+    while (lstop > p && (lstop[-1] == '\r' || lstop[-1] == ' ' ||
+                         lstop[-1] == '\t'))
+      --lstop;
+    if (lstop > p) {
+      // exactly 4 comma-separated fields, as the reference's split(',')
+      // 4-way unpack requires (a 5th comma raises there)
+      const char* c1 = p;
+      while (c1 < lstop && *c1 != ',') ++c1;
+      const char* c2 = c1 + 1;
+      while (c2 < lstop && *c2 != ',') ++c2;
+      const char* c3 = c2 + 1;
+      while (c3 < lstop && *c3 != ',') ++c3;
+      if (c1 >= lstop || c2 >= lstop || c3 >= lstop || c1 == p || c2 == c1 + 1)
+        return -2;
+      for (const char* q = c3 + 1; q < lstop; ++q)
+        if (*q == ',') return -2;
+      // rating: float text
+      const char* q = c2 + 1;
+      int64_t ip = 0;
+      const char* q2 = parse_int(q, c3, &ip);
+      if (!q2) return -2;
+      double rating = (double)ip;
+      if (q2 < c3 && *q2 == '.') {
+        ++q2;
+        double f = 0.1;
+        while (q2 < c3 && *q2 >= '0' && *q2 <= '9') {
+          rating += (*q2 - '0') * f;
+          f *= 0.1;
+          ++q2;
+        }
+      }
+      if (q2 != c3) return -2;
+      if (rating > 3.0) {
+        int64_t t;
+        const char* q3 = parse_int(c3 + 1, lstop, &t);
+        if (!q3 || q3 != lstop) return -2;
+        if (n >= cap) return -2;
+        std::string uid(p, c1 - p), bid(c1 + 1, c2 - c1 - 1);
+        auto intern = [](std::unordered_map<std::string, int64_t>& m,
+                         std::string& k) {
+          auto it = m.find(k);
+          if (it != m.end()) return it->second;
+          int64_t id = (int64_t)m.size();
+          m.emplace(std::move(k), id);
+          return id;
+        };
+        users[n] = intern(umap, uid);
+        items[n] = intern(imap, bid);
+        ts[n] = t;
+        ++n;
+      }
+    }
+    p = (le < end) ? le + 1 : le;
+  }
+  *n_distinct_users = (int64_t)umap.size();
+  *n_distinct_items = (int64_t)imap.size();
   return n;
 }
 

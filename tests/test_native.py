@@ -187,3 +187,109 @@ def test_parse_adjacency_falls_back_on_nonstandard_whitespace(tmp_path):
     # parse the tab-separated numbers as items
     assert flat2.tolist() == [7]
     assert offs2.tolist() == [0, 0, 1]
+
+
+def _yelp_line(u, b, stars, date, text='some "quoted" text, with commas'):
+    return (
+        '{"review_id":"r","user_id":"%s","business_id":"%s","stars":%s,'
+        '"useful":0,"funny":0,"cool":0,"text":"%s","date":"%s"}' % (u, b, stars, text, date)
+    )
+
+
+def _write_yelp(tmp_path, lines):
+    d = tmp_path / "yelp"
+    d.mkdir(exist_ok=True)
+    (d / "yelp_academic_dataset_review.json").write_text("\n".join(lines) + "\n")
+    return str(d)
+
+
+def test_yelp_native_matches_python(tmp_path, monkeypatch):
+    """The native Yelp parser must yield a dataset identical to the exact
+    json.loads python path — including the tricky bits: free text containing
+    a fake '"date":"..."' pattern, integer star values, filtered low-star
+    rows, and repeated (u, b) pairs keeping the earliest timestamp."""
+    from inductive_recommendation_tpu.data import dataset as D
+
+    rng = np.random.default_rng(0)
+    users = [f"u{k:02d}" for k in range(12)]
+    bizs = [f"b{k:02d}" for k in range(9)]
+    lines = []
+    for _ in range(300):
+        u = users[rng.integers(len(users))]
+        b = bizs[rng.integers(len(bizs))]
+        stars = ["1.0", "2.0", "3.0", "4.0", "5.0", "4", "3.5"][rng.integers(7)]
+        date = "20%02d-%02d-%02d %02d:%02d:%02d" % (
+            rng.integers(10, 20), rng.integers(1, 13), rng.integers(1, 28),
+            rng.integers(24), rng.integers(60), rng.integers(60),
+        )
+        text = 'nice place, \\"date\\":\\"2001-01-01 00:00:00 haha'
+        lines.append(_yelp_line(u, b, stars, date, text))
+    path = _write_yelp(tmp_path, lines)
+    cfg = {"name": "YelpDataset", "path": path, "min_inter": 2,
+           "split_ratio": [0.7, 0.15, 0.15]}
+
+    ds_native = D.YelpDataset(dict(cfg))
+    monkeypatch.setattr(D, "parse_yelp_file", lambda p: None)
+    ds_python = D.YelpDataset(dict(cfg))
+
+    assert ds_native.n_users == ds_python.n_users
+    assert ds_native.n_items == ds_python.n_items
+    assert ds_native.train_data == ds_python.train_data
+    assert ds_native.val_data == ds_python.val_data
+    assert ds_native.test_data == ds_python.test_data
+    np.testing.assert_array_equal(
+        np.asarray(ds_native.train_array), np.asarray(ds_python.train_array)
+    )
+
+
+def test_yelp_native_declines_weird_input(tmp_path):
+    """Ids with escapes / malformed dates must make the native parser return
+    None (python-fallback signal), never silently misparse."""
+    from inductive_recommendation_tpu.native import parse_yelp_file
+
+    path = _write_yelp(
+        tmp_path, [_yelp_line('u\\"x', "b0", "4.0", "2015-01-01 00:00:00")]
+    )
+    assert parse_yelp_file(path + "/yelp_academic_dataset_review.json") is None
+    path = _write_yelp(tmp_path, [_yelp_line("u0", "b0", "4.0", "2015-1-1 0:0:0")])
+    assert parse_yelp_file(path + "/yelp_academic_dataset_review.json") is None
+
+
+def test_amazon_native_matches_python(tmp_path, monkeypatch):
+    from inductive_recommendation_tpu.data import dataset as D
+
+    rng = np.random.default_rng(1)
+    users = [f"A{k:03d}XYZ" for k in range(12)]
+    items = [f"00000{k:03d}" for k in range(9)]
+    lines = []
+    t = 1_400_000_000
+    for _ in range(300):
+        u = users[rng.integers(len(users))]
+        i = items[rng.integers(len(items))]
+        r = ["1.0", "2.0", "3.0", "4.0", "5.0"][rng.integers(5)]
+        t += int(rng.integers(1, 1000))
+        lines.append(f"{u},{i},{r},{t}")
+    d = tmp_path / "amazon"
+    d.mkdir()
+    (d / "ratings_Books.csv").write_text("\n".join(lines) + "\n")
+    cfg = {"name": "AmazonDataset", "path": str(d), "min_inter": 2,
+           "split_ratio": [0.7, 0.15, 0.15]}
+
+    ds_native = D.AmazonDataset(dict(cfg))
+    monkeypatch.setattr(D, "parse_amazon_file", lambda p: None)
+    ds_python = D.AmazonDataset(dict(cfg))
+
+    assert ds_native.n_users == ds_python.n_users
+    assert ds_native.n_items == ds_python.n_items
+    assert ds_native.train_data == ds_python.train_data
+    assert ds_native.val_data == ds_python.val_data
+    assert ds_native.test_data == ds_python.test_data
+
+
+def test_amazon_native_declines_extra_fields(tmp_path):
+    from inductive_recommendation_tpu.native import parse_amazon_file
+
+    d = tmp_path / "amazon2"
+    d.mkdir()
+    (d / "ratings_Books.csv").write_text("u0,i0,4.0,123,extra\n")
+    assert parse_amazon_file(str(d / "ratings_Books.csv")) is None
