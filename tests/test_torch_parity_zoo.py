@@ -263,6 +263,123 @@ def test_dose_aug_drop2_training_parity():
     )
 
 
+def test_attigcn_training_parity():
+    """AttIGCN (the reference's commented-out spec, model.py:4224-4287):
+    per-edge multi-head attention over the feature matrix — q = Wq(feat @
+    sg(emb)), k = Wk(sg(emb)), row softmax at temperature sqrt(d)*10, head
+    mean, aggregation of the NON-detached embedding — then IGCN propagation;
+    L2 adds ||Wq||^2 + ||Wk||^2. Torch replica uses a dense masked softmax;
+    ours runs the bucketed-ELL attention_spmm kernel."""
+    ds = _synth(23, n_users=30, n_items=24, n_inter=400)
+    d, h, n_layers = 8, 2, 2
+    model = get_model(
+        {
+            "name": "AttIGCN",
+            "embedding_size": d,
+            "n_layers": n_layers,
+            "n_heads": h,
+            "dropout": 0.0,
+            "feature_ratio": 1.0,
+            "table_align": 1,
+        },
+        ds,
+    )
+    n = ds.n_users + ds.n_items
+    C = model.feat_n_cols
+    lr, l2_reg = 1e-2, 1e-3
+    rng = np.random.default_rng(23)
+    emb0 = rng.standard_normal((C, d)).astype(np.float32) * 0.1
+    params0 = model.init_params(jax.random.key(9))
+    params0 = dict(params0, embedding=jnp.asarray(emb0))
+    batches = [
+        (
+            rng.integers(0, ds.n_users, 32),
+            rng.integers(0, ds.n_items, 32),
+            rng.integers(0, ds.n_items, 32),
+        )
+        for _ in range(3)
+    ]
+
+    # ---- torch replica (dense masked attention) ----
+    feat_counts = _torch_feat_counts(ds, model)
+    mask = (feat_counts > 0).to(torch.float32)
+    row_sum = feat_counts.sum(dim=1)
+    feat = (feat_counts * (row_sum ** -1.0)[:, None]).to(torch.float32)  # alpha=0
+    A = torch_norm_adj(ds).to(torch.float32)
+    temp = float(np.sqrt(d) * 10.0)
+
+    emb_t = torch.nn.Parameter(torch.tensor(emb0))
+    wq = torch.nn.Linear(d, d * h)
+    wk = torch.nn.Linear(d, d * h)
+    with torch.no_grad():
+        wq.weight.copy_(torch.tensor(np.asarray(params0["weight_q"]["w"]).T))
+        wq.bias.copy_(torch.tensor(np.asarray(params0["weight_q"]["b"])))
+        wk.weight.copy_(torch.tensor(np.asarray(params0["weight_k"]["w"]).T))
+        wk.bias.copy_(torch.tensor(np.asarray(params0["weight_k"]["b"])))
+    opt = torch.optim.Adam([emb_t] + list(wq.parameters()) + list(wk.parameters()), lr=lr)
+
+    t_losses = []
+    for users, pos, neg in batches:
+        emb_sg = emb_t.detach()
+        x_q = feat @ emb_sg
+        q = wq(x_q).view(n, h, d)
+        k = wk(emb_sg).view(C, h, d)
+        scores = torch.einsum("rhd,chd->rhc", q, k)  # [n, h, C]
+        scores = scores.masked_fill(mask[:, None, :] == 0, -torch.inf) / temp
+        attn = torch.softmax(scores, dim=2).mean(dim=1)  # head mean -> [n, C]
+        x0 = attn @ emb_t
+        rep = _propagate_mean(A, x0, n_layers)
+        u_r, p_r, n_r = rep[users], rep[ds.n_users + pos], rep[ds.n_users + neg]
+        l2 = (u_r**2).sum(1) + (p_r**2).sum(1) + (n_r**2).sum(1)
+        l2 = l2 + (wq.weight**2).sum() + (wk.weight**2).sum()
+        loss = (
+            torch.nn.functional.softplus((u_r * n_r).sum(1) - (u_r * p_r).sum(1)).mean()
+            + l2_reg * l2.mean()
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+
+    # ---- ours ----
+    params = params0
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    def step(params, opt_state, buffers, users, pos, neg):
+        def loss_fn(p):
+            u_r, p_r, n_r, l2 = model.bpr_forward(
+                p, users, pos, neg, training=False, buffers=buffers
+            )
+            return L.bpr_loss(u_r, p_r, n_r) + l2_reg * l2.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step)
+    j_losses = []
+    for users, pos, neg in batches:
+        params, opt_state, loss = jstep(
+            params,
+            opt_state,
+            model.buffers,
+            *[jnp.asarray(a.astype(np.int32)) for a in (users, pos, neg)],
+        )
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["embedding"]), emb_t.detach().numpy(), rtol=5e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["weight_q"]["w"]),
+        wq.weight.detach().numpy().T,
+        rtol=5e-3,
+        atol=5e-4,
+    )
+
+
 def test_idcf_lgcn_training_parity():
     """IDCF_LGCN (model.py:3879-3983): RelationGAT heads attending over
     sampled rows of a frozen LightGCN table, w_out fusion, LightGCN
