@@ -71,12 +71,12 @@ def _batches(rng, ds, model, n, bs=48):
     ]
 
 
-def _torch_feat_counts(ds, model):
+def _torch_feat_counts(ds, model, pairs=None):
     n = ds.n_users + ds.n_items
     C = model.feat_n_cols
     feat_counts = torch.zeros((n, C), dtype=torch.float64)
     um, im = model.user_map, model.item_map
-    for u, i in np.asarray(ds.train_array):
+    for u, i in np.asarray(ds.train_array if pairs is None else pairs):
         feat_counts[u, model.user_dim + im[i]] += 1.0
         feat_counts[ds.n_users + i, um[u]] += 1.0
     feat_counts[: ds.n_users, model.user_dim + model.item_dim] += 1.0
@@ -536,4 +536,293 @@ def test_idcf_lgcn_training_parity():
         gat_t[0]["wq"].weight.detach().numpy().T,
         rtol=5e-3,
         atol=5e-4,
+    )
+
+
+def test_half_training_parity():
+    """HALF (model.py:246-365): LightGCN + ONE random-drop view,
+    InfoNCE(main users, view users); the L2 term is on the FINAL propagated
+    reps (model.py:345-346 — unlike LightGCN's ego L2; quirk reproduced).
+    Same keep masks injected on both sides, regenerated between epochs."""
+    from inductive_recommendation_tpu.graph.views import bake_view
+
+    ds = _synth(29)
+    model = get_model(
+        {"name": "HALF", "embedding_size": 16, "n_layers": 2, "aug_rate": 0.7}, ds
+    )
+    n = ds.n_users + ds.n_items
+    d, lr, l2_reg, c_reg = 16, 1e-2, 1e-3, 0.1
+    rng = np.random.default_rng(29)
+    emb0 = rng.standard_normal((n, d)).astype(np.float32) * 0.1
+    E = len(model.view_engine.train_pairs)
+    masks = [rng.random(E) < 0.7 for _ in range(2)]
+    batches = [
+        (
+            rng.integers(0, ds.n_users, 48),
+            rng.integers(0, ds.n_items, 48),
+            rng.integers(0, ds.n_items, 48),
+        )
+        for _ in range(4)
+    ]
+
+    # ---- torch replica ----
+    A = torch_norm_adj(ds).to(torch.float32)
+    emb_t = torch.nn.Parameter(torch.tensor(emb0))
+    opt = torch.optim.Adam([emb_t], lr=lr)
+    t_losses = []
+    for s, (users, pos, neg) in enumerate(batches):
+        Av = torch_norm_adj_from_pairs(
+            np.asarray(model.view_engine.train_pairs)[masks[s // 2]],
+            ds.n_users,
+            ds.n_items,
+        )
+        rep = _propagate_mean(A, emb_t, 2)
+        u_r, p_r, n_r = rep[users], rep[ds.n_users + pos], rep[ds.n_users + neg]
+        v = _propagate_mean(Av, emb_t, 2)[users]
+        l2 = (u_r**2).sum(1) + (p_r**2).sum(1) + (n_r**2).sum(1)  # final reps
+        loss = (
+            torch.nn.functional.softplus((u_r * n_r).sum(1) - (u_r * p_r).sum(1)).mean()
+            + l2_reg * l2.mean()
+            + c_reg * torch_info_nce(u_r, v, v).mean()
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+
+    # ---- ours ----
+    params = {"embedding": jnp.asarray(emb0)}
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    def step(params, opt_state, buffers, users, pos, neg):
+        def loss_fn(p):
+            u_r, p_r, n_r, l2, closs = model.bpr_forward(
+                p, users, pos, neg, training=False, buffers=buffers
+            )
+            return L.bpr_loss(u_r, p_r, n_r) + l2_reg * l2.mean() + c_reg * closs.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step)
+    j_losses = []
+    for s, (users, pos, neg) in enumerate(batches):
+        model.buffers = dict(
+            model.buffers,
+            aug_adj1=bake_view(
+                model.view_engine.base,
+                model.view_engine.make_view(keep_pair_mask=masks[s // 2]),
+            ),
+        )
+        args = [jnp.asarray(a.astype(np.int32)) for a in (users, pos, neg)]
+        params, opt_state, loss = jstep(params, opt_state, model.buffers, *args)
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["embedding"]), emb_t.detach().numpy(), rtol=5e-3, atol=5e-4
+    )
+
+
+def test_dose_aug2_training_parity():
+    """DOSE_aug2 (model.py:831-1117): highest-cos selection (no negation,
+    model.py:1034-1051), edge injection, AND an aug feature matrix rebuilt
+    over train ∪ aug for the view's inductive layer (model.py:935-978,
+    992-1002). Selection + aug-feat rebuild run on both sides per epoch."""
+    ds = _synth(31)
+    aug_num = 12
+    model = _dose_model("DOSE_aug2", ds, aug_num=aug_num)
+    d, lr, l2_reg, aux_reg, c_reg = 16, 1e-2, 1e-3, 0.01, 0.1
+    rng = np.random.default_rng(31)
+    emb0 = rng.standard_normal((model.feat_n_cols, d)).astype(np.float32) * 0.1
+    batches = _batches(rng, ds, model, 4)
+    train_pairs = np.asarray(model._dedup_train)
+
+    # ---- torch replica ----
+    feat_counts = _torch_feat_counts(ds, model)
+    A = torch_norm_adj(ds).to(torch.float32)
+    emb_t = torch.nn.Parameter(torch.tensor(emb0))
+    w_t = torch.nn.Parameter(torch.ones(d))
+    opt = torch.optim.Adam([emb_t, w_t], lr=lr)
+    t_losses = []
+    alpha = 1.0
+    Av = torch_norm_adj_from_pairs(train_pairs, ds.n_users, ds.n_items)
+    feat_counts_v = None  # until the first update the view uses the MAIN feat
+    for s, (users, pos, neg, au, ap, an) in enumerate(batches):
+        feat = _torch_feat(feat_counts, alpha)
+        x0 = feat @ emb_t
+        rep = _propagate_mean(A, x0, 2)
+        x0v = x0 if feat_counts_v is None else _torch_feat(feat_counts_v, alpha) @ emb_t
+        repv = _propagate_mean(Av, x0v, 2)
+        u_r, p_r, n_r = rep[users], rep[ds.n_users + pos], rep[ds.n_users + neg]
+        v = repv[users]
+        l2 = (u_r**2).sum(1) + (p_r**2).sum(1) + (n_r**2).sum(1)
+        loss = (
+            torch.nn.functional.softplus((u_r * n_r).sum(1) - (u_r * p_r).sum(1)).mean()
+            + l2_reg * l2.mean()
+        )
+        pos_s = (emb_t[au] * emb_t[model.user_dim + ap] * w_t[None]).sum(1)
+        neg_s = (emb_t[au] * emb_t[model.user_dim + an] * w_t[None]).sum(1)
+        loss = loss + aux_reg * torch.nn.functional.softplus(neg_s - pos_s).mean()
+        loss = loss + c_reg * torch_info_nce(u_r, v, v).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+        if s % 2 == 1:
+            alpha *= 0.99
+            with torch.no_grad():
+                rep_eval = _propagate_mean(A, _torch_feat(feat_counts, alpha) @ emb_t, 2)
+                pairs = _torch_topk_pairs(
+                    rep_eval, ds.n_users, aug_num, negate_items=False
+                )
+            union = _union_pairs(train_pairs, pairs)
+            Av = torch_norm_adj_from_pairs(union, ds.n_users, ds.n_items)
+            feat_counts_v = _torch_feat_counts(ds, model, pairs=union)
+
+    # ---- ours ----
+    params = {"embedding": jnp.asarray(emb0), "w": jnp.ones((d,), jnp.float32)}
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    def step(params, opt_state, buffers, users, pos, neg, au, ap, an):
+        def loss_fn(p):
+            u_r, p_r, n_r, l2, closs = model.bpr_forward(
+                p, users, pos, neg, training=False, buffers=buffers
+            )
+            bpr = L.bpr_loss(u_r, p_r, n_r)
+            emb, w = p["embedding"], p["w"]
+            pos_s = jnp.sum(emb[au] * emb[model.user_dim + ap] * w[None], axis=1)
+            neg_s = jnp.sum(emb[au] * emb[model.user_dim + an] * w[None], axis=1)
+            aux = jnp.mean(jax.nn.softplus(neg_s - pos_s))
+            return bpr + l2_reg * l2.mean() + aux_reg * aux + c_reg * closs.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    j_losses = []
+    steps = {}
+    for s, (users, pos, neg, au, ap, an) in enumerate(batches):
+        # aug_feat_delta appears in the buffers after the first update —
+        # jit once per buffer structure
+        key = tuple(sorted(model.buffers))
+        if key not in steps:
+            steps[key] = jax.jit(step)
+        args = [jnp.asarray(a.astype(np.int32)) for a in (users, pos, neg, au, ap, an)]
+        params, opt_state, loss = steps[key](params, opt_state, model.buffers, *args)
+        j_losses.append(float(loss))
+        if s % 2 == 1:
+            model.feat_mat_anneal()
+            model.update_aug_adj(params)
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["embedding"]), emb_t.detach().numpy(), rtol=5e-3, atol=5e-4
+    )
+
+
+def test_dose_aug_drop_training_parity():
+    """DOSE_aug_drop (model.py:2866-3179): random-inject + random-drop
+    graphs, TWO InfoNCE terms — both of whose view reps the reference
+    propagates over the AUG graph (model.py:3140-3142; quirk reproduced).
+    The device-side random pair stream is replayed in the test so the torch
+    replica builds the identical union graph."""
+    from inductive_recommendation_tpu.graph.views import random_pairs_on_device
+
+    ds = _synth(37)
+    aug_num = 15
+    model = _dose_model("DOSE_aug_drop", ds, aug_num=aug_num, aug_rate=0.7)
+    d, lr, l2_reg, aux_reg, c_reg = 16, 1e-2, 1e-3, 0.01, 0.1
+    rng = np.random.default_rng(37)
+    emb0 = rng.standard_normal((model.feat_n_cols, d)).astype(np.float32) * 0.1
+    batches = _batches(rng, ds, model, 4)
+    train_pairs = np.asarray(model._dedup_train)
+
+    def drawn_pairs(counter):
+        return np.asarray(
+            random_pairs_on_device(
+                jnp.int32(counter),
+                n=aug_num,
+                n_users=ds.n_users,
+                n_items=ds.n_items,
+                seed=0,
+            )
+        )
+
+    # __init__ drew counters 1 (aug pairs) and 2 (drop mask); the first
+    # update_aug_adj draws 3 and 4
+    feat_counts = _torch_feat_counts(ds, model)
+    A = torch_norm_adj(ds).to(torch.float32)
+    emb_t = torch.nn.Parameter(torch.tensor(emb0))
+    w_t = torch.nn.Parameter(torch.ones(d))
+    opt = torch.optim.Adam([emb_t, w_t], lr=lr)
+    t_losses = []
+    alpha = 1.0
+    Av = torch_norm_adj_from_pairs(
+        _union_pairs(train_pairs, drawn_pairs(1)), ds.n_users, ds.n_items
+    )
+    for s, (users, pos, neg, au, ap, an) in enumerate(batches):
+        feat = _torch_feat(feat_counts, alpha)
+        x0 = feat @ emb_t
+        rep = _propagate_mean(A, x0, 2)
+        repv = _propagate_mean(Av, x0, 2)
+        u_r, p_r, n_r = rep[users], rep[ds.n_users + pos], rep[ds.n_users + neg]
+        v = repv[users]
+        l2 = (u_r**2).sum(1) + (p_r**2).sum(1) + (n_r**2).sum(1)
+        loss = (
+            torch.nn.functional.softplus((u_r * n_r).sum(1) - (u_r * p_r).sum(1)).mean()
+            + l2_reg * l2.mean()
+        )
+        pos_s = (emb_t[au] * emb_t[model.user_dim + ap] * w_t[None]).sum(1)
+        neg_s = (emb_t[au] * emb_t[model.user_dim + an] * w_t[None]).sum(1)
+        loss = loss + aux_reg * torch.nn.functional.softplus(neg_s - pos_s).mean()
+        # both view terms ride the aug graph; dropout off -> identical
+        loss = loss + c_reg * 2.0 * torch_info_nce(u_r, v, v).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+        if s % 2 == 1:
+            alpha *= 0.99
+            Av = torch_norm_adj_from_pairs(
+                _union_pairs(train_pairs, drawn_pairs(3)), ds.n_users, ds.n_items
+            )
+
+    # ---- ours ----
+    params = {"embedding": jnp.asarray(emb0), "w": jnp.ones((d,), jnp.float32)}
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    def step(params, opt_state, buffers, users, pos, neg, au, ap, an):
+        def loss_fn(p):
+            u_r, p_r, n_r, l2, closs = model.bpr_forward(
+                p, users, pos, neg, training=False, buffers=buffers
+            )
+            bpr = L.bpr_loss(u_r, p_r, n_r)
+            emb, w = p["embedding"], p["w"]
+            pos_s = jnp.sum(emb[au] * emb[model.user_dim + ap] * w[None], axis=1)
+            neg_s = jnp.sum(emb[au] * emb[model.user_dim + an] * w[None], axis=1)
+            aux = jnp.mean(jax.nn.softplus(neg_s - pos_s))
+            return bpr + l2_reg * l2.mean() + aux_reg * aux + c_reg * closs.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step)
+    j_losses = []
+    for s, (users, pos, neg, au, ap, an) in enumerate(batches):
+        args = [jnp.asarray(a.astype(np.int32)) for a in (users, pos, neg, au, ap, an)]
+        params, opt_state, loss = jstep(params, opt_state, model.buffers, *args)
+        j_losses.append(float(loss))
+        if s % 2 == 1:
+            model.feat_mat_anneal()
+            model.update_aug_adj(params)
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["embedding"]), emb_t.detach().numpy(), rtol=5e-3, atol=5e-4
     )
