@@ -98,9 +98,11 @@ def _propagate_mean(A, x0, n_layers):
     return acc / (n_layers + 1.0)
 
 
-def _torch_topk_pairs(rep, n_users, k, negate_items, restrict=None):
+def _torch_topk_pairs(rep, n_users, k, negate_items, restrict=None, threshold=None):
     """Exact global cos top-k, reference cal_cos_sim semantics minus the
-    two-halves quirk (model.py:503-545: items negated before similarity)."""
+    two-halves quirk (model.py:503-545: items negated before similarity).
+    ``threshold``: additionally require cos >= threshold (DOSE_aug4,
+    model.py:750-769)."""
     u = rep[:n_users].double()
     i = rep[n_users:].double()
     if negate_items:
@@ -113,13 +115,15 @@ def _torch_topk_pairs(rep, n_users, k, negate_items, restrict=None):
         ri = torch.as_tensor(np.asarray(restrict[1], np.int64))
         sims = sims[ru][:, ri]
     ncols = sims.shape[1]
-    _, idx = torch.topk(sims.reshape(-1), k)
+    vals, idx = torch.topk(sims.reshape(-1), k)
+    if threshold is not None:
+        idx = idx[vals >= threshold]
     uu = (idx // ncols).numpy()
     ii = (idx % ncols).numpy()
     if restrict is not None:
         uu = np.asarray(restrict[0])[uu]
         ii = np.asarray(restrict[1])[ii]
-    return np.stack([uu, ii], axis=1).astype(np.int64)
+    return np.stack([uu, ii], axis=1).astype(np.int64).reshape(-1, 2)
 
 
 def _union_pairs(train_pairs, add):
@@ -260,6 +264,20 @@ def test_dose_aug_drop2_training_parity():
         },
         seed=17,
         aug_num=10,
+    )
+
+
+def test_dose_aug4_training_parity():
+    """DOSE_aug4 (model.py:616-829): threshold injection — all pairs with
+    cos >= pai (no item negation, model.py:750-769), capped at aug_num on our
+    side (the documented divergence from the unbounded torch.where list); the
+    torch replica applies the same cap + threshold so the selected sets match."""
+    _run_dose_parity(
+        "DOSE_aug4",
+        _union_pairs,
+        {"negate_items": False, "threshold": 0.0, "model_kw": {"pai": 0.0}},
+        seed=19,
+        aug_num=12,
     )
 
 
