@@ -140,10 +140,15 @@ def _diff_pairs(train_pairs, drop):
     )
 
 
-def _run_dose_parity(name, view_pairs_fn, select_kw, seed=11, aug_num=12):
+def _run_dose_parity(
+    name, view_pairs_fn, select_kw, seed=11, aug_num=12, contrastive="nce"
+):
     """Shared harness: 2 'epochs' x 2 steps; after each epoch both sides
     anneal alpha and re-select/rebuild the contrastive view from the CURRENT
-    params (trainer.py:298-299 order: feat_mat_anneal then update_aug_adj)."""
+    params (trainer.py:298-299 order: feat_mat_anneal then update_aug_adj).
+    ``contrastive``: 'nce' = InfoNCE(main, view); 'mean' = the DOSE_test
+    quirk where the raw aug-view user reps fill the contrastive slot and the
+    trainer regularizes their plain mean (model.py:3843-3855)."""
     ds = _synth(seed)
     model = _dose_model(name, ds, aug_num=aug_num, **select_kw.pop("model_kw", {}))
     d, lr, l2_reg, aux_reg, c_reg = 16, 1e-2, 1e-3, 0.01, 0.1
@@ -179,7 +184,10 @@ def _run_dose_parity(name, view_pairs_fn, select_kw, seed=11, aug_num=12):
         pos_s = (emb_t[au] * emb_t[model.user_dim + ap] * w_t[None]).sum(1)
         neg_s = (emb_t[au] * emb_t[model.user_dim + an] * w_t[None]).sum(1)
         loss = loss + aux_reg * torch.nn.functional.softplus(neg_s - pos_s).mean()
-        loss = loss + c_reg * torch_info_nce(u_r, v, v).mean()
+        if contrastive == "mean":
+            loss = loss + c_reg * v.mean()
+        else:
+            loss = loss + c_reg * torch_info_nce(u_r, v, v).mean()
         opt.zero_grad()
         loss.backward()
         opt.step()
@@ -278,6 +286,375 @@ def test_dose_aug4_training_parity():
         {"negate_items": False, "threshold": 0.0, "model_kw": {"pai": 0.0}},
         seed=19,
         aug_num=12,
+    )
+
+
+def _run_replay_parity(
+    name,
+    model_kw,
+    seed,
+    torch_views,
+    torch_contrastive,
+    main_adj_fn=None,
+    aug_num=15,
+):
+    """Golden-parity harness for the RANDOM-view DOSE variants: the model's
+    device-rng draws are replayed (same counter/seed hash) on the torch side,
+    so both frameworks train on the identical random graphs.
+
+    ``torch_views(model, ds, train_pairs, phase)`` -> list of torch view
+    adjacencies (phase 0 = the __init__ draws, phase 1 = the first
+    update_aug_adj draws). ``torch_contrastive(u_r, views_u)`` -> scalar term
+    (already includes any view propagation the model does with dropout off).
+    ``main_adj_fn(model, ds, train_pairs)`` overrides the MAIN adjacency
+    (the TEST variant trains on a dropped main graph, model.py:1989-1990)."""
+    ds = _synth(seed)
+    model = _dose_model(name, ds, aug_num=aug_num, **model_kw)
+    d, lr, l2_reg, aux_reg, c_reg = 16, 1e-2, 1e-3, 0.01, 0.1
+    rng = np.random.default_rng(seed)
+    emb0 = rng.standard_normal((model.feat_n_cols, d)).astype(np.float32) * 0.1
+    batches = _batches(rng, ds, model, 4)
+    train_pairs = np.asarray(model._dedup_train)
+
+    feat_counts = _torch_feat_counts(ds, model)
+    if main_adj_fn is None:
+        A = torch_norm_adj(ds).to(torch.float32)
+    else:
+        A = main_adj_fn(model, ds, train_pairs)
+    emb_t = torch.nn.Parameter(torch.tensor(emb0))
+    w_t = torch.nn.Parameter(torch.ones(d))
+    opt = torch.optim.Adam([emb_t, w_t], lr=lr)
+    t_losses = []
+    alpha = 1.0
+    Avs = torch_views(model, ds, train_pairs, 0)
+    for s, (users, pos, neg, au, ap, an) in enumerate(batches):
+        feat = _torch_feat(feat_counts, alpha)
+        x0 = feat @ emb_t
+        rep = _propagate_mean(A, x0, 2)
+        u_r, p_r, n_r = rep[users], rep[ds.n_users + pos], rep[ds.n_users + neg]
+        views_u = [_propagate_mean(Av, x0, 2)[users] for Av in Avs]
+        l2 = (u_r**2).sum(1) + (p_r**2).sum(1) + (n_r**2).sum(1)
+        loss = (
+            torch.nn.functional.softplus(
+                (u_r * n_r).sum(1) - (u_r * p_r).sum(1)
+            ).mean()
+            + l2_reg * l2.mean()
+        )
+        pos_s = (emb_t[au] * emb_t[model.user_dim + ap] * w_t[None]).sum(1)
+        neg_s = (emb_t[au] * emb_t[model.user_dim + an] * w_t[None]).sum(1)
+        loss = loss + aux_reg * torch.nn.functional.softplus(neg_s - pos_s).mean()
+        loss = loss + c_reg * torch_contrastive(u_r, views_u)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+        if s % 2 == 1:
+            alpha *= 0.99
+            Avs = torch_views(model, ds, train_pairs, 1)
+
+    params = {"embedding": jnp.asarray(emb0), "w": jnp.ones((d,), jnp.float32)}
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    def step(params, opt_state, buffers, users, pos, neg, au, ap, an):
+        def loss_fn(p):
+            u_r, p_r, n_r, l2, closs = model.bpr_forward(
+                p, users, pos, neg, training=False, buffers=buffers
+            )
+            bpr = L.bpr_loss(u_r, p_r, n_r)
+            emb, w = p["embedding"], p["w"]
+            pos_s = jnp.sum(emb[au] * emb[model.user_dim + ap] * w[None], axis=1)
+            neg_s = jnp.sum(emb[au] * emb[model.user_dim + an] * w[None], axis=1)
+            aux = jnp.mean(jax.nn.softplus(neg_s - pos_s))
+            return bpr + l2_reg * l2.mean() + aux_reg * aux + c_reg * closs.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step)
+    j_losses = []
+    for s, (users, pos, neg, au, ap, an) in enumerate(batches):
+        args = [jnp.asarray(a.astype(np.int32)) for a in (users, pos, neg, au, ap, an)]
+        params, opt_state, loss = jstep(params, opt_state, model.buffers, *args)
+        j_losses.append(float(loss))
+        if s % 2 == 1:
+            model.feat_mat_anneal()
+            model.update_aug_adj(params)
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["embedding"]), emb_t.detach().numpy(), rtol=5e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), w_t.detach().numpy(), rtol=5e-3, atol=5e-4
+    )
+
+
+def _replayed_pairs(model, counter, n):
+    from inductive_recommendation_tpu.graph.views import random_pairs_on_device
+
+    return np.asarray(
+        random_pairs_on_device(
+            jnp.int32(counter),
+            n=n,
+            n_users=model.n_users,
+            n_items=model.n_items,
+            seed=model._aug_seed,
+        )
+    )
+
+
+def _replayed_keep(model, counter, n_pairs, rate):
+    from inductive_recommendation_tpu.graph.views import random_keep_mask_on_device
+
+    return np.asarray(
+        random_keep_mask_on_device(
+            jnp.int32(counter),
+            n_pairs=n_pairs,
+            n_keep=int(n_pairs * rate),
+            seed=model._aug_seed,
+        )
+    )
+
+
+def test_dose_aug3_training_parity():
+    """DOSE_aug3 (model.py:1120-1348): RANDOM edge injection — the device
+    pair stream is replayed so the torch replica unions the identical pairs
+    (__init__ draws counter 1, the first update_aug_adj draws counter 2)."""
+
+    def views(model, ds, train_pairs, phase):
+        pairs = _replayed_pairs(model, 1 if phase == 0 else 2, model.aug_num)
+        return [
+            torch_norm_adj_from_pairs(
+                _union_pairs(train_pairs, pairs), ds.n_users, ds.n_items
+            )
+        ]
+
+    _run_replay_parity(
+        "DOSE_aug3",
+        {},
+        53,
+        views,
+        lambda u_r, vs: torch_info_nce(u_r, vs[0], vs[0]).mean(),
+    )
+
+
+def test_TEST_training_parity():
+    """TEST (model.py:1963-2251): the MAIN adjacency is itself a random-drop
+    graph (static for the run, host rng, model.py:1989-1990); the contrastive
+    view is a per-epoch random drop (device counter 1, then 2)."""
+
+    def main_adj(model, ds, train_pairs):
+        return torch_norm_adj_from_pairs(
+            train_pairs[model._main_keep], ds.n_users, ds.n_items
+        )
+
+    def views(model, ds, train_pairs, phase):
+        keep = _replayed_keep(
+            model, 1 if phase == 0 else 2, len(train_pairs), model.aug_rate
+        )
+        return [torch_norm_adj_from_pairs(train_pairs[keep], ds.n_users, ds.n_items)]
+
+    _run_replay_parity(
+        "TEST",
+        {"aug_rate": 0.7},
+        59,
+        views,
+        lambda u_r, vs: torch_info_nce(u_r, vs[0], vs[0]).mean(),
+        main_adj_fn=main_adj,
+    )
+
+
+def test_TEST2_training_parity():
+    """TEST2 (model.py:2253-2543): TWO random-drop views, InfoNCE BETWEEN
+    the views (SGL-style on the IGCN base; __init__ draws counters 1-2, the
+    first update_aug_adj draws 3-4)."""
+
+    def views(model, ds, train_pairs, phase):
+        base = 1 if phase == 0 else 3
+        return [
+            torch_norm_adj_from_pairs(
+                train_pairs[
+                    _replayed_keep(model, base + j, len(train_pairs), model.aug_rate)
+                ],
+                ds.n_users,
+                ds.n_items,
+            )
+            for j in range(2)
+        ]
+
+    _run_replay_parity(
+        "TEST2",
+        {"aug_rate": 0.7},
+        61,
+        views,
+        lambda u_r, vs: torch_info_nce(vs[0], vs[1], vs[1]).mean(),
+    )
+
+
+def test_mf_training_parity():
+    """MF (model.py:56-76 + trainer.py:403-429): separate user/item tables,
+    BPR + ego-embedding L2 — identical weights/batches through Adam on both
+    sides."""
+    ds = _synth(43)
+    d, lr, l2_reg, bs = 16, 1e-2, 1e-3, 48
+    model = get_model({"name": "MF", "embedding_size": d, "table_align": 1}, ds)
+    rng = np.random.default_rng(43)
+    ue0 = rng.standard_normal((ds.n_users, d)).astype(np.float32) * 0.1
+    ie0 = rng.standard_normal((ds.n_items, d)).astype(np.float32) * 0.1
+    batches = [
+        (
+            rng.integers(0, ds.n_users, bs),
+            rng.integers(0, ds.n_items, bs),
+            rng.integers(0, ds.n_items, bs),
+        )
+        for _ in range(5)
+    ]
+
+    ue_t = torch.nn.Parameter(torch.tensor(ue0))
+    ie_t = torch.nn.Parameter(torch.tensor(ie0))
+    opt = torch.optim.Adam([ue_t, ie_t], lr=lr)
+    t_losses = []
+    for users, pos, neg in batches:
+        u_r, p_r, n_r = ue_t[users], ie_t[pos], ie_t[neg]
+        l2 = (u_r**2).sum(1) + (p_r**2).sum(1) + (n_r**2).sum(1)
+        loss = (
+            torch.nn.functional.softplus(
+                (u_r * n_r).sum(1) - (u_r * p_r).sum(1)
+            ).mean()
+            + l2_reg * l2.mean()
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+
+    params = {"user_embedding": jnp.asarray(ue0), "item_embedding": jnp.asarray(ie0)}
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, users, pos, neg):
+        def loss_fn(p):
+            u_r, p_r, n_r, l2 = model.bpr_forward(p, users, pos, neg, training=False)
+            return L.bpr_loss(u_r, p_r, n_r) + l2_reg * l2.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    j_losses = []
+    for users, pos, neg in batches:
+        args = [jnp.asarray(a.astype(np.int32)) for a in (users, pos, neg)]
+        params, opt_state, loss = step(params, opt_state, *args)
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["user_embedding"]), ue_t.detach().numpy(), rtol=5e-3, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["item_embedding"]), ie_t.detach().numpy(), rtol=5e-3, atol=5e-5
+    )
+
+
+def test_imf_training_parity():
+    """IMF (model.py:4290-4297): inductive MF = the feat-matrix rep layer
+    with NO graph convolution, trained with the IGCN aux loss
+    (trainer.py:518-561); anneal applied between steps on both sides."""
+    ds = _synth(47)
+    model = _dose_model("IMF", ds)
+    d, lr, l2_reg, aux_reg = 16, 1e-2, 1e-3, 0.01
+    rng = np.random.default_rng(47)
+    emb0 = rng.standard_normal((model.feat_n_cols, d)).astype(np.float32) * 0.1
+    batches = _batches(rng, ds, model, 4)
+
+    feat_counts = _torch_feat_counts(ds, model)
+    emb_t = torch.nn.Parameter(torch.tensor(emb0))
+    w_t = torch.nn.Parameter(torch.ones(d))
+    opt = torch.optim.Adam([emb_t, w_t], lr=lr)
+    t_losses = []
+    alpha = 1.0
+    for users, pos, neg, au, ap, an in batches:
+        rep = _torch_feat(feat_counts, alpha) @ emb_t  # no propagation
+        u_r, p_r, n_r = rep[users], rep[ds.n_users + pos], rep[ds.n_users + neg]
+        l2 = (u_r**2).sum(1) + (p_r**2).sum(1) + (n_r**2).sum(1)
+        loss = (
+            torch.nn.functional.softplus(
+                (u_r * n_r).sum(1) - (u_r * p_r).sum(1)
+            ).mean()
+            + l2_reg * l2.mean()
+        )
+        pos_s = (emb_t[au] * emb_t[model.user_dim + ap] * w_t[None]).sum(1)
+        neg_s = (emb_t[au] * emb_t[model.user_dim + an] * w_t[None]).sum(1)
+        loss = loss + aux_reg * torch.nn.functional.softplus(neg_s - pos_s).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+        alpha *= 0.99
+
+    params = {"embedding": jnp.asarray(emb0), "w": jnp.ones((d,), jnp.float32)}
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    def step(params, opt_state, buffers, users, pos, neg, au, ap, an):
+        def loss_fn(p):
+            u_r, p_r, n_r, l2 = model.bpr_forward(
+                p, users, pos, neg, training=False, buffers=buffers
+            )
+            bpr = L.bpr_loss(u_r, p_r, n_r)
+            emb, w = p["embedding"], p["w"]
+            pos_s = jnp.sum(emb[au] * emb[model.user_dim + ap] * w[None], axis=1)
+            neg_s = jnp.sum(emb[au] * emb[model.user_dim + an] * w[None], axis=1)
+            aux = jnp.mean(jax.nn.softplus(neg_s - pos_s))
+            return bpr + l2_reg * l2.mean() + aux_reg * aux
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step)
+    j_losses = []
+    for users, pos, neg, au, ap, an in batches:
+        args = [jnp.asarray(a.astype(np.int32)) for a in (users, pos, neg, au, ap, an)]
+        params, opt_state, loss = jstep(params, opt_state, model.buffers, *args)
+        j_losses.append(float(loss))
+        model.feat_mat_anneal()
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["embedding"]), emb_t.detach().numpy(), rtol=5e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), w_t.detach().numpy(), rtol=5e-3, atol=5e-4
+    )
+
+
+def test_dose_drop_training_parity():
+    """DOSE_drop (model.py:1351-1670): drop the aug_num HIGHEST-cos train
+    pairs (no negation; set difference via utils.py:123-141);
+    InfoNCE(main, dropped)."""
+    _run_dose_parity("DOSE_drop", _diff_pairs, {"negate_items": False}, seed=29)
+
+
+def test_dose_aug_drop3_training_parity():
+    """DOSE_aug_drop3 (model.py:3431-3660): ONE top-cos selection feeds both
+    an injection graph and a difference drop graph (model.py:3473-3497); the
+    loss contrasts against the DROP view only (model.py:3626-3639), so the
+    torch replica propagates the set-difference graph."""
+    _run_dose_parity("DOSE_aug_drop3", _diff_pairs, {"negate_items": False}, seed=31)
+
+
+def test_dose_test_training_parity():
+    """DOSE_test (model.py:3663-3877): DOSE_aug selection (items negated,
+    union-injection view) but bpr_forward returns the RAW aug-view user reps
+    in the contrastive slot; the trainer regularizes their plain mean
+    (model.py:3843-3855 + trainer.py:355-402) — quirk reproduced on both
+    sides."""
+    _run_dose_parity(
+        "DOSE_test", _union_pairs, {"negate_items": True}, seed=41, contrastive="mean"
     )
 
 
