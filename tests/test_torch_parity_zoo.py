@@ -885,7 +885,7 @@ def test_idcf_lgcn_training_parity():
         opt.zero_grad()
         loss.backward()
         opt.step()
-        t_losses.append(float(loss))
+        t_losses.append(float(loss.detach()))
 
     # ---- ours ----
     params = params0
