@@ -640,6 +640,8 @@ def view_spmm(base, view, x):
         out = spmm_bucketed(view.base, x)
     else:
         out = spmm_bucketed(base, x, edge_scale=view.base_scale)
+    if view.d_row.shape[0] == 0:  # drop-only views (delta_budget 0)
+        return out
     delta = (view.d_row, view.d_col, view.d_val, view.dt_row, view.dt_col, view.dt_val)
     return out + _delta_spmm(delta, x)
 

@@ -59,6 +59,12 @@ class _DOSEBase(IGCN):
 
     #: view buffer names regenerated each epoch
     view_keys: tuple = ("aug_adj",)
+    #: whether any view recipe injects pairs; drop-only variants override
+    #: to False so the view engine gets delta_budget 0 — otherwise every
+    #: view SpMM pays a dead all-zero 2*aug_num-entry delta gather +
+    #: segment-sum per layer per train step (aug_num is the DROP count
+    #: there, commonly thousands)
+    injects_pairs: bool = True
 
     def __init__(self, model_config, dataset):
         super().__init__(model_config, dataset)
@@ -79,13 +85,28 @@ class _DOSEBase(IGCN):
 
     def _establish_views(self, dataset):
         """(Re)build the view engine + initial view buffers for ``dataset``."""
-        self.view_engine = ViewEngine(
-            dataset.train_array,
-            self.n_users,
-            self.n_items,
-            delta_budget=max(self.aug_num, 1),
-        )
+        budget = max(self.aug_num, 1) if self.injects_pairs else 0
+        if (
+            getattr(self, "_view_engine_for", None) is not dataset
+            or self.view_engine.delta_budget != budget
+        ):
+            # checkpoint restores pass the SAME dataset object — rebuilding
+            # the engine then repeats the O(E log E) host bucketing and the
+            # O(E) base-layout re-upload for an identical result
+            self.view_engine = ViewEngine(
+                dataset.train_array,
+                self.n_users,
+                self.n_items,
+                delta_budget=budget,
+            )
+            self._view_engine_for = dataset
         self._dedup_train = self.view_engine.train_pairs
+        # the selection jits trace over the catalog sizes and the restrict
+        # cache holds device uploads of tail arrays — both go stale (and
+        # would stay pinned forever) across attach_dataset
+        self._cos_jit_cache = {}
+        self._restrict_dev_cache = {}
+        self._thr_jits = {}
         self.buffers = dict(self.buffers, view_base=self.view_engine.base)
         if getattr(self, "_defer_views", False):
             # checkpoint restore of an already-updated run: rebuild_views
@@ -93,6 +114,12 @@ class _DOSEBase(IGCN):
             # resets the rng counter to its snapshot — building (and baking)
             # the initial views here would be multi-dispatch work thrown away
             return
+        # this build makes INITIAL views: snapshot the rng counter so a
+        # save that happens before the next update_aug_adj replays exactly
+        # these draws (a mid-run attach_dataset lands here; the previous
+        # update's snapshot refers to the OLD engine/catalog)
+        self._initial_counter_base = getattr(self, "_aug_counter", 0)
+        self._views_updated = False
         # initial views: the reference builds them in __init__ from the
         # INITIAL parameters; selection-based recipes fall back to the plain
         # train view until the first update_aug_adj
@@ -150,6 +177,7 @@ class _DOSEBase(IGCN):
         aux = dict(super().checkpoint_aux())
         aux["aug_counter"] = int(getattr(self, "_aug_counter", 0))
         aux["aug_counter_base"] = int(self._aug_counter_base)
+        aux["initial_counter_base"] = int(getattr(self, "_initial_counter_base", 0))
         aux["views_updated"] = bool(self._views_updated)
         return aux
 
@@ -162,10 +190,13 @@ class _DOSEBase(IGCN):
         aux = dict(aux)
         counter = int(aux.pop("aug_counter", 0))
         base = int(aux.pop("aug_counter_base", 0))
+        init_base = int(aux.pop("initial_counter_base", 0))
         updated = bool(aux.pop("views_updated", False))
-        # replay __init__'s draw sequence while the initial views rebuild
-        # (fresh-run restores only; updated runs defer to rebuild_views)
-        self._aug_counter = 0
+        # replay the saved run's initial-view draw window while the initial
+        # views rebuild (fresh-run restores only; updated runs defer to
+        # rebuild_views). init_base is 0 for __init__'s views and the
+        # pre-draw counter when a mid-run attach_dataset re-established them
+        self._aug_counter = init_base
         self._defer_views = updated
         try:
             super().restore_aux(aux)  # -> _build_graph_buffers -> _establish_views
@@ -173,6 +204,7 @@ class _DOSEBase(IGCN):
             self._defer_views = False
         self._aug_counter = counter
         self._aug_counter_base = base
+        self._initial_counter_base = init_base
         self._views_updated = updated
 
     def _cos_pairs(self, params, k, negate_items, restrict=None, device=False):
@@ -268,11 +300,16 @@ class _DOSEBase(IGCN):
             seed=self._aug_seed,
         )
 
+    def _view_x0(self, params, buffers, rng, training):
+        """Layer-0 input for view propagation (overridable: DOSE_aug2 feeds
+        the aug feature matrix here)."""
+        return self.inductive_rep_layer(params, buffers, rng=rng, training=training)
+
     def view_users(self, params, buffers, key, users, rng, training):
         """User rows of the representation propagated over view ``key``;
         feature-matrix dropout is re-drawn per view, as each reference
         get_*_rep call re-applies dropout (model.py:488-501)."""
-        x0 = self.inductive_rep_layer(params, buffers, rng=rng, training=training)
+        x0 = self._view_x0(params, buffers, rng, training)
         rep = view_propagate_mean(
             buffers["view_base"], buffers[key], x0, self.n_layers
         )
@@ -365,8 +402,11 @@ class DOSE_aug2(DOSE_aug):
             ranked_u, ranked_i = graph_aug_rank_nodes(
                 self.dataset, self.ranking_metric, self._aug_pairs_host()
             )
-            core_u = ranked_u[: int(self.n_users * self.feature_ratio)]
-            core_i = ranked_i[: int(self.n_items * self.feature_ratio)]
+            # core sizes must EQUAL user_dim/item_dim (the shared embedding
+            # table's layout) — recomputing int(n_users * ratio) here would
+            # overflow the table after an attach_dataset grew the catalog
+            core_u = ranked_u[: self.user_dim]
+            core_i = ranked_i[: self.item_dim]
             um = np.full(self.n_users, -1, dtype=np.int64)
             um[core_u] = np.arange(len(core_u))
             im = np.full(self.n_items, -1, dtype=np.int64)
@@ -413,9 +453,35 @@ class DOSE_aug2(DOSE_aug):
                 delattr(self, attr)
         super()._build_graph_buffers(dataset)
 
+    def _establish_views(self, dataset):
+        super()._establish_views(dataset)
+        if getattr(self, "_defer_views", False) or len(self._dedup_train) == 0:
+            return
+        # seed the aug-feat buffers with the train-only matrix (+ an
+        # all-in-train, hence all-zero, delta) whenever the core maps are
+        # already known (feature_ratio >= 1 -> the main maps; or maps
+        # restored from a checkpoint): the buffers pytree is then
+        # structurally stable from step 1 — without the seed the first
+        # update_aug_adj ADDS the aug_feat/aug_feat_delta keys and the
+        # whole train step retraces (minutes through the remote toolchain).
+        # feature_ratio < 1 fresh runs select their core from the FIRST
+        # real aug graph (reference model.py:941) and keep that one-time
+        # retrace instead.
+        if self.feature_ratio >= 1.0 or hasattr(self, "aug_user_map"):
+            k = min(self.aug_num, self.n_users * self.n_items)  # _cos_pairs clamp
+            self._last_aug_pairs_dev = jnp.tile(
+                jnp.asarray(self._dedup_train[:1], jnp.int32), (k, 1)
+            )
+            self._last_aug_pairs_host = None
+            self._update_aug_feat()
+
     def _update_views(self, params):
         super()._update_views(params)
-        # aug feature matrix over train ∪ aug (model.py:935-978)
+        self._update_aug_feat()
+
+    def _update_aug_feat(self):
+        # aug feature matrix over train ∪ aug (model.py:935-978); the aug
+        # pairs are self._last_aug_pairs_dev
         aug_user_map, aug_item_map = self._aug_core_maps()
         if self.n_users * self.n_items + max(self.aug_num, 1) >= 2**31:
             # pair keys exceed the 32-bit lattice: host rebuild fallback
@@ -491,43 +557,40 @@ class DOSE_aug2(DOSE_aug):
         new.pop("aug_feat_delta", None)
         self.buffers = new
 
-    def view_users(self, params, buffers, key, users, rng, training):
-        if "aug_feat" in buffers:
-            from inductive_recommendation_tpu.graph.views import (
-                delta_spmm_rect,
-                delta_spmm_rect_dropout,
-            )
-            from inductive_recommendation_tpu.ops import spmm_bucketed
-            from inductive_recommendation_tpu.ops.bucketed_spmm import (
-                spmm_bucketed_dropout,
-            )
-
-            emb = params["embedding"][: self.feat_n_cols]
-            delta = buffers.get("aug_feat_delta")
-            n_nodes = self.n_users + self.n_items
-            if training and self.dropout > 0.0:
-                x0 = spmm_bucketed_dropout(
-                    buffers["aug_feat"], emb, rng, self.dropout
-                )
-                if delta is not None:
-                    x0 = x0 + delta_spmm_rect_dropout(
-                        n_nodes,
-                        self.feat_n_cols,
-                        delta,
-                        jax.random.key_data(rng),
-                        jnp.asarray(self.dropout, jnp.float32),
-                        emb,
-                    )
-            else:
-                x0 = spmm_bucketed(buffers["aug_feat"], emb)
-                if delta is not None:
-                    x0 = x0 + delta_spmm_rect(n_nodes, delta, emb)
-        else:
-            x0 = self.inductive_rep_layer(params, buffers, rng=rng, training=training)
-        rep = view_propagate_mean(
-            buffers["view_base"], buffers[key], x0, self.n_layers
+    def _view_x0(self, params, buffers, rng, training):
+        if "aug_feat" not in buffers:
+            # only reachable before the aug feat exists (feature_ratio < 1
+            # fresh runs, whose core maps are selected from the FIRST real
+            # aug graph): plain train-feat fallback
+            return super()._view_x0(params, buffers, rng, training)
+        from inductive_recommendation_tpu.graph.views import (
+            delta_spmm_rect,
+            delta_spmm_rect_dropout,
         )
-        return rep[users]
+        from inductive_recommendation_tpu.ops import spmm_bucketed
+        from inductive_recommendation_tpu.ops.bucketed_spmm import (
+            spmm_bucketed_dropout,
+        )
+
+        emb = params["embedding"][: self.feat_n_cols]
+        delta = buffers.get("aug_feat_delta")
+        n_nodes = self.n_users + self.n_items
+        if training and self.dropout > 0.0:
+            x0 = spmm_bucketed_dropout(buffers["aug_feat"], emb, rng, self.dropout)
+            if delta is not None:
+                x0 = x0 + delta_spmm_rect_dropout(
+                    n_nodes,
+                    self.feat_n_cols,
+                    delta,
+                    jax.random.key_data(rng),
+                    jnp.asarray(self.dropout, jnp.float32),
+                    emb,
+                )
+        else:
+            x0 = spmm_bucketed(buffers["aug_feat"], emb)
+            if delta is not None:
+                x0 = x0 + delta_spmm_rect(n_nodes, delta, emb)
+        return x0
 
 
 class DOSE_aug3(_DOSEBase):
@@ -586,6 +649,7 @@ class DOSE_drop(_DOSEBase):
     model.py:1407-1418 + utils.py:123-141)."""
 
     view_keys = ("aug_adj",)
+    injects_pairs = False  # drop-only: no delta entries in the hot step
 
     def _make_view(self, key, params):
         pairs = self._cos_pairs(params, self.aug_num, negate_items=False, device=True)
@@ -598,6 +662,7 @@ class DOSE_drop2(_DOSEBase):
     """Random drop keeping aug_rate of the train edges (model.py:1726-1736)."""
 
     view_keys = ("aug_adj",)
+    injects_pairs = False  # drop-only (and TEST/TEST2 below): no delta entries
 
     def _make_view(self, key, params):
         return self.view_engine.make_view_on_device(

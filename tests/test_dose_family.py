@@ -460,3 +460,106 @@ def test_dose_aug_drop2_attach_reranks_tails(ds):
     assert np.isfinite(
         np.asarray(model.buffers["aug_adj"].base.fwd.buckets[0].val)
     ).all()
+
+
+def test_dose_aug2_core_maps_capped_after_attach(ds):
+    """feature_ratio < 1 with the FIRST selection happening after an
+    attach_dataset grew the catalog: the aug core must size to
+    user_dim/item_dim (the shared embedding table's layout), not to
+    int(new_n * ratio) — oversized maps indexed past feat_n_cols."""
+    model = get_model(_mcfg("DOSE_aug2", feature_ratio=0.6), ds)
+    params = model.init_params(jax.random.key(0))
+    new_ds = _grow_dataset(ds)
+    model.attach_dataset(new_ds)
+    model.update_aug_adj(params)  # first selection AFTER the attach
+    assert int((model.aug_user_map >= 0).sum()) == model.user_dim
+    assert int((model.aug_item_map >= 0).sum()) == model.item_dim
+    users = np.arange(8, dtype=np.int32)
+    v = model.view_users(
+        params, model.buffers, "aug_adj", users, jax.random.key(1), False
+    )
+    assert np.isfinite(np.asarray(v)).all()
+
+
+def test_dose_aug2_buffers_structure_static_from_step1(ds):
+    """With feature_ratio >= 1 the aug-feat buffers are SEEDED at
+    construction (train-only matrix + all-zero delta), so the first real
+    update_aug_adj changes values only — same pytree structure and shapes,
+    no train-step retrace at epoch 2."""
+    model = get_model(_mcfg("DOSE_aug2"), ds)
+    params = model.init_params(jax.random.key(0))
+    assert "aug_feat" in model.buffers and "aug_feat_delta" in model.buffers
+    s0 = jax.tree_util.tree_structure(model.buffers)
+    shapes0 = [
+        getattr(x, "shape", None) for x in jax.tree_util.tree_leaves(model.buffers)
+    ]
+    model.update_aug_adj(params)
+    assert jax.tree_util.tree_structure(model.buffers) == s0
+    shapes1 = [
+        getattr(x, "shape", None) for x in jax.tree_util.tree_leaves(model.buffers)
+    ]
+    assert shapes0 == shapes1
+
+
+def test_dose_aug2_seeded_aug_feat_matches_train_feat(ds):
+    """The seeded aug-feat x0 (train-only base + zero delta) must equal the
+    plain train feature-matrix rep layer the initial view used before."""
+    model = get_model(_mcfg("DOSE_aug2", dropout=0.0), ds)
+    params = model.init_params(jax.random.key(0))
+    x0_aug = model._view_x0(params, model.buffers, jax.random.key(1), False)
+    x0_train = _DOSEBase._view_x0(
+        model, params, model.buffers, jax.random.key(1), False
+    )
+    np.testing.assert_allclose(
+        np.asarray(x0_aug), np.asarray(x0_train), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_dose_views_replay_after_attach(ds):
+    """A save that happens AFTER an attach_dataset (no intervening update)
+    must restore the attach-time initial views: the replay window is the
+    attach-time counter, not the stale pre-attach update snapshot."""
+    model = get_model(_mcfg("TEST2"), ds)
+    params = model.init_params(jax.random.key(0))
+    model.update_aug_adj(params)
+    new_ds = _grow_dataset(ds)
+    model.attach_dataset(new_ds)
+    aux = model.checkpoint_aux()
+    want = [
+        np.asarray(x)
+        for x in jax.tree_util.tree_leaves(
+            (model.buffers["aug_adj"], model.buffers["aug_adj2"])
+        )
+    ]
+
+    model2 = get_model(_mcfg("TEST2"), new_ds)
+    model2.restore_aux(aux)
+    model2.rebuild_views(params)  # trainer post-load hook (no-op here)
+    got = [
+        np.asarray(x)
+        for x in jax.tree_util.tree_leaves(
+            (model2.buffers["aug_adj"], model2.buffers["aug_adj2"])
+        )
+    ]
+    assert len(want) == len(got)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_drop_only_views_have_no_delta(ds):
+    """Drop-only variants run with delta_budget 0: the hot view SpMM must
+    not carry a dead all-zero injected-entry delta sized by the drop count."""
+    for name in ("DOSE_drop2", "TEST2"):
+        model = get_model(_mcfg(name), ds)
+        assert model.view_engine.delta_budget == 0
+        assert model.buffers["aug_adj"].d_row.shape[0] == 0
+    model = get_model(_mcfg("DOSE_drop3"), ds)
+    params = model.init_params(jax.random.key(0))
+    model.update_aug_adj(params)  # cos-topk drop selection
+    assert model.view_engine.delta_budget == 0
+    assert model.buffers["aug_adj"].d_row.shape[0] == 0
+    users = np.arange(8, dtype=np.int32)
+    v = model.view_users(
+        params, model.buffers, "aug_adj", users, jax.random.key(1), False
+    )
+    assert np.isfinite(np.asarray(v)).all()
