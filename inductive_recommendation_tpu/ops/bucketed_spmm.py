@@ -116,6 +116,58 @@ def cap_ladder(max_deg: int):
     return caps
 
 
+def budgeted_cap_merge(merged, nnz, count_fn, merge_fn):
+    """Padding-budgeted upward merge of adjacent ladder buckets.
+
+    Each bucket is a separate gather+reduce kernel, so tiny-row buckets cost
+    more in launch/compile than their padding would. Greedily merge the
+    cheapest adjacent (cap, members) pair upward while total EXTRA padded
+    gathers stay within max(1% of nnz, 4096): at Gowalla scale this trims
+    74 buckets -> 59 for +0.9% gathers (TPU runtime neutral: 6.65 -> 6.77 ms
+    fwd, within noise), and the absolute floor collapses test-scale graphs
+    to a handful of buckets (compile time, not bandwidth, dominates there —
+    the 1.12x ladder alone grew the CPU test suite 745 s -> 1155 s). The
+    budget bounds the degree-1-rows-into-huge-caps blowup that made
+    unbounded upward merging catastrophic.
+
+    ``count_fn(members)`` -> the number of padded row slots the cost scales
+    with (``len`` for flat builders; shards x shard-max for stacked ones);
+    ``merge_fn(a, b)`` combines two members payloads."""
+    merged = list(merged)
+    budget = max(0.01 * nnz, 4096.0)
+    spent = 0.0
+    while len(merged) > 1:
+        costs = [
+            count_fn(merged[i][1]) * (merged[i + 1][0] - merged[i][0])
+            for i in range(len(merged) - 1)
+        ]
+        j = int(np.argmin(costs))
+        if spent + costs[j] > budget:
+            break
+        spent += costs[j]
+        merged[j + 1] = (merged[j + 1][0], merge_fn(merged[j][1], merged[j + 1][1]))
+        del merged[j]
+    return merged
+
+
+def fill_bucket_rows(rows_m, deg, starts, ce, ve, ee, cap):
+    """Dense [m, cap] idx/val/eid blocks for the given rows, from row-sorted
+    COO arrays (``starts`` = exclusive per-row prefix offsets). Pad slots are
+    zero: idx 0 gathers row 0 but val 0 kills the contribution."""
+    m = len(rows_m)
+    idx = np.zeros((m, cap), dtype=np.int32)
+    val = np.zeros((m, cap), dtype=np.float32)
+    eid = np.zeros((m, cap), dtype=np.int32)
+    lens = deg[rows_m]
+    rows_rep = np.repeat(np.arange(m), lens)
+    slot = np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
+    flat_pos = starts[rows_m][rows_rep] + slot
+    idx[rows_rep, slot] = ce[flat_pos]
+    val[rows_rep, slot] = ve[flat_pos]
+    eid[rows_rep, slot] = ee[flat_pos]
+    return idx, val, eid
+
+
 def _build_one_side(row, col, val, eid, n_rows, n_cols, min_bucket_rows=0):
     """Host-side: rows -> degree-cap buckets (see :func:`cap_ladder`).
 
@@ -138,48 +190,17 @@ def _build_one_side(row, col, val, eid, n_rows, n_cols, min_bucket_rows=0):
         if len(members):
             merged.append((cap, members))
 
-    # Padding-budgeted upward merge: each bucket is a separate gather+reduce
-    # kernel, so tiny-row buckets cost more in launch/compile than their
-    # padding would. Greedily merge the cheapest adjacent pair upward while
-    # total EXTRA padded gathers stay within max(1% of nnz, 4096): at
-    # Gowalla scale this trims 74 buckets -> 59 for +0.9% gathers (TPU
-    # runtime neutral: 6.65 -> 6.77 ms fwd, within noise), and the absolute
-    # floor collapses test-scale graphs to a handful of buckets (compile
-    # time, not bandwidth, dominates there — the 1.12x ladder alone grew the
-    # CPU test suite 745 s -> 1155 s). The budget bounds the
-    # degree-1-rows-into-huge-caps blowup that made unbounded upward merging
-    # catastrophic.
-    budget = max(0.01 * len(row), 4096.0)
-    spent = 0.0
-    while len(merged) > 1:
-        costs = [
-            len(merged[i][1]) * (merged[i + 1][0] - merged[i][0])
-            for i in range(len(merged) - 1)
-        ]
-        j = int(np.argmin(costs))
-        if spent + costs[j] > budget:
-            break
-        spent += costs[j]
-        merged[j + 1] = (
-            merged[j + 1][0],
-            np.concatenate([merged[j][1], merged[j + 1][1]]),
-        )
-        del merged[j]
+    merged = budgeted_cap_merge(
+        merged,
+        nnz=len(row),
+        count_fn=len,
+        merge_fn=lambda a, b: np.concatenate([a, b]),
+    )
 
     buckets = []
     perm = []
     for cap, rows_m in merged:
-        m = len(rows_m)
-        idx = np.zeros((m, cap), dtype=np.int32)
-        v = np.zeros((m, cap), dtype=np.float32)
-        e = np.zeros((m, cap), dtype=np.int32)
-        lens = deg[rows_m]
-        rows_rep = np.repeat(np.arange(m), lens)
-        slot = np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
-        flat_pos = starts[rows_m][rows_rep] + slot
-        idx[rows_rep, slot] = ce_[flat_pos]
-        v[rows_rep, slot] = ve_[flat_pos]
-        e[rows_rep, slot] = ee_[flat_pos]
+        idx, v, e = fill_bucket_rows(rows_m, deg, starts, ce_, ve_, ee_, cap)
         buckets.append(
             _Bucket(idx=jnp.asarray(idx), val=jnp.asarray(v), eid=jnp.asarray(e))
         )
@@ -213,9 +234,14 @@ def build_bucketed_spmm(
     row = np.asarray(row, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
     val = np.asarray(val, dtype=np.float32)
-    nz = val != 0.0
-    row, col, val = row[nz], col[nz], val[nz]
+    # ids are assigned over the RAW input order, BEFORE the zero filter —
+    # edge_scale vectors are built in the caller's COO order, and assigning
+    # after the filter shifted every later edge's id whenever an explicit
+    # zero entry was present (parallel.build_edge_sharded_spmm shares this
+    # contract)
     eid = np.arange(len(row), dtype=np.int64)
+    nz = val != 0.0
+    row, col, val, eid = row[nz], col[nz], val[nz], eid[nz]
     n_rows, n_cols = shape
     fwd = _build_one_side(row, col, val, eid, n_rows, n_cols, min_bucket_rows)
     if symmetric:

@@ -39,7 +39,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from inductive_recommendation_tpu.ops.bucketed_spmm import cap_ladder
+from inductive_recommendation_tpu.ops.bucketed_spmm import (
+    budgeted_cap_merge,
+    cap_ladder,
+    fill_bucket_rows,
+)
 
 
 @partial(
@@ -101,8 +105,10 @@ class EdgeShardedSpMM:
 def _build_stacked_side(shards, n_rows: int) -> _StackedSide:
     """shards: per-shard (row, col_local, val, eid) COO arrays.
 
-    Buckets use one shared cap ladder; each bucket's row count is padded to
-    the max across shards so the arrays stack on a leading shard axis.
+    Buckets use one shared cap ladder with the same padding-budgeted upward
+    merge as the flat builder (costed at shards x shard-max rows); each
+    bucket's row count is padded to the max across shards so the arrays
+    stack on a leading shard axis.
     Padded rows are all-zero (idx 0 gathers row 0, val 0 kills it) and are
     never referenced by ``inv_perm``. Degree-0 rows map to one shared
     appended zero slot.
@@ -118,15 +124,28 @@ def _build_stacked_side(shards, n_rows: int) -> _StackedSide:
         sorted_shards.append((r[o], c[o], v[o], e[o]))
         starts_all.append(np.concatenate([[0], np.cumsum(d)]))
 
-    buckets = []
-    inv = np.full((S, n_rows), -1, dtype=np.int64)
-    T = 0
+    merged = []
     for i, cap in enumerate(caps):
         lo = caps[i - 1] if i else 0
         members = [np.nonzero((d > lo) & (d <= cap))[0] for d in degs]
-        M = max((len(m) for m in members), default=0)
-        if M == 0:
-            continue
+        if any(len(m) for m in members):
+            merged.append((cap, members))
+
+    # The padded-slot cost of a stacked bucket is shards x shard-max (every
+    # shard's block is padded to the widest shard), so the merge budget uses
+    # that count rather than the flat builder's len
+    merged = budgeted_cap_merge(
+        merged,
+        nnz=sum(len(r) for r, _, _, _ in shards),
+        count_fn=lambda ms: S * max(len(m) for m in ms),
+        merge_fn=lambda a, b: [np.concatenate([x, y]) for x, y in zip(a, b)],
+    )
+
+    buckets = []
+    inv = np.full((S, n_rows), -1, dtype=np.int64)
+    T = 0
+    for cap, members in merged:
+        M = max(len(m) for m in members)
         idx = np.zeros((S, M, cap), dtype=np.int32)
         val = np.zeros((S, M, cap), dtype=np.float32)
         eid = np.zeros((S, M, cap), dtype=np.int32)
@@ -135,13 +154,9 @@ def _build_stacked_side(shards, n_rows: int) -> _StackedSide:
             if m == 0:
                 continue
             _, ce_, ve_, ee_ = sorted_shards[s]
-            lens = degs[s][rows_m]
-            rows_rep = np.repeat(np.arange(m), lens)
-            slot = np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
-            flat = starts_all[s][rows_m][rows_rep] + slot
-            idx[s, rows_rep, slot] = ce_[flat]
-            val[s, rows_rep, slot] = ve_[flat]
-            eid[s, rows_rep, slot] = ee_[flat]
+            idx[s, :m], val[s, :m], eid[s, :m] = fill_bucket_rows(
+                rows_m, degs[s], starts_all[s], ce_, ve_, ee_, cap
+            )
             inv[s, rows_m] = T + np.arange(m)
         buckets.append(
             _StackedBucket(
