@@ -29,6 +29,7 @@ from inductive_recommendation_tpu.graph.ranking import (
     graph_drop_rank_nodes,
     graph_rank_nodes,
     rank_nodes_from_edges,
+    svd_rank_nodes,
 )
 
 __all__ = [
@@ -51,4 +52,5 @@ __all__ = [
     "graph_drop_rank_nodes",
     "graph_rank_nodes",
     "rank_nodes_from_edges",
+    "svd_rank_nodes",
 ]

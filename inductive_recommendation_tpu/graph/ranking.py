@@ -87,6 +87,93 @@ def graph_drop_rank_nodes(dataset, ranking_metric: str, drop_edges=None):
     )
 
 
+def svd_rank_nodes(edge_array, n_users, n_items, ranking_metric: str, rank=64):
+    """SVD-based theoretical node ranking (reference utils.py:143-199,
+    commented out — "This is for theoretical analysis").
+
+    The reference's disabled path factorizes the user-item part-adjacency
+    with ``torch.svd_lowrank(part_adj, 64)`` (utils.py:196) and scores each
+    side with ``greedy_or_sort`` (first definition, utils.py:146-168):
+
+    - ``sort``: metric_i = rowsum(A Aᵀ)_i * ||U_i||² — co-interaction mass
+      weighted by the squared norm of the node's rank-``rank`` singular
+      factor row.
+    - ``greedy``: iterative selection — repeatedly pop the node with the
+      currently SMALLEST accumulated metric; popping node i bumps each
+      co-interacting neighbor j by ||U_j||² * (A Aᵀ)_ij. A node's metric is
+      its pop position, so the LAST node popped ranks first.
+
+    Divergences (documented, both in dead reference code):
+    - the factorization is an exact truncated Lanczos SVD
+      (scipy.sparse.linalg.svds) instead of torch's randomized sketch;
+    - the reference's greedy loop re-inserts the just-popped node through
+      its own diagonal entry of A Aᵀ (utils.py:163-166 discard a stale key,
+      then add), so some nodes are popped twice and others never — here a
+      popped node stays popped (the evident intent);
+    - the comment block contains a SECOND ``greedy_or_sort`` definition
+      (utils.py:171-183) that shadows the first and ignores the metric
+      entirely; we implement the first, which is the one with distinct
+      sort/greedy semantics.
+
+    Host-side preprocessing (like the ranking it extends): runs once before
+    core selection, never inside a jit. O(nnz(A Aᵀ)) memory for greedy.
+    """
+    import heapq
+
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import svds
+
+    row, col, counts = _coalesced_bipartite(
+        np.asarray(edge_array), n_users, n_items
+    )
+    if ranking_metric not in ("sort", "greedy"):
+        raise ValueError(
+            f"unknown ranking_metric {ranking_metric!r} "
+            "(expected 'sort' or 'greedy')"
+        )
+    ui = row < n_users  # user→item half of the symmetric bipartite adjacency
+    part = sp.csr_matrix(
+        (counts[ui], (row[ui], col[ui] - n_users)), shape=(n_users, n_items)
+    )
+    k = min(rank, min(part.shape) - 1)
+    if k < 1:
+        raise ValueError(f"graph too small for a rank-{rank} SVD: {part.shape}")
+    u, _, vt = svds(part.astype(np.float64), k=k)
+
+    def greedy_or_sort(adj, factor):
+        norm_sq = np.linalg.norm(factor, axis=1) ** 2
+        co = (adj @ adj.T).tocsr()
+        if ranking_metric == "sort":
+            return np.asarray(co.sum(axis=1)).squeeze(axis=1) * norm_sq
+
+        n = adj.shape[0]
+        metrics = np.asarray(adj.sum(axis=1)).squeeze(axis=1) * norm_sq
+        order = np.zeros(n, dtype=np.float64)
+        heap = [(metrics[i], i) for i in range(n)]
+        heapq.heapify(heap)
+        popped = np.zeros(n, dtype=bool)
+        for nu in range(n):
+            while True:
+                m, i = heapq.heappop(heap)
+                if not popped[i] and m == metrics[i]:  # skip stale entries
+                    break
+            popped[i] = True
+            order[i] = nu
+            lo, hi = co.indptr[i], co.indptr[i + 1]
+            for j, w in zip(co.indices[lo:hi], co.data[lo:hi]):
+                if popped[j]:
+                    continue
+                metrics[j] += norm_sq[j] * w
+                heapq.heappush(heap, (metrics[j], j))
+        return order
+
+    user_metrics = greedy_or_sort(part, u)
+    item_metrics = greedy_or_sort(part.T.tocsr(), vt.T)
+    ranked_users = np.argsort(user_metrics)[::-1].copy()
+    ranked_items = np.argsort(item_metrics)[::-1].copy()
+    return ranked_users, ranked_items
+
+
 def rank_nodes_from_edges(edge_array, n_users, n_items, ranking_metric: str):
     """Core ranking over an arbitrary [m, 2] (user, item) edge list."""
     row, col, counts = _coalesced_bipartite(

@@ -39,11 +39,61 @@ def build_argparser():
         help="run the six-slice inductive evaluation after training",
     )
     p.add_argument("--writer", action="store_true", help="TensorBoard logging")
+    p.add_argument(
+        "--preprocess",
+        choices=["gowalla", "yelp", "amazon"],
+        default=None,
+        help="parse a raw dataset, k-core filter, chronologically split, and "
+        "write train/val/test.txt (the reference's implied offline step: "
+        "GowallaDataset/... -> output_dataset, dataset.py:133-137)",
+    )
+    p.add_argument("--data-path", default=None, help="raw dataset directory")
+    p.add_argument(
+        "--out-path", default=None, help="output dir for train/val/test.txt"
+    )
+    p.add_argument("--min-inter", type=int, default=10, help="k-core threshold")
+    p.add_argument(
+        "--split",
+        nargs=3,
+        type=float,
+        metavar=("TRAIN", "VAL", "TEST"),
+        default=[0.7, 0.1, 0.2],
+        help="chronological split ratios",
+    )
     return p
+
+
+def preprocess(args):
+    from inductive_recommendation_tpu import get_dataset
+
+    if not args.data_path or not args.out_path:
+        raise SystemExit("--preprocess requires --data-path and --out-path")
+    name = {
+        "gowalla": "GowallaDataset",
+        "yelp": "YelpDataset",
+        "amazon": "AmazonDataset",
+    }[args.preprocess]
+    dataset = get_dataset(
+        {
+            "name": name,
+            "path": args.data_path,
+            "min_inter": args.min_inter,
+            "split_ratio": list(args.split),
+        }
+    )
+    dataset.output_dataset(args.out_path)
+    print(
+        f"{name}: {dataset.n_users} users x {dataset.n_items} items, "
+        f"{len(dataset.train_array)} train interactions -> {args.out_path}"
+    )
+    return dataset
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+
+    if args.preprocess:
+        return preprocess(args)
 
     from inductive_recommendation_tpu import configs, get_dataset, get_model, get_trainer
     from inductive_recommendation_tpu.utils import init_run, set_seed

@@ -61,3 +61,32 @@ def test_main_driver_list(capsys):
     main_mod.main(["--grid", "gowalla", "--list"])
     out = capsys.readouterr().out
     assert "LightGCN" in out and "DOSE_aug" in out
+
+
+def test_cli_preprocess_roundtrip(tmp_path, capsys):
+    """--preprocess parses a raw Gowalla file, k-cores, splits, and writes
+    train/val/test.txt loadable by ProcessedDataset (the reference's implied
+    offline step: raw dataset class -> output_dataset, dataset.py:133-137)."""
+    import main as main_mod
+    from inductive_recommendation_tpu import get_dataset
+
+    lines = []
+    for u in range(4):
+        for j, i in enumerate(range(5)):
+            lines.append(f"{u}\t2010-10-1{j}T0{u}:00:00Z\t0.0\t0.0\t{i}")
+    (tmp_path / "Gowalla_totalCheckins.txt").write_text("\n".join(lines))
+    out_dir = tmp_path / "time"
+    main_mod.main(
+        [
+            "--preprocess", "gowalla",
+            "--data-path", str(tmp_path),
+            "--out-path", str(out_dir),
+            "--min-inter", "2",
+            "--split", "0.6", "0.2", "0.2",
+        ]
+    )
+    assert "4 users x 5 items" in capsys.readouterr().out
+    ds = get_dataset({"name": "ProcessedDataset", "path": str(out_dir)})
+    assert ds.n_users == 4 and ds.n_items == 5
+    assert all(len(ds.train_data[u]) == 3 for u in range(4))
+    assert all(len(ds.test_data[u]) == 1 for u in range(4))

@@ -213,3 +213,41 @@ def test_aug_drop_rank_nodes(tiny_graph):
     ru, ri = graph_drop_rank_nodes(ds, "degree", kept)
     u_deg = np.bincount(kept[:, 0], minlength=n_users)
     assert u_deg[ru[0]] == u_deg.max()
+
+
+def test_svd_rank_nodes_vs_dense_oracle(tiny_graph):
+    """svd_rank_nodes == the reference's commented-out theoretical ranking
+    (utils.py:143-199, first greedy_or_sort definition) re-run with dense
+    numpy oracles: a full SVD truncated to k and O(n^2) loop selection."""
+    from inductive_recommendation_tpu.graph import svd_rank_nodes
+
+    train_array, n_users, n_items = tiny_graph
+    dense = np.zeros((n_users, n_items))
+    np.add.at(dense, (train_array[:, 0], train_array[:, 1]), 1.0)
+    k = min(64, min(n_users, n_items) - 1)
+    u_full, _, vt_full = np.linalg.svd(dense, full_matrices=False)
+
+    def oracle(adj, factor, metric):
+        norm_sq = np.linalg.norm(factor, axis=1) ** 2
+        co = adj @ adj.T
+        if metric == "sort":
+            return co.sum(axis=1) * norm_sq
+        n = adj.shape[0]
+        metrics = adj.sum(axis=1) * norm_sq
+        order = np.zeros(n)
+        popped = np.zeros(n, dtype=bool)
+        for nu in range(n):
+            i = int(np.argmin(np.where(popped, np.inf, metrics)))
+            popped[i] = True
+            order[i] = nu
+            for j in range(n):
+                if not popped[j] and co[i, j] > 0:
+                    metrics[j] += norm_sq[j] * co[i, j]
+        return order
+
+    for metric in ("sort", "greedy"):
+        ru, ri = svd_rank_nodes(train_array, n_users, n_items, metric)
+        um = oracle(dense, u_full[:, :k], metric)
+        im = oracle(dense.T, vt_full[:k].T, metric)
+        assert np.array_equal(ru, np.argsort(um)[::-1])
+        assert np.array_equal(ri, np.argsort(im)[::-1])
