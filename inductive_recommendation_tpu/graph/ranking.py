@@ -113,10 +113,18 @@ def svd_rank_nodes(edge_array, n_users, n_items, ranking_metric: str, rank=64):
     - the comment block contains a SECOND ``greedy_or_sort`` definition
       (utils.py:171-183) that shadows the first and ignores the metric
       entirely; we implement the first, which is the one with distinct
-      sort/greedy semantics.
+      sort/greedy semantics;
+    - equal-metric ties: the heap breaks them by node index, while the
+      reference's SortedList ``pop(0)`` breaks them by insertion order —
+      nodes with identical accumulated metrics (common when ``norm_sq`` is
+      ~0 for disconnected/low-rank nodes) can pop in a different order.
 
     Host-side preprocessing (like the ranking it extends): runs once before
-    core selection, never inside a jit. O(nnz(A Aᵀ)) memory for greedy.
+    core selection, never inside a jit. O(nnz(A Aᵀ)) memory for greedy —
+    and O(nnz(A Aᵀ) · log n) pure-Python heap time: at full Gowalla scale
+    the user co-interaction matrix has tens of millions of nonzeros, so the
+    greedy mode takes minutes to hours on the host. Acceptable for a
+    run-once theoretical-analysis tool; it is not on any training path.
     """
     import heapq
 

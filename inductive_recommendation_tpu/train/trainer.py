@@ -40,6 +40,39 @@ OPTIMIZERS = {
 }
 
 
+def _mesh_constrainers(mesh):
+    """(constrain_batch, constrain_params) for a ('data', 'model') mesh.
+
+    The pair turns any trainer's jitted step into the sharded step the
+    library constructors build (parallel/step.py): batches shard over
+    'data' (data parallelism — XLA psums the gradients), embedding-like
+    tables shard their rows over 'model' (the recsys TP analog — XLA turns
+    table gathers into all-gather/all-to-all collectives). Identity pair
+    when mesh is None, so single-device trainers trace exactly as before.
+    """
+    if mesh is None:
+        return (lambda x: x), (lambda p: p)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from inductive_recommendation_tpu.parallel.mesh import param_spec
+
+    def constrain_batch(x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("data", *[None] * (x.ndim - 1)))
+        )
+
+    def constrain_params(params):
+        def place(path, v):
+            key = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            return jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, param_spec(key, v))
+            )
+
+        return jax.tree_util.tree_map_with_path(place, params)
+
+    return constrain_batch, constrain_params
+
+
 def _epoch_mean(losses):
     """Weighted mean of an epoch's per-step losses, fetched in ONE
     device->host transfer at epoch end — a float() per step blocks on a
@@ -62,10 +95,22 @@ class BasicTrainer:
         self.name = trainer_config["name"]
         self.dataset = dataset
         self.model = model
+        # optional ('data', 'model') jax Mesh (injected by get_trainer's
+        # ``mesh=`` or a 'mesh' config key): the SAME epoch/early-stop/
+        # checkpoint loop, with every jitted step data-parallel over 'data'
+        # and the embedding tables row-sharded over 'model'; evaluation runs
+        # through the mesh evaluator. None = single-device, unchanged.
+        self.mesh = self.config.get("mesh")
+        self._cb, self._cp = _mesh_constrainers(self.mesh)
         self.topks = trainer_config["topks"]
         self.n_epochs = trainer_config["n_epochs"]
         self.max_patience = trainer_config.get("max_patience", 50)
         self.val_interval = trainer_config.get("val_interval", 1)
+        # reference parity switch: trainer.py:73 evaluates the train split
+        # every epoch unconditionally; off by default (logging-only work)
+        self.eval_train_every_epoch = bool(
+            trainer_config.get("eval_train_every_epoch", False)
+        )
         self.batch_size = trainer_config.get("batch_size", 2048)
         self.epoch = 0
         self.best_ndcg = -np.inf
@@ -79,12 +124,33 @@ class BasicTrainer:
         self.seed = int(trainer_config.get("seed", 0))
         self._step_counter = 0
         self.evaluator = Evaluator(
-            dataset, self.topks, trainer_config.get("test_batch_size", 512)
+            dataset,
+            self.topks,
+            trainer_config.get("test_batch_size", 512),
+            mesh=self.mesh,
         )
         self.params = model.init_params(jax.random.key(self.seed))
+        if self.mesh is not None:
+            if self.batch_size % self.mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must divide over the "
+                    f"'data' mesh axis (size {self.mesh.shape['data']})"
+                )
+            self.params = self._shard(self.params)
         self.optimizer = None
         self.opt_state = None
         self.steps_per_epoch = max(1, -(-len(dataset) // self.batch_size))
+
+    def _shard(self, tree):
+        """Place a params-shaped pytree on the mesh (tables row-sharded over
+        'model', rest replicated); identity without a mesh. Used at init and
+        after every checkpoint restore — restore_like returns host arrays,
+        which would otherwise land single-device and force a re-trace."""
+        if self.mesh is None:
+            return tree
+        from inductive_recommendation_tpu.parallel.mesh import shard_params
+
+        return shard_params(tree, self.mesh)
 
     # -- rng ----------------------------------------------------------------
     def _next_seed(self):
@@ -95,7 +161,9 @@ class BasicTrainer:
     def initialize_optimizer(self):
         opt_fn = OPTIMIZERS[self.config["optimizer"]]
         self.optimizer = opt_fn(self.config["lr"])
-        self.opt_state = self.optimizer.init(self.params)
+        # adam moments mirror the params tree (same leaf names), so the same
+        # sharding rules row-shard mu/nu alongside the tables
+        self.opt_state = self._shard(self.optimizer.init(self.params))
 
     def train_one_epoch(self):
         raise NotImplementedError
@@ -119,7 +187,7 @@ class BasicTrainer:
 
     def _load_model(self, path):
         payload = load_checkpoint(path)
-        self.params = restore_like(self.params, payload["params"])
+        self.params = self._shard(restore_like(self.params, payload["params"]))
         self.model.restore_aux(payload.get("aux", {}))
         self._rebuild_model_views()
 
@@ -145,9 +213,11 @@ class BasicTrainer:
 
     def load_state(self, path):
         payload = load_checkpoint(path)
-        self.params = restore_like(self.params, payload["params"])
+        self.params = self._shard(restore_like(self.params, payload["params"]))
         if self.opt_state is not None and "opt_state" in payload:
-            self.opt_state = restore_like(self.opt_state, payload["opt_state"])
+            self.opt_state = self._shard(
+                restore_like(self.opt_state, payload["opt_state"])
+            )
         aux = dict(payload.get("aux", {}))
         ts = aux.pop("__trainer__", {})
         self.model.restore_aux(aux)
@@ -182,10 +252,15 @@ class BasicTrainer:
             start_time = time.time()
             loss = self.train_one_epoch()
             self.epoch = epoch + 1
-            if writer:
-                # train-set metrics are logging-only in the reference
-                # (trainer.py:73); computed here only when a writer wants them
+            # the reference runs eval('train') EVERY epoch unconditionally
+            # (trainer.py:73; its result is only consumed by the writer).
+            # Default here: compute it only when something consumes it —
+            # `eval_train_every_epoch: True` restores exact reference epoch
+            # behavior (the train eval lands inside the printed epoch time,
+            # as in the reference).
+            if writer or self.eval_train_every_epoch:
                 _, train_metrics = self.eval("train")
+            if writer:
                 writer.add_scalar(
                     "{:s}_{:s}/train_loss".format(self.model.name, self.name),
                     loss,
@@ -275,13 +350,16 @@ class BPRTrainer(BasicTrainer):
         batch_size = self.batch_size
         base_seed = self.seed
         optimizer = self.optimizer
+        cb, cp = self._cb, self._cp
 
         def step(params, opt_state, buffers, sampler, step_seed):
             rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
             rng_s, rng_m = jax.random.split(rng)
             users, pos, neg = sample_bpr_batch(sampler, rng_s, batch_size)
+            users, pos, neg = cb(users), cb(pos), cb(neg)
 
             def loss_fn(p):
+                p = cp(p)
                 u_r, p_r, n_r, l2 = model_ref.bpr_forward(
                     p, users, pos, neg[:, 0], rng=rng_m, training=True, buffers=buffers
                 )
@@ -331,14 +409,18 @@ class IGCNTrainer(BasicTrainer):
         base_seed = self.seed
         optimizer = self.optimizer
         user_dim = model.user_dim
+        cb, cp = self._cb, self._cp
 
         def step(params, opt_state, buffers, sampler, aux_sampler, step_seed):
             rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
             rng_s, rng_a, rng_m = jax.random.split(rng, 3)
             users, pos, neg = sample_bpr_batch(sampler, rng_s, batch_size)
             a_users, a_pos, a_neg = sample_bpr_batch(aux_sampler, rng_a, batch_size)
+            users, pos, neg = cb(users), cb(pos), cb(neg)
+            a_users, a_pos, a_neg = cb(a_users), cb(a_pos), cb(a_neg)
 
             def loss_fn(p):
+                p = cp(p)
                 # tolerant unpack: the reference pairs DOSE_drop2 (5-tuple)
                 # with IGCNTrainer (4-tuple unpack -> crash, config.py:146-151);
                 # intended semantics = ignore the contrastive slot
@@ -392,13 +474,16 @@ class SGLTrainer(BasicTrainer):
         batch_size = self.batch_size
         base_seed = self.seed
         optimizer = self.optimizer
+        cb, cp = self._cb, self._cp
 
         def step(params, opt_state, buffers, sampler, step_seed):
             rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
             rng_s, rng_m = jax.random.split(rng)
             users, pos, neg = sample_bpr_batch(sampler, rng_s, batch_size)
+            users, pos, neg = cb(users), cb(pos), cb(neg)
 
             def loss_fn(p):
+                p = cp(p)
                 u_r, p_r, n_r, l2, closs = model_ref.bpr_forward(
                     p, users, pos, neg[:, 0], rng=rng_m, training=True, buffers=buffers
                 )
@@ -460,14 +545,18 @@ class DOSEaugTrainer(BasicTrainer):
         base_seed = self.seed
         optimizer = self.optimizer
         user_dim = model.user_dim
+        cb, cp = self._cb, self._cp
 
         def step(params, opt_state, buffers, sampler, aux_sampler, step_seed):
             rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
             rng_s, rng_a, rng_m = jax.random.split(rng, 3)
             users, pos, neg = sample_bpr_batch(sampler, rng_s, batch_size)
             a_users, a_pos, a_neg = sample_bpr_batch(aux_sampler, rng_a, batch_size)
+            users, pos, neg = cb(users), cb(pos), cb(neg)
+            a_users, a_pos, a_neg = cb(a_users), cb(a_pos), cb(a_neg)
 
             def loss_fn(p):
+                p = cp(p)
                 u_r, p_r, n_r, l2, closs = model_ref.bpr_forward(
                     p, users, pos, neg[:, 0], rng=rng_m, training=True, buffers=buffers
                 )
@@ -546,14 +635,17 @@ class BCETrainer(BasicTrainer):
         base_seed = self.seed
         optimizer = self.optimizer
         neg_ratio = self.neg_ratio
+        cb, cp = self._cb, self._cp
 
         def step(params, opt_state, sampler, step_seed):
             rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
             users, pos, neg = sample_bpr_batch(
                 sampler, rng, batch_size, neg_ratio=neg_ratio
             )
+            users, pos, neg = cb(users), cb(pos), cb(neg)
 
             def loss_fn(p):
+                p = cp(p)
                 pos_logits, l2_p = model_ref.bce_forward(p, users, pos, arch=arch)
                 u_rep = jnp.repeat(users, neg_ratio)
                 neg_logits, l2_n = model_ref.bce_forward(
@@ -617,11 +709,14 @@ class MLTrainer(BasicTrainer):
         l2_reg = self.l2_reg
         base_seed = self.seed
         optimizer = self.optimizer
+        cb, cp = self._cb, self._cp
 
         def step(params, opt_state, buffers, users, valid, kl_reg_t, step_seed):
             rng = jax.random.fold_in(jax.random.key(base_seed), step_seed)
+            users, valid = cb(users), cb(valid)
 
             def loss_fn(p):
+                p = cp(p)
                 scores, kl, l2 = model_ref.ml_forward(
                     p, users, rng=rng, training=True, buffers=buffers
                 )
@@ -684,7 +779,15 @@ TRAINERS = {
 }
 
 
-def get_trainer(trainer_config, dataset, model):
-    """Registry factory (trainer.py:16-22)."""
+def get_trainer(trainer_config, dataset, model, mesh=None):
+    """Registry factory (trainer.py:16-22).
+
+    ``mesh``: optional ('data', 'model') jax Mesh — the trainer's jitted
+    steps then run data-parallel over 'data' with embedding tables
+    row-sharded over 'model', and evaluation goes through the mesh
+    evaluator. Same-seed losses match the single-device run (collectives
+    are exact; fp reduction order aside)."""
     cls = TRAINERS[trainer_config["name"]]
+    if mesh is not None:
+        trainer_config = dict(trainer_config, mesh=mesh)
     return cls(trainer_config, dataset, model)

@@ -40,6 +40,15 @@ def build_argparser():
     )
     p.add_argument("--writer", action="store_true", help="TensorBoard logging")
     p.add_argument(
+        "--mesh",
+        default=None,
+        metavar="N_DATA,N_MODEL",
+        help="train over a ('data','model') device mesh, e.g. '2,4': batches "
+        "shard over 'data' (data parallel), embedding tables row-shard over "
+        "'model'; evaluation runs the mesh evaluator. 'auto' uses all "
+        "devices. Same-seed losses match the single-device run.",
+    )
+    p.add_argument(
         "--preprocess",
         choices=["gowalla", "yelp", "amazon"],
         default=None,
@@ -114,9 +123,23 @@ def main(argv=None):
     if args.n_epochs is not None:
         trainer_config["n_epochs"] = args.n_epochs
 
+    mesh = None
+    if args.mesh:
+        from inductive_recommendation_tpu.parallel import make_mesh
+
+        if args.mesh == "auto":
+            mesh = make_mesh()
+        else:
+            n_data, n_model = (int(x) for x in args.mesh.split(","))
+            mesh = make_mesh(n_data=n_data, n_model=n_model)
+        print(f"mesh: {dict(mesh.shape)} over {mesh.size} devices")
+
     dataset = get_dataset(dataset_config)
+    if mesh is not None:
+        # row-shardable tables must pad to the 'model' axis size
+        model_config = dict(model_config, table_align=mesh.shape["model"])
     model = get_model(model_config, dataset)
-    trainer = get_trainer(trainer_config, dataset, model)
+    trainer = get_trainer(trainer_config, dataset, model, mesh=mesh)
 
     writer = None
     if args.writer:

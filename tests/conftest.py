@@ -24,6 +24,14 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+    """Everything not explicitly marked slow is the fast per-commit gate:
+    `pytest -m fast` (< 2 min) == `pytest -m "not slow"`."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -1,5 +1,6 @@
 """Data layer tests: k-core, split semantics, file format parity, sampler."""
 
+import pytest
 import numpy as np
 import jax
 
@@ -202,6 +203,7 @@ def test_sampler_complement_exact_distribution():
     assert live.min() > 0.3 * expected and live.max() < 2.5 * expected
 
 
+@pytest.mark.slow
 def test_sampler_dedups_duplicate_train_items(rng):
     """Duplicate (u, i) pairs (reachable through external train.txt files)
     must not skew exact-complement negative sampling: with duplicates the

@@ -2,6 +2,7 @@
 variants), and the Evaluator device path == the host recommend+metrics
 path including banned items and inductive slices."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -97,6 +98,7 @@ def test_evaluator_device_path_matches_host_path(rng):
                 )
 
 
+@pytest.mark.slow
 def test_inductive_eval_device_vs_host(rng):
     ds = get_dataset(
         {

@@ -11,6 +11,8 @@ import pytest
 from inductive_recommendation_tpu import get_dataset, get_model, get_trainer
 from inductive_recommendation_tpu.models.dose import _DOSEBase
 
+pytestmark = pytest.mark.slow
+
 TOPKS = [1, 5, 10, 15, 20, 25]
 
 

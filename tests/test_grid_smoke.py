@@ -12,6 +12,8 @@ from inductive_recommendation_tpu import configs, get_dataset, get_model, get_tr
 from inductive_recommendation_tpu.train.checkpoint import save_checkpoint
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def ds():
     return get_dataset(

@@ -10,6 +10,8 @@ import pytest
 from inductive_recommendation_tpu import get_dataset, get_model, get_trainer
 from inductive_recommendation_tpu.train.checkpoint import save_checkpoint
 
+pytestmark = pytest.mark.slow
+
 TOPKS = [1, 5, 10, 15, 20, 25]
 
 

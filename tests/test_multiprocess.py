@@ -55,6 +55,8 @@ print("RESULT " + json.dumps({"pid": pid, "loss": loss_val,
 """
 
 
+pytestmark = pytest.mark.slow
+
 def test_two_process_mesh_matches_single_process(tmp_path):
     port = "29911"
     env = dict(

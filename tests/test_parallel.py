@@ -2,6 +2,7 @@
 bitwise-matches the single-device evaluator; sharded IGCN/BPR steps run with
 actually-sharded tables."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -181,6 +182,7 @@ def test_mf_neumf_tables_align_for_model_axis():
     assert logits.shape == (4,) and np.isfinite(np.asarray(l2)).all()
 
 
+@pytest.mark.slow
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as g
 

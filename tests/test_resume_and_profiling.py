@@ -1,5 +1,6 @@
 """Trainer full-state resume; SoL accounting; NaN audit utility."""
 
+import pytest
 import os
 
 import numpy as np
@@ -7,6 +8,8 @@ import numpy as np
 from inductive_recommendation_tpu import get_dataset, get_model, get_trainer
 from inductive_recommendation_tpu.ops.sol import spmm_cost
 from inductive_recommendation_tpu.utils.profiling import StepTimer, nan_check
+
+pytestmark = pytest.mark.slow
 
 TOPKS = [1, 5, 10, 15, 20, 25]
 

@@ -22,6 +22,8 @@ from inductive_recommendation_tpu import get_dataset, get_model
 from inductive_recommendation_tpu.train import losses as L
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def setup():
     ds = get_dataset(

@@ -30,6 +30,8 @@ from inductive_recommendation_tpu import get_dataset, get_model
 from inductive_recommendation_tpu.train import losses as L
 
 
+pytestmark = pytest.mark.slow
+
 def make_ds(n_users, n_items, n_inter, seed):
     return get_dataset(
         {

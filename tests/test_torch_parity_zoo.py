@@ -30,6 +30,8 @@ from test_torch_parity import (
 )
 
 
+pytestmark = pytest.mark.slow
+
 def _synth(seed, n_users=36, n_items=28, n_inter=450):
     return get_dataset(
         {

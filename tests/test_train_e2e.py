@@ -9,6 +9,8 @@ import pytest
 from inductive_recommendation_tpu import get_dataset, get_model, get_trainer
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def tiny_dataset():
     return get_dataset(

@@ -1,10 +1,13 @@
 """TensorBoard-style writer integration: tag scheme parity with
 trainer.py:51-56 and the train-loop logging path."""
 
+import pytest
 import os
 
 from inductive_recommendation_tpu import get_dataset, get_model, get_trainer
 
+
+pytestmark = pytest.mark.slow
 
 class FakeWriter:
     def __init__(self):
