@@ -13,8 +13,10 @@ TPU-shaped differences:
   device. Users are processed in degree-bucketed order so the exclusion
   scatter is O(E), not O(n_users * max_degree); metric sums are
   order-invariant so no un-permutation is needed;
-- ``recommend`` (explicit top-k lists) and the sharded mesh path keep the
-  vectorized host metrics pass (eval/metrics.py).
+- under a mesh the SAME fused pipeline runs with each user batch sharded
+  across every device (one sharding constraint on the batch index vector),
+  for every model class; ``recommend`` additionally item-shards rep-matrix
+  scoring with per-device top-k + k-way merge (parallel/eval.py).
 """
 
 from __future__ import annotations
@@ -27,7 +29,6 @@ from inductive_recommendation_tpu.eval.device_metrics import (
     batch_metric_sums,
     combine_metric_sums,
 )
-from inductive_recommendation_tpu.eval.metrics import calculate_metrics
 from inductive_recommendation_tpu.ops.topk import masked_topk
 
 
@@ -41,16 +42,25 @@ def _format_results(metrics, topks):
 
 class Evaluator:
     def __init__(self, dataset, topks, test_batch_size=512, mesh=None):
-        """``mesh``: optional jax Mesh with a 'model' axis — retrieval then
-        runs item-sharded with per-device top-k + k-way merge
-        (parallel/eval.py); results are bitwise-identical to the
-        single-device path."""
+        """``mesh``: optional jax Mesh. ``evaluate`` then runs the SAME fused
+        device-metrics pipeline with each user batch sharded across every
+        mesh device (scores, masking, top-k and metric partial sums all
+        data-parallel; only [n_topks, 3] sums leave the devices) — for every
+        model class, rep-matrix or not. ``recommend`` additionally uses
+        item-sharded scoring with per-device top-k + k-way merge for
+        rep-matrix models (the serving path; bitwise-identical to
+        single-device retrieval)."""
         self.dataset = dataset
         self.topks = list(topks)
         # small catalogs: cannot retrieve more items than exist
         self.k_max = min(max(self.topks), dataset.n_items)
         self.test_batch_size = int(test_batch_size)
         self.mesh = mesh
+        if mesh is not None and self.test_batch_size % mesh.size:
+            raise ValueError(
+                f"test_batch_size {self.test_batch_size} must divide over "
+                f"the mesh ({mesh.size} devices)"
+            )
         n_items = dataset.n_items
         # padded exclusion rows (sentinel n_items scatters into a dropped
         # col); uploaded to device ONCE — per-batch host slicing costs an
@@ -86,6 +96,23 @@ class Evaluator:
                 del self._fn_cache[next(iter(self._fn_cache))]
             k_max = self.k_max
 
+            # user-batch sharding: under a mesh, one constraint on the batch
+            # index vector data-parallelizes the whole fused pipeline
+            # (scores/top-k/metric sums shard row-wise by propagation) across
+            # every device — the same program, so results match single-device
+            # (fp sum order aside) for EVERY model class, including those
+            # without a rep-matrix scoring state (MultiVAE, NeuMF, ItemKNN)
+            if self.mesh is None:
+                cu = lambda x: x  # noqa: E731
+            else:
+                _axes = tuple(self.mesh.axis_names)
+                _sh = jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec(_axes)
+                )
+
+                def cu(x):
+                    return jax.lax.with_sharding_constraint(x, _sh)
+
             def scoring_state(params, buffers):
                 return model.make_scoring_state(params, buffers=buffers)
 
@@ -101,7 +128,7 @@ class Evaluator:
                 n_batches = perm.shape[0] // Brec
 
                 def body(i, out):
-                    users = jax.lax.dynamic_slice_in_dim(perm, i * Brec, Brec)
+                    users = cu(jax.lax.dynamic_slice_in_dim(perm, i * Brec, Brec))
                     rows = jax.lax.dynamic_slice_in_dim(excl_rows, i * Brec, Brec)
                     scores = model.score(state, users)
                     items = masked_topk(
@@ -115,7 +142,7 @@ class Evaluator:
                 return jax.lax.fori_loop(0, n_batches, body, out0)
 
             def rec_plain(state, users):
-                scores = model.score(state, users)
+                scores = model.score(state, cu(users))
                 return jax.lax.top_k(scores, k_max)[1]
 
             topks = tuple(self.topks)
@@ -137,7 +164,7 @@ class Evaluator:
                 n_batches = perm.shape[0] // B
 
                 def body(i, acc):
-                    slot = i * B + jnp.arange(B, dtype=jnp.int32)
+                    slot = cu(i * B + jnp.arange(B, dtype=jnp.int32))
                     valid = slot < n_real
                     users = perm[slot]
                     scores = model.score(state, users)
@@ -243,22 +270,18 @@ class Evaluator:
     def evaluate(self, model, params, stage, banned_items=None, eval_data=None):
         """-> (results_str, metrics dict); parity with trainer.py:146-210.
 
-        Single-device fast path: scoring + masking + top-k + metric partial
-        sums run fused on device per user batch; only [n_topks, 3] sums are
-        fetched (the [n_users, 100] recommendation fetch dominates eval on
-        tunneled backends). The sharded (mesh) path keeps host metrics."""
+        Scoring + masking + top-k + metric partial sums run fused on device
+        per user batch; only [n_topks, 3] sums are fetched (the
+        [n_users, 100] recommendation fetch dominates eval on tunneled
+        backends). Under a mesh the same pipeline runs with each user batch
+        sharded across all devices — first-class for every model class, no
+        host metrics pass and no single-device fallback."""
         ds = self.dataset
         if eval_data is None:
             eval_data = getattr(ds, stage + "_data")
-        if self.mesh is None:
-            metrics = self._evaluate_on_device(
-                model, params, stage, banned_items, eval_data
-            )
-        else:
-            rec_items = self.recommend(
-                model, params, stage, banned_items=banned_items
-            )
-            metrics = calculate_metrics(eval_data, rec_items, self.topks)
+        metrics = self._evaluate_on_device(
+            model, params, stage, banned_items, eval_data
+        )
         return _format_results(metrics, self.topks), metrics
 
     def _gt_device(self, eval_data):
