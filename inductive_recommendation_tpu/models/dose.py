@@ -108,6 +108,10 @@ class _DOSEBase(IGCN):
         self._restrict_dev_cache = {}
         self._thr_jits = {}
         self.buffers = dict(self.buffers, view_base=self.view_engine.base)
+        # unbaked views, keyed like the buffers: the edge-sharded trainer
+        # (parallel/step.py make_edge_sharded_dose_step) consumes the
+        # global-eid base_scale + delta that baking folds into layout values
+        self.edge_views = {}
         if getattr(self, "_defer_views", False):
             # checkpoint restore of an already-updated run: rebuild_views
             # (trainer hook) regenerates the real views right after and
@@ -127,7 +131,9 @@ class _DOSEBase(IGCN):
             # views are BAKED: the per-epoch keep-mask x normalization is
             # folded into a per-view copy of the layout values, so the train
             # step pays no per-step scale gathers (graph/views.py BakedView)
-            self.buffers[k] = bake_view(self.view_engine.base, self._initial_view(k))
+            v = self._initial_view(k)
+            self.edge_views[k] = v
+            self.buffers[k] = bake_view(self.view_engine.base, v)
 
     def _build_graph_buffers(self, dataset):
         """IGCN's rebuild (restore_aux / attach_dataset) replaces
@@ -157,9 +163,13 @@ class _DOSEBase(IGCN):
     def _update_views(self, params):
         """Regenerate the per-epoch view buffers (per-variant override)."""
         new = dict(self.buffers)
+        views = {}
         for k in self.view_keys:
-            new[k] = bake_view(self.view_engine.base, self._make_view(k, params))
+            v = self._make_view(k, params)
+            views[k] = v
+            new[k] = bake_view(self.view_engine.base, v)
         self.buffers = new
+        self.edge_views = views
 
     def rebuild_views(self, params=None):
         """Called by the trainer after a checkpoint load (with the restored
@@ -826,8 +836,10 @@ class DOSE_aug_drop2(_DOSEBase):
         # one selection, one view build/bake: both keys ARE the same union
         # graph (the reference's no-op drop) — do not run the full-catalog
         # cos-topk selection twice per epoch
-        v = bake_view(self.view_engine.base, self._make_view("aug_adj", params))
+        ev = self._make_view("aug_adj", params)
+        v = bake_view(self.view_engine.base, ev)
         self.buffers = dict(self.buffers, aug_adj=v, drop_adj=v)
+        self.edge_views = {"aug_adj": ev, "drop_adj": ev}
 
     def _contrastive(self, params, b, users, users_r, rng, training):
         v = self.view_users(params, b, "drop_adj", users, rng, training)
@@ -856,6 +868,7 @@ class DOSE_aug_drop3(_DOSEBase):
             aug_adj=bake_view(eng.base, aug),
             drop_adj=bake_view(eng.base, drop),
         )
+        self.edge_views = {"aug_adj": aug, "drop_adj": drop}
 
     def _contrastive(self, params, b, users, users_r, rng, training):
         v = self.view_users(params, b, "drop_adj", users, rng, training)

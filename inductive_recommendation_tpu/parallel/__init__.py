@@ -18,6 +18,7 @@ this package supplies the north-star parallelism for the TPU build:
 from inductive_recommendation_tpu.parallel.mesh import make_mesh, shard_params
 from inductive_recommendation_tpu.parallel.step import (
     make_edge_sharded_bpr_step,
+    make_edge_sharded_dose_step,
     make_edge_sharded_igcn_step,
     make_sharded_bpr_step,
     make_sharded_igcn_step,
@@ -37,6 +38,7 @@ __all__ = [
     "make_mesh",
     "shard_params",
     "make_edge_sharded_bpr_step",
+    "make_edge_sharded_dose_step",
     "make_edge_sharded_igcn_step",
     "make_sharded_bpr_step",
     "make_sharded_igcn_step",

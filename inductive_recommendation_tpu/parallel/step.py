@@ -248,6 +248,246 @@ def make_edge_sharded_igcn_step(
     return run
 
 
+def make_edge_sharded_dose_step(
+    model,
+    mesh,
+    optimizer,
+    sampler,
+    aux_sampler,
+    batch_size,
+    l2_reg,
+    aux_reg,
+    contrastive_reg,
+    axis="model",
+):
+    """DOSE-family training step (the repo's flagship contrastive models)
+    with EVERY O(|E|) and O(n·d) object sharded: the feature matrix, the
+    main adjacency, the contrastive VIEW graph and the core embedding table.
+
+    Loss = BPR + l2_reg·L2 + aux_reg·auxBPR(w) + contrastive_reg·InfoNCE
+    (reference trainer.py:255-306), with the view representation propagated
+    over the per-epoch augmentation graph (model.py:367-613). Covers the
+    single-view-InfoNCE recipes (DOSE_aug/aug3/aug4/drop/drop2/drop3,
+    DOSE_aug_drop2/3's drop-view losses); DOSE_aug2's aug FEATURE matrix and
+    the two-term variants (DOSE_aug_drop, TEST2) are single-device only.
+
+    View layout: the raw train adjacency (both directions, ViewEngine's base
+    edge order) is one more :class:`EdgeShardedSpMM`; a view enters the step
+    as (a) the EdgeView's keep-mask x normalization ``base_scale`` re-indexed
+    ONCE PER EPOCH into each shard's local edge space via ``eid_map``
+    (:func:`prepare_view` — an O(nnz/S)-per-device gather, the sharded analog
+    of graph/views.py's baking), and (b) the fixed-budget injected-pair delta
+    COO, applied outside the shard_map (O(aug_num) entries; XLA routes the
+    cross-shard gather + segment-sum). Per-epoch view regeneration therefore
+    changes only array VALUES — the jitted step never retraces.
+
+    Divergence from the single-device path (same as the IGCN step above):
+    feature dropout draws i.i.d. uniforms per shard instead of the
+    counter-hash of the flat layout — identical keep/rescale algebra,
+    different draws. The view branch re-draws its own dropout, as each
+    reference get_*_rep call re-applies it (model.py:488-501).
+
+    -> (run, prepare_view, shard_model_params):
+       run(params, opt_state, rng, view_state, alpha=1.0)
+           -> (params, opt_state, loss),
+           params = {"embedding": [feat n_cols_pad, d] sharded over ``axis``,
+           "w": [d]};
+       prepare_view(EdgeView) -> view_state  (call once per epoch with
+           the model's stashed ``edge_views[...]`` after ``update_aug_adj``);
+       shard_model_params(single-device params) -> padded sharded params.
+    """
+    from inductive_recommendation_tpu.graph import build_feat_matrix
+    from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
+    from inductive_recommendation_tpu.graph.views import delta_spmm_rect
+    from inductive_recommendation_tpu.parallel.spmm import (
+        _wrap,
+        build_edge_sharded_spmm,
+    )
+
+    n_shards = mesh.shape[axis]
+    ds = model.dataset
+    n_users, n_items = model.n_users, model.n_items
+    n_nodes = n_users + n_items
+    user_dim, n_layers = model.user_dim, model.n_layers
+    p_drop = float(model.dropout)
+
+    frow, fcol, fval, row_sum = build_feat_matrix(
+        ds.train_array, n_users, n_items, model.user_map, model.item_map
+    )
+    feat_emat = build_edge_sharded_spmm(
+        frow, fcol, fval, (n_nodes, model.feat_n_cols), n_shards
+    )
+    r, c, v = sym_normalized_adjacency(ds.train_array, n_users, n_items)
+    adj_emat = build_edge_sharded_spmm(r, c, v, (n_nodes, n_nodes), n_shards)
+    eng = model.view_engine
+    # ViewEngine base edge order == EdgeView.base_scale's edge-id space; the
+    # values are all 1.0 so no zero-entry is filtered and ids stay aligned
+    view_emat = build_edge_sharded_spmm(
+        eng._base_rows,
+        eng._base_cols,
+        np.ones(len(eng._base_rows), np.float32),
+        (n_nodes, n_nodes),
+        n_shards,
+    )
+    if feat_emat.n_rows_pad != adj_emat.n_cols_pad:
+        raise ValueError("feat output rows and adjacency operand rows must pad identically")
+    n_pad = adj_emat.n_rows_pad
+
+    feat_spmm = _wrap(feat_emat, mesh, axis, "scatter")
+    adj_spmm = _wrap(adj_emat, mesh, axis, "scatter")
+    view_spmm = _wrap(view_emat, mesh, axis, "scatter")
+    scale_sharding = NamedSharding(mesh, P(axis, None))
+    row_sharding = NamedSharding(mesh, P(axis, None))
+
+    @jax.jit
+    def _prep(eid_map, base_scale):
+        return jax.lax.with_sharding_constraint(base_scale[eid_map], scale_sharding)
+
+    def prepare_view(view):
+        """EdgeView -> (stacked local base scales, delta COO) for ``run``."""
+        delta = (
+            view.d_row,
+            view.d_col,
+            view.d_val,
+            view.dt_row,
+            view.dt_col,
+            view.dt_val,
+        )
+        return _prep(view_emat.eid_map, view.base_scale), delta
+
+    has_delta = eng.delta_budget > 0
+
+    def step(
+        params,
+        opt_state,
+        ffwd,
+        fbwd,
+        afwd,
+        abwd,
+        vfwd,
+        vbwd,
+        vscale,
+        delta,
+        frow_st,
+        rs,
+        smp,
+        aux_smp,
+        rng,
+        alpha,
+    ):
+        rng_s, rng_a, rng_d, rng_vd = jax.random.split(rng, 4)
+        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+        a_users, a_pos, a_neg = sample_bpr_batch(aux_smp, rng_a, batch_size)
+
+        expo = (alpha - 1.0) / 2.0 - 0.5
+        anneal = jnp.power(jnp.maximum(rs, 1e-12)[frow_st], expo)
+
+        def dropped(a, key):
+            if p_drop <= 0.0:
+                return a
+            keep = jax.random.uniform(key, a.shape) >= p_drop
+            return a * jnp.where(keep, 1.0 / (1.0 - p_drop), 0.0)
+
+        anneal_main = jax.lax.with_sharding_constraint(
+            dropped(anneal, rng_d), scale_sharding
+        )
+        anneal_view = (
+            anneal_main
+            if p_drop <= 0.0
+            else jax.lax.with_sharding_constraint(
+                dropped(anneal, rng_vd), scale_sharding
+            )
+        )
+
+        def propagate(spmm, fwd, bwd, scale, x0, with_delta):
+            acc, h = x0, x0
+            for _ in range(n_layers):
+                # A_view @ h = base @ h + delta @ h — both on the SAME h
+                out = spmm(fwd, bwd, scale, h)
+                if with_delta:
+                    out = out + jax.lax.with_sharding_constraint(
+                        delta_spmm_rect(n_pad, delta, h), row_sharding
+                    )
+                h = out
+                acc = acc + h
+            return acc / (n_layers + 1)
+
+        def loss_fn(p):
+            emb = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
+            # main branch: annealed+dropped feat -> adjacency propagation
+            x0 = feat_spmm(ffwd, fbwd, anneal_main, emb)
+            rep = propagate(adj_spmm, afwd, abwd, None, x0, False)
+            u_r = rep[users]
+            p_r = rep[n_users + pos]
+            n_r = rep[n_users + neg[:, 0]]
+            l2 = jnp.sum(u_r**2, 1) + jnp.sum(p_r**2, 1) + jnp.sum(n_r**2, 1)
+            bpr = L.bpr_loss(u_r, p_r, n_r)
+            aux_loss = L.aux_bpr_w(
+                emb, p["w"], a_users, a_pos, a_neg[:, 0], user_dim
+            )
+            # view branch: re-drawn feat dropout -> view-graph propagation
+            x0v = feat_spmm(ffwd, fbwd, anneal_view, emb)
+            vrep = propagate(view_spmm, vfwd, vbwd, vscale, x0v, has_delta)
+            v_u = vrep[users]
+            closs = L.info_nce(u_r, v_u, v_u).mean()
+            return (
+                bpr
+                + l2_reg * l2.mean()
+                + aux_reg * aux_loss
+                + contrastive_reg * closs
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+    frow_stacked = jax.device_put(
+        np.asarray(frow, dtype=np.int32)[np.asarray(feat_emat.eid_map)],
+        scale_sharding,
+    )
+    rs_dev = jnp.asarray(row_sum, dtype=jnp.float32)
+
+    def run(params, opt_state, rng, view_state, alpha=1.0):
+        vscale, delta = view_state
+        return jitted(
+            params,
+            opt_state,
+            feat_emat.fwd,
+            feat_emat.bwd,
+            adj_emat.fwd,
+            adj_emat.bwd,
+            view_emat.fwd,
+            view_emat.bwd,
+            vscale,
+            delta,
+            frow_stacked,
+            rs_dev,
+            sampler,
+            aux_sampler,
+            rng,
+            jnp.asarray(alpha, jnp.float32),
+        )
+
+    def shard_model_params(params):
+        from inductive_recommendation_tpu.parallel.spmm import shard_operand
+
+        return {
+            "embedding": shard_operand(
+                jnp.asarray(params["embedding"])[: model.feat_n_cols],
+                feat_emat,
+                mesh,
+                axis,
+            ),
+            # copy, not asarray: run() donates params — aliasing the
+            # caller's buffer would delete it out from under them
+            "w": jnp.array(params["w"]),
+        }
+
+    return run, prepare_view, shard_model_params
+
+
 def make_sharded_igcn_step(
     model, optimizer, sampler, aux_sampler, batch_size, l2_reg, aux_reg, mesh
 ):

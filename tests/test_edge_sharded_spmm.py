@@ -350,3 +350,109 @@ def test_edge_scale_order_with_zero_valued_entries(rng):
     out = np.asarray(fn(shard_operand(x, mat, mesh), jnp.asarray(scale)))[:n]
     expect = _dense(row, col, val * scale, (n, n)) @ x
     np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_name", ["DOSE_aug", "DOSE_drop2"])
+def test_edge_sharded_dose_step_matches_single_device(model_name):
+    """Fully-sharded DOSE training (feature matrix + adjacency + contrastive
+    VIEW graph + core table all sharded over 'model') computes the same
+    full BPR+aux+InfoNCE loss as the single-device DOSEaugTrainer loss on
+    the same batch, at the initial views AND after update_aug_adj (per-epoch
+    regeneration reaches the sharded layout through prepare_view's local
+    re-indexing of the SAME EdgeView the baked single-device buffers use)."""
+    import optax
+
+    from inductive_recommendation_tpu import get_dataset, get_model
+    from inductive_recommendation_tpu.data.dataset import AuxiliaryDataset
+    from inductive_recommendation_tpu.data.sampling import (
+        build_sampler_state,
+        sample_bpr_batch,
+    )
+    from inductive_recommendation_tpu.parallel import make_edge_sharded_dose_step
+    from inductive_recommendation_tpu.train import losses as L
+
+    ds = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 48,
+            "n_items": 40,
+            "n_interactions": 650,
+            "seed": 11,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+    model = get_model(
+        {
+            "name": model_name,
+            "embedding_size": 16,
+            "n_layers": 2,
+            "dropout": 0.0,
+            "feature_ratio": 1.0,
+            "aug_num": 12,
+            "aug_rate": 0.5,
+            "table_align": 1,
+        },
+        ds,
+    )
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    aux = AuxiliaryDataset(ds, model.user_map, model.item_map)
+    aux_sampler = build_sampler_state(aux.train_data, aux.n_items)
+    params0 = model.init_params(jax.random.key(3))
+    l2_reg, aux_reg, c_reg, bs = 1e-4, 0.01, 0.05, 64
+
+    def single_loss(p, buffers, rng):
+        # split exactly like the sharded step (4-way) so both draw the
+        # same main/aux batches
+        rng_s, rng_a, _, _ = jax.random.split(rng, 4)
+        users, pos, neg = sample_bpr_batch(sampler, rng_s, bs)
+        a_users, a_pos, a_neg = sample_bpr_batch(aux_sampler, rng_a, bs)
+        u, pr, nr, l2, closs = model.bpr_forward(
+            p, users, pos, neg[:, 0], training=False, buffers=buffers
+        )
+        aux_l = L.aux_bpr_w(
+            p["embedding"], p["w"], a_users, a_pos, a_neg[:, 0], model.user_dim
+        )
+        return (
+            L.bpr_loss(u, pr, nr)
+            + l2_reg * l2.mean()
+            + aux_reg * aux_l
+            + c_reg * closs.mean()
+        )
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    optimizer = optax.adam(1e-2)
+    step, prepare_view, shard_model_params = make_edge_sharded_dose_step(
+        model, mesh, optimizer, sampler, aux_sampler, bs, l2_reg, aux_reg, c_reg
+    )
+
+    for epoch in range(2):
+        vstate = prepare_view(model.edge_views["aug_adj"])
+        loss_ref = float(
+            jax.jit(single_loss)(params0, model.buffers, jax.random.key(9 + epoch))
+        )
+        # fresh sharded params per comparison: the step donates its input
+        params = shard_model_params(params0)
+        opt_state = optimizer.init(params)
+        with mesh:
+            params, opt_state, loss = step(
+                params,
+                opt_state,
+                jax.random.key(9 + epoch),
+                vstate,
+                alpha=model.alpha,
+            )
+        assert abs(float(loss) - loss_ref) < 2e-4, (
+            model_name,
+            epoch,
+            float(loss),
+            loss_ref,
+        )
+        assert not params["embedding"].sharding.is_fully_replicated
+        # trainer epoch end (DOSEaugTrainer.train_one_epoch): anneal + view
+        # regeneration; epoch 1 then compares post-update_aug_adj views with
+        # a delta (DOSE_aug injects non-train pairs) / a random keep mask
+        # (DOSE_drop2, delta budget 0)
+        model.feat_mat_anneal()
+        model.update_aug_adj(params0)
