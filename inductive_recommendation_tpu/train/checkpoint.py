@@ -14,6 +14,7 @@ from flax import serialization
 
 
 def save_checkpoint(path, params, opt_state=None, aux=None):
+    path = os.fspath(path)
     payload = {
         "params": serialization.to_state_dict(jax.device_get(params)),
         "aux": serialization.to_state_dict(aux or {}),
