@@ -1,0 +1,267 @@
+"""Direct reference-source oracles: import the DGL-free reference modules
+from /root/reference and assert this framework against THEM — executing the
+reference's own code removes the shared-interpretation risk of the ported
+torch replicas in the golden-parity suite.
+
+Covered: the full raw-Gowalla pipeline (update_ui_sets, k-core
+remove_sparse_ui, update_user_inter_lists dedup-min-time, generate_data
+chronological split incl. the ``lst[-0:]`` quirk — dataset.py:17-114,
+167-190), output_data text format, AuxiliaryDataset core filtering,
+calculate_metrics (trainer.py:113-144), the eval exclusion+top-k protocol
+(trainer.py:146-172), and utils.graph_rank_nodes degree/sort/page_rank
+(utils.py:186-215).
+"""
+
+import importlib.util
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REF = "/root/reference"
+
+
+def _load_ref(name):
+    # the reference modules import each other by bare name ('from dataset
+    # import AuxiliaryDataset'), so they must land in sys.modules under it
+    if name in sys.modules and getattr(sys.modules[name], "__file__", "").startswith(
+        REF
+    ):
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, f"{REF}/{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref():
+    if "info_nce" not in sys.modules:
+        # minimal shim: trainer.py imports InfoNCE at module level; the
+        # oracle tests never construct contrastive trainers
+        shim = types.ModuleType("info_nce")
+
+        class InfoNCE:
+            def __init__(self, *a, **k):
+                pass
+
+        shim.InfoNCE = InfoNCE
+        sys.modules["info_nce"] = shim
+    dataset = _load_ref("dataset")
+    utils = _load_ref("utils")
+    trainer = _load_ref("trainer")
+    return SimpleNamespace(dataset=dataset, utils=utils, trainer=trainer)
+
+
+def _gowalla_lines(rng, n_users=25, n_items=20, n_events=400):
+    """Synthetic Gowalla_totalCheckins.txt: user \\t ISO-time \\t lat \\t
+    lng \\t item, with duplicate (u, i) pairs at different times (the
+    pipeline keeps the EARLIEST time per pair)."""
+    lines = []
+    for _ in range(n_events):
+        u = int(rng.integers(0, n_users))
+        i = int(rng.integers(0, n_items))
+        day = int(rng.integers(1, 28))
+        hour = int(rng.integers(0, 24))
+        t = f"2010-{1 + int(rng.integers(0, 12)):02d}-{day:02d}T{hour:02d}:00:00Z"
+        lines.append(f"{u}\t{t}\t0.0\t0.0\t{i}")
+    return lines
+
+
+@pytest.fixture(scope="module")
+def gowalla_raw(tmp_path_factory):
+    rng = np.random.default_rng(17)
+    root = tmp_path_factory.mktemp("gowalla")
+    (root / "Gowalla_totalCheckins.txt").write_text(
+        "\n".join(_gowalla_lines(rng)) + "\n"
+    )
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def both_gowalla(ref, gowalla_raw):
+    """The same raw file through the reference pipeline and ours."""
+    from inductive_recommendation_tpu import get_dataset
+
+    cfg = {
+        "name": "GowallaDataset",
+        "path": gowalla_raw,
+        "min_inter": 3,
+        "split_ratio": [0.7, 0.15, 0.15],
+        "device": "cpu",
+    }
+    ref_ds = ref.dataset.GowallaDataset(dict(cfg))
+    ours = get_dataset({k: v for k, v in cfg.items() if k != "device"})
+    return ref_ds, ours
+
+
+@pytest.fixture(scope="module")
+def both_processed(ref, both_gowalla, tmp_path_factory):
+    """Output the reference raw pipeline's splits and reload both sides as
+    ProcessedDataset — the reference's experiment-time format (its raw
+    datasets leave train_array empty; only ProcessedDataset builds it,
+    dataset.py:150-152)."""
+    from inductive_recommendation_tpu import get_dataset
+
+    ref_raw, _ = both_gowalla
+    out = str(tmp_path_factory.mktemp("processed"))
+    ref_raw.output_dataset(out)
+    ref_proc = ref.dataset.ProcessedDataset(
+        {"name": "ProcessedDataset", "path": out, "device": "cpu"}
+    )
+    ours = get_dataset({"name": "ProcessedDataset", "path": out})
+    return ref_proc, ours
+
+
+def test_gowalla_pipeline_matches_reference_source(both_gowalla):
+    """k-core, id remapping, min-time dedup and the chronological split all
+    executed by the reference's own code vs ours, element-exact."""
+    ref_ds, ours = both_gowalla
+    assert (ref_ds.n_users, ref_ds.n_items) == (ours.n_users, ours.n_items)
+    assert ref_ds.train_data == [list(x) for x in ours.train_data]
+    assert ref_ds.val_data == [list(x) for x in ours.val_data]
+    assert ref_ds.test_data == [list(x) for x in ours.test_data]
+    # the reference's RAW datasets leave train_array unfilled (only
+    # ProcessedDataset builds it); ours fills it for raw too — check it
+    # against the reference's definition over the ref-produced train_data
+    expect = [[u, i] for u in range(ref_ds.n_users) for i in ref_ds.train_data[u]]
+    np.testing.assert_array_equal(np.asarray(ours.train_array), np.asarray(expect))
+
+
+def test_processed_dataset_matches_reference_source(both_processed):
+    ref_ds, ours = both_processed
+    assert (ref_ds.n_users, ref_ds.n_items) == (ours.n_users, ours.n_items)
+    assert ref_ds.train_data == [list(x) for x in ours.train_data]
+    np.testing.assert_array_equal(
+        np.asarray(ref_ds.train_array), np.asarray(ours.train_array)
+    )
+
+
+def test_output_dataset_matches_reference_source(both_gowalla, tmp_path):
+    ref_ds, ours = both_gowalla
+    ref_dir, our_dir = tmp_path / "ref", tmp_path / "ours"
+    ref_ds.output_dataset(str(ref_dir))
+    ours.output_dataset(str(our_dir))
+    for split in ("train.txt", "val.txt", "test.txt"):
+        assert (ref_dir / split).read_bytes() == (our_dir / split).read_bytes(), split
+
+
+def test_auxiliary_dataset_matches_reference_source(ref, both_processed):
+    from inductive_recommendation_tpu.data.dataset import AuxiliaryDataset
+
+    ref_ds, ours = both_processed
+    # a non-trivial core: even users / odd items (reference maps are dicts)
+    core_u = [u for u in range(ref_ds.n_users) if u % 2 == 0]
+    core_i = [i for i in range(ref_ds.n_items) if i % 2 == 1]
+    user_map_d = {u: idx for idx, u in enumerate(core_u)}
+    item_map_d = {i: idx for idx, i in enumerate(core_i)}
+    ref_aux = ref.dataset.AuxiliaryDataset(ref_ds, user_map_d, item_map_d)
+
+    um = np.full(ours.n_users, -1, dtype=np.int64)
+    um[core_u] = np.arange(len(core_u))
+    im = np.full(ours.n_items, -1, dtype=np.int64)
+    im[core_i] = np.arange(len(core_i))
+    our_aux = AuxiliaryDataset(ours, um, im)
+    assert (ref_aux.n_users, ref_aux.n_items) == (our_aux.n_users, our_aux.n_items)
+    assert ref_aux.train_data == [list(x) for x in our_aux.train_data]
+    assert len(ref_aux) == len(our_aux)
+
+
+def test_calculate_metrics_matches_reference_source(ref):
+    """Precision/Recall/NDCG against the reference's own per-user loops
+    (trainer.py:113-144), including empty eval lists (masked users)."""
+    from inductive_recommendation_tpu.eval.metrics import calculate_metrics
+
+    rng = np.random.default_rng(3)
+    n_users, n_items, K = 40, 60, 10
+    topks = [1, 5, 10]
+    rec_items = np.stack(
+        [rng.choice(n_items, size=K, replace=False) for _ in range(n_users)]
+    )
+    eval_data = []
+    for u in range(n_users):
+        n = int(rng.integers(0, 8))  # some users have EMPTY eval lists
+        eval_data.append(list(rng.choice(n_items, size=n, replace=False)))
+
+    shim = object.__new__(ref.trainer.BasicTrainer)
+    shim.topks = topks
+    expect = shim.calculate_metrics(eval_data, rec_items)
+    got = calculate_metrics(eval_data, rec_items, topks)
+    for metric in ("Precision", "Recall", "NDCG"):
+        for k in topks:
+            assert got[metric][k] == pytest.approx(
+                expect[metric][k], rel=1e-6
+            ), (metric, k)
+
+
+def test_eval_protocol_matches_reference_source(ref, both_processed):
+    """Full evaluation protocol — train/val exclusion scatter, top-k,
+    metrics — against the reference eval loop (trainer.py:146-172) run with
+    the same fixed scoring model on the same dataset."""
+    import torch
+
+    from inductive_recommendation_tpu import get_model
+    from inductive_recommendation_tpu.eval.evaluator import Evaluator
+
+    ref_ds, ours = both_processed
+    rng = np.random.default_rng(11)
+    topks = [1, 5, 10]
+    user_e = rng.normal(size=(ours.n_users, 8)).astype(np.float32)
+    item_e = rng.normal(size=(ours.n_items, 8)).astype(np.float32)
+
+    # reference-side: a BasicTrainer shim with a fixed-score predict
+    shim = object.__new__(ref.trainer.BasicTrainer)
+    shim.topks = topks
+    shim.dataset = ref_ds
+    shim.model = SimpleNamespace(
+        eval=lambda: None,
+        predict=lambda users: torch.tensor(user_e[users.numpy()] @ item_e.T),
+    )
+    from torch.utils.data import DataLoader, TensorDataset
+
+    shim.test_user_loader = DataLoader(
+        TensorDataset(torch.arange(ref_ds.n_users)), batch_size=16
+    )
+    _, expect, _ = ref.trainer.BasicTrainer.eval(shim, "val")
+    _, expect_test, _ = ref.trainer.BasicTrainer.eval(shim, "test")
+
+    # our side: MF with the same tables through the device evaluator
+    model = get_model(
+        {"name": "MF", "embedding_size": 8, "table_align": 1}, ours
+    )
+    params = {
+        "user_embedding": np.asarray(user_e),
+        "item_embedding": np.asarray(item_e),
+    }
+    ev = Evaluator(ours, topks, test_batch_size=16)
+    for split, exp in (("val", expect), ("test", expect_test)):
+        _, got = ev.evaluate(model, params, split)
+        for metric in ("Precision", "Recall", "NDCG"):
+            for k in topks:
+                assert got[metric][k] == pytest.approx(
+                    exp[metric][k], rel=1e-5
+                ), (split, metric, k)
+
+
+@pytest.mark.parametrize("metric", ["degree", "sort", "page_rank"])
+def test_rankings_match_reference_source(ref, both_processed, metric):
+    """graph_rank_nodes against the reference's scipy/networkx code
+    (utils.py:186-215). Rank ORDER can differ on exact metric ties
+    (argsort tie-breaking is an implementation detail both sides), so
+    assert the metric VALUES per node id, which determine any consumer's
+    behavior up to tie permutation, plus the ranked set prefix."""
+    from inductive_recommendation_tpu.graph.ranking import graph_rank_nodes
+
+    ref_ds, ours = both_processed
+    ranked_u_ref, ranked_i_ref = ref.utils.graph_rank_nodes(ref_ds, metric)
+    ranked_u, ranked_i = graph_rank_nodes(ours, metric)
+    np.testing.assert_array_equal(np.sort(ranked_u), np.sort(ranked_u_ref))
+    np.testing.assert_array_equal(np.sort(ranked_i), np.sort(ranked_i_ref))
+    # exact order where the reference's metric has no ties
+    np.testing.assert_array_equal(ranked_u, ranked_u_ref)
+    np.testing.assert_array_equal(ranked_i, ranked_i_ref)
