@@ -15,6 +15,10 @@ this package supplies the north-star parallelism for the TPU build:
   — the sequence-parallel analog for this workload (SURVEY §2.7)
 """
 
+from inductive_recommendation_tpu.parallel.comms import (
+    CollectiveStats,
+    collective_stats,
+)
 from inductive_recommendation_tpu.parallel.mesh import make_mesh, shard_params
 from inductive_recommendation_tpu.parallel.step import (
     make_edge_sharded_bpr_step,
@@ -35,6 +39,8 @@ from inductive_recommendation_tpu.parallel.spmm import (
 )
 
 __all__ = [
+    "CollectiveStats",
+    "collective_stats",
     "make_mesh",
     "shard_params",
     "make_edge_sharded_bpr_step",

@@ -1,0 +1,149 @@
+"""Communication-volume model for the sharded paths (parallel/comms.py):
+count every collective a step issues straight from the traced jaxpr and
+assert the DESIGNED complexity — per-device traffic O(n·d) per layer,
+independent of |E| and of the shard count's compute split. This is the
+checkable half of SURVEY §2.7's scaling-efficiency target (the other half
+needs real multi-host hardware); BASELINE.md publishes the ICI-bound
+scaling table these counts predict."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inductive_recommendation_tpu.parallel import make_mesh
+from inductive_recommendation_tpu.parallel.comms import collective_stats
+from inductive_recommendation_tpu.parallel.spmm import (
+    _wrap,
+    build_edge_sharded_spmm,
+    shard_operand,
+)
+
+
+def _graph(rng, n, nnz):
+    row = rng.integers(0, n, nnz)
+    col = rng.integers(0, n, nnz)
+    key = row * n + col
+    _, keep = np.unique(key, return_index=True)
+    return row[keep], col[keep], rng.normal(size=len(keep)).astype(np.float32)
+
+
+def _prop_stats(n, d, n_layers, S, nnz, seed=0):
+    rng = np.random.default_rng(seed)
+    row, col, val = _graph(rng, n, nnz)
+    mesh = make_mesh(n_data=1, n_model=S, devices=jax.devices()[:S])
+    mat = build_edge_sharded_spmm(row, col, val, (n, n), S)
+    spmm = _wrap(mat, mesh, "model", "scatter")
+
+    def loss(x):
+        h = x
+        for _ in range(n_layers):
+            h = spmm(mat.fwd, mat.bwd, None, h)
+        return jnp.sum(h)
+
+    x = shard_operand(np.ones((n, d), np.float32), mat, mesh)
+    return collective_stats(jax.grad(loss), x), mat
+
+
+@pytest.mark.parametrize("S", [2, 4, 8])
+def test_propagation_collectives_are_one_rs_one_ag_per_layer(S):
+    n, d, L = 64, 8, 3
+    stats, mat = _prop_stats(n, d, L, S, nnz=600)
+    assert stats.counts["reduce_scatter"] == L  # one per layer forward
+    assert stats.counts["all_gather"] == L  # one per layer backward
+    # shard_map's backward replication bookkeeping: one psum per layer over
+    # the UNMENTIONED 'data' axis (size 1 on this mesh -> zero traffic; on a
+    # data>1 mesh it is the standard DP gradient reduction)
+    assert stats.counts["psum"] == L
+    assert all(s == 1 for s in stats.axis_sizes["psum"])
+    assert stats.counts["all_to_all"] == 0
+    # per-call per-device operands: full [n_pad, d] rows in (rs), out (ag)
+    per_call = mat.n_rows_pad * d * 4
+    assert stats.in_bytes["reduce_scatter"] == L * per_call
+    assert stats.out_bytes["all_gather"] == L * per_call
+    # ring model: 2L x (S-1)/S x n_pad·d·4 bytes per device per step
+    expect = 2 * L * (S - 1) / S * per_call
+    assert stats.ici_bytes_per_device() == pytest.approx(expect)
+
+
+def test_traffic_is_independent_of_edge_count():
+    """The design claim O(n·d/S)-per-collective, O(|E|/S) only in LOCAL
+    gathers: doubling |E| must not change collective counts OR bytes."""
+    n, d, L, S = 64, 8, 2, 4
+    small, _ = _prop_stats(n, d, L, S, nnz=400, seed=1)
+    big, _ = _prop_stats(n, d, L, S, nnz=1600, seed=2)
+    assert small.counts == big.counts
+    assert small.in_bytes == big.in_bytes
+    assert small.out_bytes == big.out_bytes
+
+
+def _tiny_igcn_setup(S):
+    import optax
+
+    from inductive_recommendation_tpu import get_dataset, get_model
+    from inductive_recommendation_tpu.data.dataset import AuxiliaryDataset
+    from inductive_recommendation_tpu.data.sampling import build_sampler_state
+
+    ds = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 48,
+            "n_items": 40,
+            "n_interactions": 650,
+            "seed": 11,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+    model = get_model(
+        {
+            "name": "DOSE_aug",
+            "embedding_size": 8,
+            "n_layers": 2,
+            "dropout": 0.0,
+            "feature_ratio": 1.0,
+            "aug_num": 6,
+            "aug_rate": 0.5,
+            "table_align": 1,
+        },
+        ds,
+    )
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    aux = AuxiliaryDataset(ds, model.user_map, model.item_map)
+    aux_sampler = build_sampler_state(aux.train_data, aux.n_items)
+    mesh = make_mesh(n_data=1, n_model=S, devices=jax.devices()[:S])
+    return ds, model, sampler, aux_sampler, mesh, optax.adam(1e-2)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("S", [2, 8])
+def test_dose_step_collective_budget(S):
+    """The full edge-sharded DOSE step's collective count is a small
+    S-independent constant: (1 feat + L adj + L view) reduce-scatters
+    forward, (1 + 2L) all-gathers backward, + the view branch's second feat
+    pass — nothing scales with S or |E|."""
+    from inductive_recommendation_tpu.parallel import make_edge_sharded_dose_step
+
+    ds, model, sampler, aux_sampler, mesh, opt = _tiny_igcn_setup(S)
+    step, prep, shard = make_edge_sharded_dose_step(
+        model, mesh, opt, sampler, aux_sampler, 32, 1e-4, 0.01, 0.05
+    )
+    params = shard(model.init_params(jax.random.key(0)))
+    vstate = prep(model.edge_views["aug_adj"])
+    opt_state = opt.init(params)
+
+    with mesh:
+        stats = collective_stats(
+            lambda p, o: step(p, o, jax.random.key(1), vstate)[2], params, opt_state
+        )
+    L = model.n_layers
+    # forward: feat (main) + feat (view) + L adj + L view reduce-scatters
+    assert stats.counts["reduce_scatter"] == 2 + 2 * L, stats.counts
+    # backward: one all-gather per reduce-scatter
+    assert stats.counts["all_gather"] == 2 + 2 * L, stats.counts
+    assert stats.counts["all_to_all"] == 0
+    n_pad = -(-(ds.n_users + ds.n_items) // S) * S
+    d = 8
+    # every collective moves [n_pad, d] operands — O(n·d), not O(E)
+    assert stats.in_bytes["reduce_scatter"] == (2 + 2 * L) * n_pad * d * 4
+    assert stats.out_bytes["all_gather"] == (2 + 2 * L) * n_pad * d * 4
