@@ -19,6 +19,16 @@ from inductive_recommendation_tpu.data.sampling import sample_bpr_batch
 from inductive_recommendation_tpu.train import losses as L
 
 
+def _ensure_key(rng, base_seed):
+    """Steps accept either a PRNG key or an INTEGER step counter (folded
+    into ``base_seed``'s key INSIDE the jit — per-step eager key
+    construction costs a dispatch round trip on tunneled backends; the
+    trainer surface passes plain host ints)."""
+    if jnp.issubdtype(jnp.asarray(rng).dtype, jnp.integer):
+        return jax.random.fold_in(jax.random.key(base_seed), rng)
+    return rng
+
+
 def make_sharded_bpr_step(model, optimizer, sampler, batch_size, l2_reg, mesh):
     """-> jitted step(params, opt_state, rng) -> (params, opt_state, loss)
     with table rows sharded over 'model' and the batch over 'data'."""
@@ -63,6 +73,7 @@ def make_edge_sharded_bpr_step(
     n_users,
     n_layers,
     axis="model",
+    base_seed=0,
 ):
     """LightGCN BPR step where NEITHER the graph NOR the embedding table ever
     materializes on one device.
@@ -83,7 +94,7 @@ def make_edge_sharded_bpr_step(
     spmm = _wrap(emat, mesh, axis, "scatter")
 
     def step(params, opt_state, fwd, bwd, smp, rng):
-        rng_s, _ = jax.random.split(rng)
+        rng_s, _ = jax.random.split(_ensure_key(rng, base_seed))
         users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
 
         def loss_fn(p):
@@ -137,6 +148,7 @@ def make_edge_sharded_igcn_step(
     n_layers,
     dropout,
     axis="model",
+    base_seed=0,
 ):
     """IGCN training step where the feature matrix, the adjacency AND the
     core embedding table are all sharded — the flagship model with no
@@ -180,7 +192,7 @@ def make_edge_sharded_igcn_step(
     scale_sharding = NamedSharding(mesh, P(axis, None))
 
     def step(params, opt_state, ffwd, fbwd, afwd, abwd, frow_st, rs, smp, aux_smp, rng, alpha):
-        rng_s, rng_a, rng_d = jax.random.split(rng, 3)
+        rng_s, rng_a, rng_d = jax.random.split(_ensure_key(rng, base_seed), 3)
         users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
         a_users, a_pos, a_neg = sample_bpr_batch(aux_smp, rng_a, batch_size)
 
@@ -259,6 +271,9 @@ def make_edge_sharded_dose_step(
     aux_reg,
     contrastive_reg,
     axis="model",
+    base_seed=0,
+    feat_emat=None,
+    adj_emat=None,
 ):
     """DOSE-family training step (the repo's flagship contrastive models)
     with EVERY O(|E|) and O(n·d) object sharded: the feature matrix, the
@@ -314,11 +329,15 @@ def make_edge_sharded_dose_step(
     frow, fcol, fval, row_sum = build_feat_matrix(
         ds.train_array, n_users, n_items, model.user_map, model.item_map
     )
-    feat_emat = build_edge_sharded_spmm(
-        frow, fcol, fval, (n_nodes, model.feat_n_cols), n_shards
-    )
-    r, c, v = sym_normalized_adjacency(ds.train_array, n_users, n_items)
-    adj_emat = build_edge_sharded_spmm(r, c, v, (n_nodes, n_nodes), n_shards)
+    # prebuilt layouts (e.g. shared with the trainer's eval rep fn) are
+    # accepted to avoid duplicating the O(E) host bucketing + device copies
+    if feat_emat is None:
+        feat_emat = build_edge_sharded_spmm(
+            frow, fcol, fval, (n_nodes, model.feat_n_cols), n_shards
+        )
+    if adj_emat is None:
+        r, c, v = sym_normalized_adjacency(ds.train_array, n_users, n_items)
+        adj_emat = build_edge_sharded_spmm(r, c, v, (n_nodes, n_nodes), n_shards)
     eng = model.view_engine
     # ViewEngine base edge order == EdgeView.base_scale's edge-id space; the
     # values are all 1.0 so no zero-entry is filtered and ids stay aligned
@@ -375,7 +394,7 @@ def make_edge_sharded_dose_step(
         rng,
         alpha,
     ):
-        rng_s, rng_a, rng_d, rng_vd = jax.random.split(rng, 4)
+        rng_s, rng_a, rng_d, rng_vd = jax.random.split(_ensure_key(rng, base_seed), 4)
         users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
         a_users, a_pos, a_neg = sample_bpr_batch(aux_smp, rng_a, batch_size)
 

@@ -1,0 +1,408 @@
+"""Edge-sharded training from the product surface.
+
+`EdgeShardedTrainer` runs the SAME epoch / early-stop / checkpoint loop as
+every other trainer, but with the graph, the embedding table AND the
+optimizer moments edge-block-sharded over the mesh ``axis`` — per-device
+memory O((|E| + n·d)/S). This is the MEMORY scale-out path (the reference's
+single-device HBM ceiling on full-graph propagation, model.py:100-110); the
+``mesh=`` data-parallel path in trainer.py is the THROUGHPUT scale-out.
+
+Supported model/loss families (each routed to its parallel/step.py step):
+
+- LightGCN -> BPR + L2 (``make_edge_sharded_bpr_step``)
+- IGCN / IMF -> + aux BPR on the core table (``make_edge_sharded_igcn_step``;
+  IMF is the n_layers=0 case)
+- single-view-InfoNCE DOSE variants (DOSE_aug/aug3/aug4, DOSE_drop/2/3,
+  DOSE_aug_drop2/3) -> + InfoNCE over the per-epoch view
+  (``make_edge_sharded_dose_step``); view regeneration reaches the sharded
+  layout through ``prepare_view``
+
+Rejected with a clear error: AttIGCN (attention aggregation is not in the
+edge-sharded step), DOSE_aug2 (aug FEATURE matrix path), DOSE_aug_drop /
+TEST2 / DOSE_test (two-term or non-standard contrastive), TEST (non-train
+main adjacency), SGL/HALF (drop-view contrastive over the LightGCN base).
+
+Evaluation computes the main representation with the SAME edge-sharded
+layouts (forward-only; layouts ride the evaluator's jitted scoring through
+a buffers dict — never closure constants) and feeds the standard fused
+device-metrics pipeline. Best-model checkpoints are saved in the MODEL's
+own param layout, so they interoperate with single-device trainers and the
+reference-checkpoint importer; ``save_state``/``load_state`` keep the edge
+layout (full resume).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from inductive_recommendation_tpu.data.dataset import AuxiliaryDataset
+from inductive_recommendation_tpu.data.sampling import build_sampler_state
+from inductive_recommendation_tpu.train.checkpoint import (
+    load_checkpoint,
+    restore_like,
+    save_checkpoint,
+)
+from inductive_recommendation_tpu.train.trainer import BasicTrainer, _epoch_mean
+
+#: DOSE variants whose loss is one InfoNCE(users_r, v, v) over one view
+_DOSE_SUPPORTED = {
+    "DOSE_aug": "aug_adj",
+    "DOSE_aug3": "aug_adj",
+    "DOSE_aug4": "aug_adj",
+    "DOSE_drop": "aug_adj",
+    "DOSE_drop2": "aug_adj",
+    "DOSE_drop3": "aug_adj",
+    "DOSE_aug_drop2": "drop_adj",  # loss uses the drop view (== union quirk)
+    "DOSE_aug_drop3": "drop_adj",  # loss uses the difference-drop view
+}
+
+
+class _EdgeRepScoring:
+    """Model shim for the evaluator: scoring state = the main representation
+    computed over the edge-sharded layouts (carried in ``buffers`` — jit
+    ARGUMENTS, never closure constants). Everything else delegates."""
+
+    def __init__(self, model, rep_fn, extra_buffers):
+        self._model = model
+        self._rep = rep_fn
+        self._extra = extra_buffers
+
+    @property
+    def buffers(self):
+        # rebuilt per access: the model's buffers change per epoch (alpha)
+        return dict(self._model.buffers, **self._extra)
+
+    def make_scoring_state(self, params, buffers=None):
+        return self._rep(params, self.buffers if buffers is None else buffers)
+
+    def trace_signature(self):
+        return ("edge_rep", self._model.trace_signature())
+
+    def __getattr__(self, name):
+        return getattr(self._model, name)
+
+
+class EdgeShardedTrainer(BasicTrainer):
+    """See module docstring. Config keys beyond BasicTrainer's: ``mesh``
+    (required), ``edge_axis`` (default 'model'), the family's regs
+    (``l2_reg`` always; ``aux_reg`` for IGCN/DOSE; ``contrastive_reg`` for
+    DOSE)."""
+
+    def __init__(self, trainer_config, dataset, model):
+        cfg = dict(trainer_config)
+        mesh = cfg.pop("mesh", None)
+        if mesh is None:
+            raise ValueError("EdgeShardedTrainer requires a mesh")
+        self.edge_mesh = mesh
+        self.axis = cfg.get("edge_axis", "model")
+        self.n_shards = mesh.shape[self.axis]
+        # BasicTrainer bookkeeping WITHOUT its data-parallel mesh plumbing
+        super().__init__(cfg, dataset, model)
+        self._family, self._view_key = self._detect_family(model)
+        self.l2_reg = cfg["l2_reg"]
+        self.aux_reg = cfg.get("aux_reg", 0.0)
+        self.contrastive_reg = cfg.get("contrastive_reg", 0.0)
+        # model-layout template (shapes/dtypes only) for checkpoint interop —
+        # captured from the dense init params BEFORE the edge re-layout
+        self._model_template = jax.tree_util.tree_map(
+            lambda v: np.zeros(np.shape(v), np.asarray(v).dtype), self.params
+        )
+        self.initialize_optimizer()
+        self.sampler = build_sampler_state(dataset.train_data, dataset.n_items)
+        self._build_steps()
+        # replace the dense init params with the padded sharded layout
+        self.params = self._shard_model_params(self.params)
+        self.opt_state = self.optimizer.init(self.params)
+
+    # -- family routing -------------------------------------------------------
+    @staticmethod
+    def _detect_family(model):
+        from inductive_recommendation_tpu.models.att_igcn import AttIGCN
+        from inductive_recommendation_tpu.models.dose import _DOSEBase
+        from inductive_recommendation_tpu.models.igcn import IGCN, IMF
+        from inductive_recommendation_tpu.models.lightgcn import LightGCN
+        from inductive_recommendation_tpu.models.sgl import SGL
+
+        name = type(model).__name__
+        if isinstance(model, _DOSEBase):
+            if name not in _DOSE_SUPPORTED:
+                raise ValueError(
+                    f"{name} is not edge-shardable (aug-feature / two-term "
+                    f"/ non-train-adjacency variants are single-device or "
+                    f"data-parallel only); supported: {sorted(_DOSE_SUPPORTED)}"
+                )
+            return "dose", _DOSE_SUPPORTED[name]
+        if isinstance(model, AttIGCN):
+            raise ValueError("AttIGCN's attention aggregation is not edge-shardable")
+        if isinstance(model, (IGCN, IMF)):
+            return "igcn", None
+        if isinstance(model, SGL):
+            raise ValueError(
+                "SGL/HALF contrastive drop views are not edge-shardable; "
+                "use the data-parallel mesh trainer"
+            )
+        if isinstance(model, LightGCN):
+            return "bpr", None
+        raise ValueError(
+            f"{name} has no edge-sharded step (supported: LightGCN, "
+            f"IGCN/IMF, single-view DOSE variants)"
+        )
+
+    # -- step + eval construction ---------------------------------------------
+    def _build_steps(self):
+        from inductive_recommendation_tpu.parallel.spmm import (
+            _wrap,
+            build_edge_sharded_spmm,
+        )
+        from inductive_recommendation_tpu.parallel.step import (
+            make_edge_sharded_bpr_step,
+            make_edge_sharded_dose_step,
+            make_edge_sharded_igcn_step,
+        )
+
+        ds, model, mesh, S = self.dataset, self.model, self.edge_mesh, self.n_shards
+        n = ds.n_users + ds.n_items
+        row_spec = NamedSharding(mesh, P(self.axis, None))
+        self._row_spec = row_spec
+
+        if self._family == "bpr":
+            from inductive_recommendation_tpu.graph.build import (
+                sym_normalized_adjacency,
+            )
+
+            r, c, v = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
+            emat = build_edge_sharded_spmm(r, c, v, (n, n), S)
+            self._emat = emat
+            step = make_edge_sharded_bpr_step(
+                emat,
+                mesh,
+                self.optimizer,
+                self.sampler,
+                self.batch_size,
+                self.l2_reg,
+                ds.n_users,
+                model.n_layers,
+                axis=self.axis,
+                base_seed=self.seed,
+            )
+            self._run_step = lambda seed: step(self.params, self.opt_state, seed)
+            spmm = _wrap(emat, mesh, self.axis, "scatter")
+            L = model.n_layers
+
+            def rep_fn(params, b):
+                x = jax.lax.with_sharding_constraint(params["embedding"], row_spec)
+                acc, h = x, x
+                for _ in range(L):
+                    h = spmm(b["edge_fwd"], b["edge_bwd"], None, h)
+                    acc = acc + h
+                return (acc / (L + 1))[:n]
+
+            extra = {"edge_fwd": emat.fwd, "edge_bwd": emat.bwd}
+            self._scoring = _EdgeRepScoring(model, rep_fn, extra)
+            return
+
+        # IGCN / DOSE: shared feat + adjacency layouts for step AND eval
+        from inductive_recommendation_tpu.graph import build_feat_matrix
+        from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
+
+        frow, fcol, fval, row_sum = build_feat_matrix(
+            ds.train_array, ds.n_users, ds.n_items, model.user_map, model.item_map
+        )
+        feat_emat = build_edge_sharded_spmm(
+            frow, fcol, fval, (n, model.feat_n_cols), S
+        )
+        r, c, v = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
+        adj_emat = build_edge_sharded_spmm(r, c, v, (n, n), S)
+        self._emat = feat_emat
+
+        aux = AuxiliaryDataset(ds, model.user_map, model.item_map)
+        self.aux_sampler = build_sampler_state(aux.train_data, aux.n_items)
+
+        from inductive_recommendation_tpu.models.igcn import IMF
+
+        # IMF's rep is the inductive layer ONLY (model.py:4290-4297): the
+        # propagation loop degenerates to rep = x0 at zero layers
+        n_layers_eff = 0 if isinstance(model, IMF) else model.n_layers
+
+        if self._family == "igcn":
+            step = make_edge_sharded_igcn_step(
+                feat_emat,
+                adj_emat,
+                frow,
+                row_sum,
+                mesh,
+                self.optimizer,
+                self.sampler,
+                self.aux_sampler,
+                self.batch_size,
+                self.l2_reg,
+                self.aux_reg,
+                ds.n_users,
+                model.user_dim,
+                n_layers_eff,
+                model.dropout,
+                axis=self.axis,
+                base_seed=self.seed,
+            )
+            self._run_step = lambda seed: step(
+                self.params, self.opt_state, seed, alpha=self.model.alpha
+            )
+        else:
+            step, prep, _ = make_edge_sharded_dose_step(
+                model,
+                mesh,
+                self.optimizer,
+                self.sampler,
+                self.aux_sampler,
+                self.batch_size,
+                self.l2_reg,
+                self.aux_reg,
+                self.contrastive_reg,
+                axis=self.axis,
+                base_seed=self.seed,
+                feat_emat=feat_emat,
+                adj_emat=adj_emat,
+            )
+            self._prep_view = prep
+            self._vstate = prep(model.edge_views[self._view_key])
+            self._run_step = lambda seed: step(
+                self.params,
+                self.opt_state,
+                seed,
+                self._vstate,
+                alpha=self.model.alpha,
+            )
+
+        feat_spmm = _wrap(feat_emat, mesh, self.axis, "scatter")
+        adj_spmm = _wrap(adj_emat, mesh, self.axis, "scatter")
+        L = n_layers_eff
+        frow_st = jax.device_put(
+            np.asarray(frow, np.int32)[np.asarray(feat_emat.eid_map)], row_spec
+        )
+        rs_dev = jnp.asarray(row_sum, jnp.float32)
+
+        def rep_fn(params, b):
+            # alpha rides the model BUFFERS (updated by feat_mat_anneal), so
+            # the evaluator's jitted scoring never retraces across epochs
+            expo = (b["alpha"] - 1.0) / 2.0 - 0.5
+            anneal = jax.lax.with_sharding_constraint(
+                jnp.power(jnp.maximum(b["edge_rs"], 1e-12)[b["edge_frow"]], expo),
+                row_spec,
+            )
+            x = jax.lax.with_sharding_constraint(params["embedding"], row_spec)
+            x0 = feat_spmm(b["edge_feat_fwd"], b["edge_feat_bwd"], anneal, x)
+            acc, h = x0, x0
+            for _ in range(L):
+                h = adj_spmm(b["edge_adj_fwd"], b["edge_adj_bwd"], None, h)
+                acc = acc + h
+            return (acc / (L + 1))[:n]
+
+        extra = {
+            "edge_feat_fwd": feat_emat.fwd,
+            "edge_feat_bwd": feat_emat.bwd,
+            "edge_adj_fwd": adj_emat.fwd,
+            "edge_adj_bwd": adj_emat.bwd,
+            "edge_frow": frow_st,
+            "edge_rs": rs_dev,
+        }
+        self._scoring = _EdgeRepScoring(model, rep_fn, extra)
+
+    # -- params layout conversion ---------------------------------------------
+    def _shard_model_params(self, params):
+        """Model-layout params -> padded edge layout on the mesh."""
+        out = {}
+        for k, v in params.items():
+            v = jnp.asarray(v)
+            if v.ndim == 2:
+                pad = self._emat.n_cols_pad - v.shape[0]
+                if pad < 0:
+                    v = v[: self._emat.n_cols_pad]
+                    pad = 0
+                v = jnp.concatenate([v, jnp.zeros((pad, v.shape[1]), v.dtype)])
+                out[k] = jax.device_put(v, self._row_spec)
+            else:
+                out[k] = jnp.array(v)  # copy: the step donates params
+        return out
+
+    def _to_model_params(self, params):
+        """Edge-layout params -> the model's own init_params layout (host)."""
+        out = {}
+        for k, t in self._model_template.items():
+            src = np.asarray(jax.device_get(params[k]))
+            t = np.asarray(t)
+            if src.shape == t.shape:
+                out[k] = src
+            else:
+                dst = np.zeros(t.shape, t.dtype)
+                m = min(t.shape[0], src.shape[0])
+                dst[:m] = src[:m]
+                out[k] = dst
+        return out
+
+    def _shard(self, tree):
+        """Re-place restored host arrays: edge-padded tables (and their adam
+        moments) back onto the mesh; everything else replicated."""
+        if not hasattr(self, "_emat"):  # init-time call before _build_steps
+            return tree
+        rows = self._emat.n_cols_pad
+
+        def place(v):
+            if hasattr(v, "ndim") and getattr(v, "ndim", 0) == 2 and v.shape[0] == rows:
+                return jax.device_put(jnp.asarray(v), self._row_spec)
+            return v
+
+        return jax.tree_util.tree_map(place, tree)
+
+    # -- training loop ---------------------------------------------------------
+    def train_one_epoch(self):
+        losses = []
+        with self.edge_mesh:
+            for _ in range(self.steps_per_epoch):
+                self.params, self.opt_state, loss = self._run_step(
+                    self._next_seed()
+                )
+                losses.append(loss)
+        if self._family in ("igcn", "dose"):
+            self.model.feat_mat_anneal()
+        if self._family == "dose":
+            self.model.update_aug_adj(self._to_model_params(self.params))
+            self._vstate = self._prep_view(self.model.edge_views[self._view_key])
+        return _epoch_mean(losses)
+
+    # -- evaluation -------------------------------------------------------------
+    def eval(self, val_or_test, banned_items=None):
+        with self.edge_mesh:
+            return self.evaluator.evaluate(
+                self._scoring, self.params, val_or_test, banned_items=banned_items
+            )
+
+    def inductive_eval(self, n_old_users, n_old_items):
+        with self.edge_mesh:
+            return self.evaluator.inductive_eval(
+                self._scoring, self.params, n_old_users, n_old_items
+            )
+
+    # -- checkpointing -----------------------------------------------------------
+    def _save_model(self, path):
+        # best-model checkpoints use the MODEL's layout: interoperable with
+        # single-device trainers and the reference importer
+        save_checkpoint(
+            path, self._to_model_params(self.params), aux=self.model.checkpoint_aux()
+        )
+
+    def _load_model(self, path):
+        payload = load_checkpoint(path)
+        mp = restore_like(self._model_template, payload["params"])
+        self.model.restore_aux(payload.get("aux", {}))
+        self._rebuild_model_views()
+        self.params = self._shard_model_params(mp)
+        if self._family == "dose":
+            self._vstate = self._prep_view(self.model.edge_views[self._view_key])
+
+    def load_state(self, path):
+        super().load_state(path)  # edge-layout params/opt restored + _shard
+        if self._family == "dose":
+            self._vstate = self._prep_view(self.model.edge_views[self._view_key])

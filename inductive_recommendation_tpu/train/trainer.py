@@ -779,14 +779,25 @@ TRAINERS = {
 }
 
 
-def get_trainer(trainer_config, dataset, model, mesh=None):
+def get_trainer(trainer_config, dataset, model, mesh=None, mesh_mode="data"):
     """Registry factory (trainer.py:16-22).
 
-    ``mesh``: optional ('data', 'model') jax Mesh — the trainer's jitted
-    steps then run data-parallel over 'data' with embedding tables
-    row-sharded over 'model', and evaluation goes through the mesh
-    evaluator. Same-seed losses match the single-device run (collectives
-    are exact; fp reduction order aside)."""
+    ``mesh``: optional jax Mesh. With ``mesh_mode='data'`` (default) the
+    named trainer's jitted steps run data-parallel over 'data' with
+    embedding tables row-sharded over 'model', and evaluation goes through
+    the mesh evaluator — same-seed losses match the single-device run
+    (collectives are exact; fp reduction order aside). With
+    ``mesh_mode='edge'`` the graph itself is edge-block-sharded
+    (EdgeShardedTrainer: per-device memory O((|E| + n·d)/S), the HBM
+    scale-out path) — the named trainer selects the loss family."""
+    if mesh is not None and mesh_mode == "edge":
+        from inductive_recommendation_tpu.train.edge_trainer import (
+            EdgeShardedTrainer,
+        )
+
+        return EdgeShardedTrainer(
+            dict(trainer_config, mesh=mesh), dataset, model
+        )
     cls = TRAINERS[trainer_config["name"]]
     if mesh is not None:
         trainer_config = dict(trainer_config, mesh=mesh)

@@ -49,6 +49,15 @@ def build_argparser():
         "devices. Same-seed losses match the single-device run.",
     )
     p.add_argument(
+        "--mesh-mode",
+        choices=["data", "edge"],
+        default="data",
+        help="'data' (default): data-parallel batches + row-sharded tables. "
+        "'edge': edge-block-shard the GRAPH and the table over the 'model' "
+        "axis — per-device memory O((|E|+n*d)/S), the HBM scale-out path "
+        "(LightGCN / IGCN / single-view DOSE entries).",
+    )
+    p.add_argument(
         "--preprocess",
         choices=["gowalla", "yelp", "amazon"],
         default=None,
@@ -135,11 +144,13 @@ def main(argv=None):
         print(f"mesh: {dict(mesh.shape)} over {mesh.size} devices")
 
     dataset = get_dataset(dataset_config)
-    if mesh is not None:
+    if mesh is not None and args.mesh_mode == "data":
         # row-shardable tables must pad to the 'model' axis size
         model_config = dict(model_config, table_align=mesh.shape["model"])
     model = get_model(model_config, dataset)
-    trainer = get_trainer(trainer_config, dataset, model, mesh=mesh)
+    trainer = get_trainer(
+        trainer_config, dataset, model, mesh=mesh, mesh_mode=args.mesh_mode
+    )
 
     writer = None
     if args.writer:
