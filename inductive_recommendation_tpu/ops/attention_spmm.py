@@ -11,15 +11,28 @@ axis — no segment reductions at all:
     attn          = softmax_s(scores / T) with padding masked
     out[r]        = sum_s attn[r, s] * v_table[idx[r, s]]
 
-Two implementations behind one interface:
-- ``attention_spmm`` (jnp): differentiable, used in training.
-- ``attention_spmm_pallas``: a fused flash-style forward kernel per row tile
-  that streams k-slot chunks with a running max/denominator, keeping scores
-  and attention weights in VMEM (never materialized to HBM). Forward-only;
-  parity-tested against the jnp path.
-
 Multi-head: scores are computed per head and the attention is the mean over
 heads (model.py:4275), matching the reference.
+
+There is deliberately NO Pallas implementation. Both hand-kernel directions
+were built and measured on v5e at Gowalla scale (1.79M nnz, d=64) and lost
+to this jnp path, so they were removed (r2; benchmarks/attn_eval_bench.py
+was the gate):
+
+- training: a gather-only custom VJP measured 100-105 ms fwd+bwd vs 80 ms
+  for XLA autodiff of this forward (see attention_spmm's docstring);
+- eval: a fused flash-style forward (grid over row tiles per bucket per
+  head, streaming k-slot chunks with running max/denominator so scores and
+  attention weights never left VMEM; whole-operand VMEM pinning, lane/
+  sublane tile padding, and wide-cap fallbacks all handled) measured
+  25.1 ms vs 16.3 ms for the jnp forward (1 head, rel err 1.1e-6). The
+  [m, k]-shaped score/attn HBM round trips the fusion removes are minor
+  next to the transaction-bound neighbor gathers (which stay in XLA either
+  way), while per-bucket Mosaic kernels lose XLA's cross-bucket pipelining
+  and its MXU-scheduled einsums, and the 16 MB scoped-VMEM limit forces
+  short row tiles on wide-cap buckets (a cap-1024 bucket fits 8-row
+  tiles). Re-attempts should start from a fundamentally different layout,
+  not from re-fusing this one.
 """
 
 from __future__ import annotations
@@ -105,95 +118,3 @@ def attention_spmm(
     targets. Do not "fix" this back without re-measuring.
     """
     return _attention_forward(mat, q, k_table, v_table, float(temperature))
-
-
-
-# ---------------------------------------------------------------------------
-# Pallas fused forward kernel
-# ---------------------------------------------------------------------------
-
-
-def _attn_kernel(q_ref, keys_ref, vals_ref, mask_ref, temp_ref, out_ref):
-    """One row tile, streaming k-slot chunks flash-style (single head).
-
-    q_ref    [T, d]
-    keys_ref [T, K, d] (pre-gathered neighbor keys for the tile)
-    vals_ref [T, K, d]
-    mask_ref [T, K]
-
-    Math is expressed as elementwise multiply + axis reductions only — the
-    remote Mosaic toolchain rejects batched-dot attribute forms.
-    """
-    import jax.experimental.pallas as pl
-
-    T, K = mask_ref.shape
-    CH = min(K, 128)
-    n_chunks = K // CH
-    temp = temp_ref[0]
-
-    q = q_ref[:]  # [T, d]
-    neg = jnp.float32(-1e30)
-
-    def body(c, carry):
-        run_max, run_den, run_out = carry
-        keys = keys_ref[:, pl.ds(c * CH, CH)]  # [T, CH, d]
-        m = mask_ref[:, pl.ds(c * CH, CH)]
-        s = jnp.sum(q[:, None, :] * keys, axis=-1)  # [T, CH]
-        s = jnp.where(m > 0, s, neg)
-        cmax = jnp.max(s, axis=1)  # [T]
-        new_max = jnp.maximum(run_max, cmax)
-        corr = jnp.exp((run_max - new_max) / temp)  # [T]
-        ex = jnp.exp((s - new_max[:, None]) / temp) * m  # [T, CH]
-        den = run_den * corr + jnp.sum(ex, axis=1)
-        vals = vals_ref[:, pl.ds(c * CH, CH)]  # [T, CH, d]
-        contrib = jnp.sum(ex[:, :, None] * vals, axis=1)  # [T, d]
-        out = run_out * corr[:, None] + contrib
-        return new_max, den, out
-
-    dv = out_ref.shape[1]
-    run_max = jnp.full((T,), neg, dtype=jnp.float32)
-    run_den = jnp.zeros((T,), dtype=jnp.float32)
-    run_out = jnp.zeros((T, dv), dtype=jnp.float32)
-    run_max, run_den, run_out = jax.lax.fori_loop(
-        0, n_chunks, body, (run_max, run_den, run_out)
-    )
-    out_ref[:] = run_out / jnp.maximum(run_den, 1e-12)[:, None]
-
-
-def attention_spmm_pallas_tile(
-    q_tile, keys_tile, vals_tile, mask_tile, temperature, interpret=False
-):
-    """Fused single-head forward for one pre-gathered tile: scores, the
-    streaming-softmax statistics, and attention weights live only in
-    VMEM/registers — nothing [T, K]-shaped is written to HBM. Multi-head
-    callers run one tile per head and average outside (the training path
-    always uses the differentiable jnp reference)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    T = q_tile.shape[0]
-    dv = vals_tile.shape[-1]
-    # pad the slot axis to a multiple of the kernel's 128-wide chunks —
-    # the fori_loop runs K // 128 chunks, so a ragged tail (cap-ladder caps
-    # are never multiples of 128) would silently be dropped
-    K = mask_tile.shape[1]
-    CH = min(K, 128)
-    pad = (-K) % CH
-    if pad:
-        keys_tile = jnp.pad(keys_tile, ((0, 0), (0, pad), (0, 0)))
-        vals_tile = jnp.pad(vals_tile, ((0, 0), (0, pad), (0, 0)))
-        mask_tile = jnp.pad(mask_tile, ((0, 0), (0, pad)))
-    temp = jnp.asarray([temperature], jnp.float32)
-    return pl.pallas_call(
-        _attn_kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, dv), jnp.float32),
-        interpret=interpret,
-    )(q_tile, keys_tile, vals_tile, mask_tile, temp)

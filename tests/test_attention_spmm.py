@@ -1,5 +1,6 @@
-"""Attention-SpMM: jnp ELL path vs dense oracle; Pallas tile kernel parity;
-AttIGCN end-to-end."""
+"""Attention-SpMM: jnp ELL path vs dense oracle; AttIGCN end-to-end.
+(The Pallas variants were measured slower and removed — see the module
+docstring of ops/attention_spmm.py.)"""
 
 import jax
 import jax.numpy as jnp
@@ -8,10 +9,7 @@ import pytest
 
 from inductive_recommendation_tpu.graph import sym_normalized_adjacency
 from inductive_recommendation_tpu.ops import build_bucketed_spmm
-from inductive_recommendation_tpu.ops.attention_spmm import (
-    attention_spmm,
-    attention_spmm_pallas_tile,
-)
+from inductive_recommendation_tpu.ops.attention_spmm import attention_spmm
 
 
 def _dense_attention_oracle(adj_dense, q, k_tab, v_tab, temperature):
@@ -69,42 +67,6 @@ def test_attention_spmm_grad_flows(tiny_graph, rng):
     assert np.abs(np.asarray(g)).sum() > 0
 
 
-def test_pallas_tile_kernel_parity(rng):
-    """Single-head flash-style tile kernel vs direct computation
-    (interpreter-friendly on CPU via interpret fallback is not needed: the
-    kernel runs on the TPU in real runs; here we exercise the math with
-    jax's pallas interpret mode)."""
-    T, K, d = 8, 256, 16
-    q = rng.standard_normal((T, d)).astype(np.float32)
-    keys = rng.standard_normal((T, K, d)).astype(np.float32)
-    vals = rng.standard_normal((T, K, d)).astype(np.float32)
-    mask = (rng.random((T, K)) > 0.3).astype(np.float32)
-    mask[:, 0] = 1.0  # at least one live slot per row
-    temperature = 4.0
-
-    from jax.experimental import pallas as pl
-    from inductive_recommendation_tpu.ops import attention_spmm as A
-
-    def run_interpret(q, keys, vals, mask):
-        temp = jnp.asarray([temperature], jnp.float32)
-        return pl.pallas_call(
-            A._attn_kernel,
-            out_shape=jax.ShapeDtypeStruct((T, d), jnp.float32),
-            interpret=True,
-        )(q, keys, vals, mask, temp)
-
-    out = np.asarray(run_interpret(q, keys, vals, mask))
-
-    # oracle
-    scores = np.einsum("td,tkd->tk", q, keys)
-    scores = np.where(mask > 0, scores, -1e30)
-    smax = scores.max(axis=1, keepdims=True)
-    ex = np.exp((scores - smax) / temperature) * mask
-    attn = ex / np.maximum(ex.sum(axis=1, keepdims=True), 1e-12)
-    oracle = np.einsum("tk,tkd->td", attn, vals)
-    np.testing.assert_allclose(out, oracle, rtol=1e-3, atol=1e-4)
-
-
 def test_att_igcn_end_to_end():
     from inductive_recommendation_tpu import get_dataset, get_model, get_trainer
     import os, tempfile
@@ -157,30 +119,6 @@ def test_att_igcn_end_to_end():
         assert np.isfinite(m["NDCG"][20])
     finally:
         os.chdir(cwd)
-
-
-def test_pallas_tile_kernel_ragged_k(rng):
-    """Regression: K not a multiple of 128 (cap-ladder caps never are) —
-    the wrapper must pad the slot axis; the kernel's chunk loop previously
-    dropped the ragged tail silently."""
-    T, K, d = 8, 141, 16
-    q = rng.standard_normal((T, d)).astype(np.float32)
-    keys = rng.standard_normal((T, K, d)).astype(np.float32)
-    vals = rng.standard_normal((T, K, d)).astype(np.float32)
-    mask = (rng.random((T, K)) > 0.3).astype(np.float32)
-    mask[:, -1] = 1.0  # live slots in the tail that must not be dropped
-    temperature = 4.0
-
-    out = np.asarray(
-        attention_spmm_pallas_tile(q, keys, vals, mask, temperature, interpret=True)
-    )
-    scores = np.einsum("td,tkd->tk", q, keys)
-    scores = np.where(mask > 0, scores, -1e30)
-    smax = scores.max(axis=1, keepdims=True)
-    ex = np.exp((scores - smax) / temperature) * mask
-    attn = ex / np.maximum(ex.sum(axis=1, keepdims=True), 1e-12)
-    oracle = np.einsum("tk,tkd->td", attn, vals)
-    np.testing.assert_allclose(out, oracle, rtol=1e-3, atol=1e-4)
 
 
 def test_attention_grads_match_dense_oracle(tiny_graph, rng):
