@@ -274,17 +274,28 @@ def make_edge_sharded_dose_step(
     base_seed=0,
     feat_emat=None,
     adj_emat=None,
+    contrastive="single",
 ):
     """DOSE-family training step (the repo's flagship contrastive models)
     with EVERY O(|E|) and O(n·d) object sharded: the feature matrix, the
     main adjacency, the contrastive VIEW graph and the core embedding table.
 
-    Loss = BPR + l2_reg·L2 + aux_reg·auxBPR(w) + contrastive_reg·InfoNCE
-    (reference trainer.py:255-306), with the view representation propagated
-    over the per-epoch augmentation graph (model.py:367-613). Covers the
-    single-view-InfoNCE recipes (DOSE_aug/aug3/aug4/drop/drop2/drop3,
-    DOSE_aug_drop2/3's drop-view losses); DOSE_aug2's aug FEATURE matrix and
-    the two-term variants (DOSE_aug_drop, TEST2) are single-device only.
+    Loss = BPR + l2_reg·L2 + aux_reg·auxBPR(w) + contrastive_reg·(term)
+    (reference trainer.py:255-306), with view representations propagated
+    over the per-epoch augmentation graph(s) (model.py:367-613). The
+    ``contrastive`` mode selects the variant's term:
+
+    - ``"single"``: InfoNCE(users_r, v, v) over ONE view — DOSE_aug/aug3/
+      aug4, DOSE_drop/drop2/drop3, DOSE_aug_drop2/3's drop-view losses;
+    - ``"double_same"``: two view draws over the SAME graph (fresh feat
+      dropout each), InfoNCE terms summed — DOSE_aug_drop, whose reference
+      quirk propagates BOTH its views over the aug graph (model.py:3140-3142);
+    - ``"cross"``: InfoNCE(v1, v2, v2) between TWO views — TEST2 (SGL-style);
+    - ``"mean"``: the view users' representation mean — DOSE_test's literal
+      contrastive slot (model.py:3843-3855 + DOSEtestTrainer).
+
+    Still single-device only: DOSE_aug2 (aug FEATURE matrix path) and TEST
+    (non-train main adjacency).
 
     View layout: the raw train adjacency (both directions, ViewEngine's base
     edge order) is one more :class:`EdgeShardedSpMM`; a view enters the step
@@ -306,11 +317,14 @@ def make_edge_sharded_dose_step(
        run(params, opt_state, rng, view_state, alpha=1.0)
            -> (params, opt_state, loss),
            params = {"embedding": [feat n_cols_pad, d] sharded over ``axis``,
-           "w": [d]};
+           "w": [d]}; ``view_state`` is one prepare_view output ("cross"
+           mode: a (state1, state2) tuple);
        prepare_view(EdgeView) -> view_state  (call once per epoch with
            the model's stashed ``edge_views[...]`` after ``update_aug_adj``);
        shard_model_params(single-device params) -> padded sharded params.
     """
+    if contrastive not in ("single", "double_same", "cross", "mean"):
+        raise ValueError(f"unknown contrastive mode {contrastive!r}")
     from inductive_recommendation_tpu.graph import build_feat_matrix
     from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
     from inductive_recommendation_tpu.graph.views import delta_spmm_rect
@@ -376,6 +390,8 @@ def make_edge_sharded_dose_step(
 
     has_delta = eng.delta_budget > 0
 
+    two_view_draws = contrastive in ("double_same", "cross")
+
     def step(
         params,
         opt_state,
@@ -387,6 +403,8 @@ def make_edge_sharded_dose_step(
         vbwd,
         vscale,
         delta,
+        vscale2,
+        delta2,
         frow_st,
         rs,
         smp,
@@ -394,7 +412,17 @@ def make_edge_sharded_dose_step(
         rng,
         alpha,
     ):
-        rng_s, rng_a, rng_d, rng_vd = jax.random.split(_ensure_key(rng, base_seed), 4)
+        # "single"/"mean" keep the historical 4-way split (test parity);
+        # the two-draw modes take one extra key for the second view's dropout
+        if two_view_draws:
+            rng_s, rng_a, rng_d, rng_vd, rng_vd2 = jax.random.split(
+                _ensure_key(rng, base_seed), 5
+            )
+        else:
+            rng_s, rng_a, rng_d, rng_vd = jax.random.split(
+                _ensure_key(rng, base_seed), 4
+            )
+            rng_vd2 = rng_vd
         users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
         a_users, a_pos, a_neg = sample_bpr_batch(aux_smp, rng_a, batch_size)
 
@@ -407,25 +435,24 @@ def make_edge_sharded_dose_step(
             keep = jax.random.uniform(key, a.shape) >= p_drop
             return a * jnp.where(keep, 1.0 / (1.0 - p_drop), 0.0)
 
-        anneal_main = jax.lax.with_sharding_constraint(
-            dropped(anneal, rng_d), scale_sharding
-        )
-        anneal_view = (
-            anneal_main
-            if p_drop <= 0.0
-            else jax.lax.with_sharding_constraint(
-                dropped(anneal, rng_vd), scale_sharding
-            )
-        )
+        def constrain_scale(a):
+            return jax.lax.with_sharding_constraint(a, scale_sharding)
 
-        def propagate(spmm, fwd, bwd, scale, x0, with_delta):
+        anneal_main = constrain_scale(dropped(anneal, rng_d))
+
+        def anneal_view(key):
+            return anneal_main if p_drop <= 0.0 else constrain_scale(
+                dropped(anneal, key)
+            )
+
+        def propagate(spmm, fwd, bwd, scale, x0, dlt):
             acc, h = x0, x0
             for _ in range(n_layers):
                 # A_view @ h = base @ h + delta @ h — both on the SAME h
                 out = spmm(fwd, bwd, scale, h)
-                if with_delta:
+                if dlt is not None:
                     out = out + jax.lax.with_sharding_constraint(
-                        delta_spmm_rect(n_pad, delta, h), row_sharding
+                        delta_spmm_rect(n_pad, dlt, h), row_sharding
                     )
                 h = out
                 acc = acc + h
@@ -435,7 +462,7 @@ def make_edge_sharded_dose_step(
             emb = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
             # main branch: annealed+dropped feat -> adjacency propagation
             x0 = feat_spmm(ffwd, fbwd, anneal_main, emb)
-            rep = propagate(adj_spmm, afwd, abwd, None, x0, False)
+            rep = propagate(adj_spmm, afwd, abwd, None, x0, None)
             u_r = rep[users]
             p_r = rep[n_users + pos]
             n_r = rep[n_users + neg[:, 0]]
@@ -444,11 +471,28 @@ def make_edge_sharded_dose_step(
             aux_loss = L.aux_bpr_w(
                 emb, p["w"], a_users, a_pos, a_neg[:, 0], user_dim
             )
-            # view branch: re-drawn feat dropout -> view-graph propagation
-            x0v = feat_spmm(ffwd, fbwd, anneal_view, emb)
-            vrep = propagate(view_spmm, vfwd, vbwd, vscale, x0v, has_delta)
-            v_u = vrep[users]
-            closs = L.info_nce(u_r, v_u, v_u).mean()
+
+            # view branch(es): re-drawn feat dropout -> view-graph propagation
+            def view_users(vs, dlt, key):
+                x0v = feat_spmm(ffwd, fbwd, anneal_view(key), emb)
+                vrep = propagate(
+                    view_spmm, vfwd, vbwd, vs, x0v, dlt if has_delta else None
+                )
+                return vrep[users]
+
+            if contrastive == "single":
+                v = view_users(vscale, delta, rng_vd)
+                closs = L.info_nce(u_r, v, v).mean()
+            elif contrastive == "double_same":
+                v1 = view_users(vscale, delta, rng_vd)
+                v2 = view_users(vscale, delta, rng_vd2)
+                closs = (L.info_nce(u_r, v1, v1) + L.info_nce(u_r, v2, v2)).mean()
+            elif contrastive == "cross":
+                v1 = view_users(vscale, delta, rng_vd)
+                v2 = view_users(vscale2, delta2, rng_vd2)
+                closs = L.info_nce(v1, v2, v2).mean()
+            else:  # "mean": DOSE_test's literal contrastive slot
+                closs = view_users(vscale, delta, rng_vd).mean()
             return (
                 bpr
                 + l2_reg * l2.mean()
@@ -469,7 +513,13 @@ def make_edge_sharded_dose_step(
     rs_dev = jnp.asarray(row_sum, dtype=jnp.float32)
 
     def run(params, opt_state, rng, view_state, alpha=1.0):
-        vscale, delta = view_state
+        # "cross" takes (state1, state2); a single state is (vscale, delta)
+        # where vscale is an ARRAY — disambiguate on the leading element
+        if isinstance(view_state[0], tuple):
+            (vscale, delta), (vscale2, delta2) = view_state
+        else:
+            vscale, delta = view_state
+            vscale2, delta2 = vscale, delta
         return jitted(
             params,
             opt_state,
@@ -481,6 +531,8 @@ def make_edge_sharded_dose_step(
             view_emat.bwd,
             vscale,
             delta,
+            vscale2,
+            delta2,
             frow_stacked,
             rs_dev,
             sampler,

@@ -12,14 +12,15 @@ Supported model/loss families (each routed to its parallel/step.py step):
 - LightGCN -> BPR + L2 (``make_edge_sharded_bpr_step``)
 - IGCN / IMF -> + aux BPR on the core table (``make_edge_sharded_igcn_step``;
   IMF is the n_layers=0 case)
-- single-view-InfoNCE DOSE variants (DOSE_aug/aug3/aug4, DOSE_drop/2/3,
-  DOSE_aug_drop2/3) -> + InfoNCE over the per-epoch view
-  (``make_edge_sharded_dose_step``); view regeneration reaches the sharded
-  layout through ``prepare_view``
+- DOSE variants -> + the variant's contrastive term over the per-epoch
+  view(s) (``make_edge_sharded_dose_step``): single-view InfoNCE
+  (DOSE_aug/aug3/aug4, DOSE_drop/2/3, DOSE_aug_drop2/3), two-draw summed
+  InfoNCE (DOSE_aug_drop), cross-view InfoNCE (TEST2), the literal
+  view-mean slot (DOSE_test); view regeneration reaches the sharded layout
+  through ``prepare_view``
 
 Rejected with a clear error: AttIGCN (attention aggregation is not in the
-edge-sharded step), DOSE_aug2 (aug FEATURE matrix path), DOSE_aug_drop /
-TEST2 / DOSE_test (two-term or non-standard contrastive), TEST (non-train
+edge-sharded step), DOSE_aug2 (aug FEATURE matrix path), TEST (non-train
 main adjacency), SGL/HALF (drop-view contrastive over the LightGCN base).
 
 Evaluation computes the main representation with the SAME edge-sharded
@@ -47,16 +48,21 @@ from inductive_recommendation_tpu.train.checkpoint import (
 )
 from inductive_recommendation_tpu.train.trainer import BasicTrainer, _epoch_mean
 
-#: DOSE variants whose loss is one InfoNCE(users_r, v, v) over one view
+#: DOSE variants -> (contrastive mode, view keys feeding the loss);
+#: see make_edge_sharded_dose_step's mode semantics
 _DOSE_SUPPORTED = {
-    "DOSE_aug": "aug_adj",
-    "DOSE_aug3": "aug_adj",
-    "DOSE_aug4": "aug_adj",
-    "DOSE_drop": "aug_adj",
-    "DOSE_drop2": "aug_adj",
-    "DOSE_drop3": "aug_adj",
-    "DOSE_aug_drop2": "drop_adj",  # loss uses the drop view (== union quirk)
-    "DOSE_aug_drop3": "drop_adj",  # loss uses the difference-drop view
+    "DOSE_aug": ("single", ("aug_adj",)),
+    "DOSE_aug3": ("single", ("aug_adj",)),
+    "DOSE_aug4": ("single", ("aug_adj",)),
+    "DOSE_drop": ("single", ("aug_adj",)),
+    "DOSE_drop2": ("single", ("aug_adj",)),
+    "DOSE_drop3": ("single", ("aug_adj",)),
+    "DOSE_aug_drop2": ("single", ("drop_adj",)),  # drop view (== union quirk)
+    "DOSE_aug_drop3": ("single", ("drop_adj",)),  # difference-drop view
+    # both reference terms propagate over the AUG view (model.py:3140-3142)
+    "DOSE_aug_drop": ("double_same", ("aug_adj",)),
+    "TEST2": ("cross", ("aug_adj", "aug_adj2")),
+    "DOSE_test": ("mean", ("aug_adj",)),
 }
 
 
@@ -130,8 +136,8 @@ class EdgeShardedTrainer(BasicTrainer):
         if isinstance(model, _DOSEBase):
             if name not in _DOSE_SUPPORTED:
                 raise ValueError(
-                    f"{name} is not edge-shardable (aug-feature / two-term "
-                    f"/ non-train-adjacency variants are single-device or "
+                    f"{name} is not edge-shardable (the aug-feature-matrix "
+                    f"and non-train-adjacency variants are single-device or "
                     f"data-parallel only); supported: {sorted(_DOSE_SUPPORTED)}"
                 )
             return "dose", _DOSE_SUPPORTED[name]
@@ -251,6 +257,7 @@ class EdgeShardedTrainer(BasicTrainer):
                 self.params, self.opt_state, seed, alpha=self.model.alpha
             )
         else:
+            mode, _keys = self._view_key
             step, prep, _ = make_edge_sharded_dose_step(
                 model,
                 mesh,
@@ -265,9 +272,10 @@ class EdgeShardedTrainer(BasicTrainer):
                 base_seed=self.seed,
                 feat_emat=feat_emat,
                 adj_emat=adj_emat,
+                contrastive=mode,
             )
             self._prep_view = prep
-            self._vstate = prep(model.edge_views[self._view_key])
+            self._vstate = self._prepare_views()
             self._run_step = lambda seed: step(
                 self.params,
                 self.opt_state,
@@ -309,6 +317,13 @@ class EdgeShardedTrainer(BasicTrainer):
             "edge_rs": rs_dev,
         }
         self._scoring = _EdgeRepScoring(model, rep_fn, extra)
+
+    def _prepare_views(self):
+        """Re-index the model's freshly regenerated EdgeView(s) into the
+        sharded layout's local edge space (once per epoch)."""
+        _, keys = self._view_key
+        states = tuple(self._prep_view(self.model.edge_views[k]) for k in keys)
+        return states if len(states) > 1 else states[0]
 
     # -- params layout conversion ---------------------------------------------
     def _shard_model_params(self, params):
@@ -369,7 +384,7 @@ class EdgeShardedTrainer(BasicTrainer):
             self.model.feat_mat_anneal()
         if self._family == "dose":
             self.model.update_aug_adj(self._to_model_params(self.params))
-            self._vstate = self._prep_view(self.model.edge_views[self._view_key])
+            self._vstate = self._prepare_views()
         return _epoch_mean(losses)
 
     # -- evaluation -------------------------------------------------------------
@@ -400,9 +415,9 @@ class EdgeShardedTrainer(BasicTrainer):
         self._rebuild_model_views()
         self.params = self._shard_model_params(mp)
         if self._family == "dose":
-            self._vstate = self._prep_view(self.model.edge_views[self._view_key])
+            self._vstate = self._prepare_views()
 
     def load_state(self, path):
         super().load_state(path)  # edge-layout params/opt restored + _shard
         if self._family == "dose":
-            self._vstate = self._prep_view(self.model.edge_views[self._view_key])
+            self._vstate = self._prepare_views()

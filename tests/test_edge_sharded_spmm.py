@@ -456,3 +456,116 @@ def test_edge_sharded_dose_step_matches_single_device(model_name):
         # (DOSE_drop2, delta budget 0)
         model.feat_mat_anneal()
         model.update_aug_adj(params0)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "model_name,mode,keys",
+    [
+        ("DOSE_aug_drop", "double_same", ("aug_adj",)),
+        ("TEST2", "cross", ("aug_adj", "aug_adj2")),
+        ("DOSE_test", "mean", ("aug_adj",)),
+    ],
+)
+def test_edge_sharded_dose_multiterm_matches_single_device(model_name, mode, keys):
+    """The two-draw / cross-view / view-mean contrastive modes match the
+    single-device trainer losses on the same batch (dropout 0, where the
+    reference's per-draw feature dropout is inert so both DOSE_aug_drop
+    terms coincide)."""
+    import optax
+
+    from inductive_recommendation_tpu import get_dataset, get_model
+    from inductive_recommendation_tpu.data.dataset import AuxiliaryDataset
+    from inductive_recommendation_tpu.data.sampling import (
+        build_sampler_state,
+        sample_bpr_batch,
+    )
+    from inductive_recommendation_tpu.parallel import make_edge_sharded_dose_step
+    from inductive_recommendation_tpu.train import losses as L
+
+    ds = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 48,
+            "n_items": 40,
+            "n_interactions": 650,
+            "seed": 11,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+    model = get_model(
+        {
+            "name": model_name,
+            "embedding_size": 16,
+            "n_layers": 2,
+            "dropout": 0.0,
+            "feature_ratio": 1.0,
+            "aug_num": 10,
+            "aug_rate": 0.5,
+            "table_align": 1,
+        },
+        ds,
+    )
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    aux = AuxiliaryDataset(ds, model.user_map, model.item_map)
+    aux_sampler = build_sampler_state(aux.train_data, aux.n_items)
+    params0 = model.init_params(jax.random.key(3))
+    l2_reg, aux_reg, c_reg, bs = 1e-4, 0.01, 0.05, 64
+    n_split = 5 if mode in ("double_same", "cross") else 4
+
+    def single_loss(p, buffers, rng):
+        parts = jax.random.split(rng, n_split)
+        users, pos, neg = sample_bpr_batch(sampler, parts[0], bs)
+        a_users, a_pos, a_neg = sample_bpr_batch(aux_sampler, parts[1], bs)
+        u, pr, nr, l2, closs = model.bpr_forward(
+            p, users, pos, neg[:, 0], training=False, buffers=buffers
+        )
+        aux_l = L.aux_bpr_w(
+            p["embedding"], p["w"], a_users, a_pos, a_neg[:, 0], model.user_dim
+        )
+        return (
+            L.bpr_loss(u, pr, nr)
+            + l2_reg * l2.mean()
+            + aux_reg * aux_l
+            + c_reg * closs.mean()
+        )
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    optimizer = optax.adam(1e-2)
+    step, prepare_view, shard_model_params = make_edge_sharded_dose_step(
+        model,
+        mesh,
+        optimizer,
+        sampler,
+        aux_sampler,
+        bs,
+        l2_reg,
+        aux_reg,
+        c_reg,
+        contrastive=mode,
+    )
+
+    def vstate():
+        states = tuple(prepare_view(model.edge_views[k]) for k in keys)
+        return states if len(states) > 1 else states[0]
+
+    for epoch in range(2):
+        vs = vstate()
+        loss_ref = float(
+            jax.jit(single_loss)(params0, model.buffers, jax.random.key(9 + epoch))
+        )
+        params = shard_model_params(params0)
+        opt_state = optimizer.init(params)
+        with mesh:
+            params, opt_state, loss = step(
+                params, opt_state, jax.random.key(9 + epoch), vs, alpha=model.alpha
+            )
+        assert abs(float(loss) - loss_ref) < 3e-4, (
+            model_name,
+            epoch,
+            float(loss),
+            loss_ref,
+        )
+        model.feat_mat_anneal()
+        model.update_aug_adj(params0)

@@ -94,6 +94,24 @@ def test_edge_trainer_lightgcn_first_step_matches_single_device(ds):
             {"dropout": 0.0, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5},
             {"aux_reg": 0.01, "contrastive_reg": 0.05},
         ),
+        (
+            "DOSE_aug_drop",
+            "DOSEdropTrainer",
+            {"dropout": 0.3, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5},
+            {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        ),
+        (
+            "TEST2",
+            "DOSEdropTrainer",
+            {"dropout": 0.0, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5},
+            {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        ),
+        (
+            "DOSE_test",
+            "DOSEtestTrainer",
+            {"dropout": 0.0, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5},
+            {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        ),
     ],
 )
 def test_edge_trainer_full_loop(ds, tmp_path, model_name, trainer_name, mkw, tkw):
@@ -173,7 +191,7 @@ def test_edge_trainer_rejects_unsupported(ds):
     mesh = make_mesh(n_data=1, n_model=8)
     model = get_model(
         {
-            "name": "DOSE_aug_drop",
+            "name": "DOSE_aug2",  # aug-FEATURE-matrix path: single-device only
             "embedding_size": 8,
             "n_layers": 2,
             "dropout": 0.0,
