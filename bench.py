@@ -36,7 +36,10 @@ def _baseline_value():
             if not isinstance(payload, dict):
                 continue
             # the driver wraps the printed JSON line under "parsed"
-            value = payload.get("value", payload.get("parsed", {}).get("value"))
+            parsed = payload.get("parsed")
+            value = payload.get(
+                "value", parsed.get("value") if isinstance(parsed, dict) else None
+            )
             if isinstance(value, (int, float)):
                 runs.append((int(m.group(1)), float(value)))
         except (OSError, ValueError):

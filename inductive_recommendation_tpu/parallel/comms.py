@@ -41,25 +41,40 @@ _RING_FACTORS = {
 
 @dataclasses.dataclass
 class CollectiveStats:
-    """Per-primitive totals over one traced program (per-device shapes)."""
+    """Per-primitive call records over one traced program (per-device
+    shapes). ``calls[prim]`` holds one (axis_size, in_bytes, out_bytes)
+    per call site; the aggregate dicts derive from it."""
 
-    counts: dict  # prim -> number of calls
-    in_bytes: dict  # prim -> total input bytes (per device)
-    out_bytes: dict  # prim -> total output bytes (per device)
-    axis_sizes: dict  # prim -> list of collective axis sizes
+    calls: dict  # prim -> list[(S, in_bytes, out_bytes)]
+
+    @property
+    def counts(self) -> dict:
+        return {p: len(c) for p, c in self.calls.items()}
+
+    @property
+    def in_bytes(self) -> dict:
+        return {p: sum(i for _, i, _ in c) for p, c in self.calls.items()}
+
+    @property
+    def out_bytes(self) -> dict:
+        return {p: sum(o for _, _, o in c) for p, c in self.calls.items()}
+
+    @property
+    def axis_sizes(self) -> dict:
+        return {p: [s for s, _, _ in c] for p, c in self.calls.items()}
 
     def total_count(self) -> int:
-        return sum(self.counts.values())
+        return sum(len(c) for c in self.calls.values())
 
     def ici_bytes_per_device(self) -> float:
-        """Ring-model bytes each device moves over ICI per execution."""
+        """Ring-model bytes each device moves over ICI per execution —
+        costed PER CALL with that call's own collective-axis size (one
+        program may mix axes, e.g. 'model' reduce-scatters + a 'data'
+        gradient psum)."""
         total = 0.0
-        for prim, n in self.counts.items():
-            if n == 0:
-                continue
-            sizes = self.axis_sizes[prim]
-            S = max(sizes) if sizes else 1
-            total += _RING_FACTORS[prim](S, self.in_bytes[prim], self.out_bytes[prim])
+        for prim, calls in self.calls.items():
+            for S, i, o in calls:
+                total += _RING_FACTORS[prim](S, i, o)
         return total
 
     def predicted_step_seconds(
@@ -82,19 +97,16 @@ def _nbytes(avals) -> int:
 def _walk(jaxpr, stats, axis_env):
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
-        if name in stats.counts:
-            stats.counts[name] += 1
-            stats.in_bytes[name] += _nbytes(
-                [v.aval for v in eqn.invars if hasattr(v, "aval")]
-            )
-            stats.out_bytes[name] += _nbytes([v.aval for v in eqn.outvars])
+        if name in stats.calls:
+            in_b = _nbytes([v.aval for v in eqn.invars if hasattr(v, "aval")])
+            out_b = _nbytes([v.aval for v in eqn.outvars])
             axes = eqn.params.get("axes", eqn.params.get("axis_name", ()))
             if not isinstance(axes, (tuple, list)):
                 axes = (axes,)
             size = 1
             for ax in axes:
                 size *= axis_env.get(ax, 1)
-            stats.axis_sizes[name].append(size)
+            stats.calls[name].append((size, in_b, out_b))
         # recurse into every sub-jaxpr (shard_map bodies, custom_vjp calls,
         # scan/cond branches, ...)
         sub_env = dict(axis_env)
@@ -122,11 +134,6 @@ def collective_stats(fn, *args, **kwargs) -> CollectiveStats:
     Shapes inside shard_map bodies are PER-DEVICE, so the byte totals are
     per-device traffic operands."""
     jaxpr = jax.make_jaxpr(fn)(*args, **kwargs)
-    stats = CollectiveStats(
-        counts={p: 0 for p in COLLECTIVES},
-        in_bytes={p: 0 for p in COLLECTIVES},
-        out_bytes={p: 0 for p in COLLECTIVES},
-        axis_sizes={p: [] for p in COLLECTIVES},
-    )
+    stats = CollectiveStats(calls={p: [] for p in COLLECTIVES})
     _walk(jaxpr.jaxpr, stats, {})
     return stats

@@ -23,8 +23,10 @@ def _ensure_key(rng, base_seed):
     """Steps accept either a PRNG key or an INTEGER step counter (folded
     into ``base_seed``'s key INSIDE the jit — per-step eager key
     construction costs a dispatch round trip on tunneled backends; the
-    trainer surface passes plain host ints)."""
-    if jnp.issubdtype(jnp.asarray(rng).dtype, jnp.integer):
+    trainer surface passes plain host ints). Only a SCALAR integer is a
+    counter: legacy uint32[2] PRNGKey arrays are keys and pass through."""
+    rng = jnp.asarray(rng)
+    if jnp.issubdtype(rng.dtype, jnp.integer) and rng.ndim == 0:
         return jax.random.fold_in(jax.random.key(base_seed), rng)
     return rng
 
@@ -275,6 +277,7 @@ def make_edge_sharded_dose_step(
     feat_emat=None,
     adj_emat=None,
     contrastive="single",
+    feat_coo=None,
 ):
     """DOSE-family training step (the repo's flagship contrastive models)
     with EVERY O(|E|) and O(n·d) object sharded: the feature matrix, the
@@ -340,11 +343,14 @@ def make_edge_sharded_dose_step(
     user_dim, n_layers = model.user_dim, model.n_layers
     p_drop = float(model.dropout)
 
-    frow, fcol, fval, row_sum = build_feat_matrix(
-        ds.train_array, n_users, n_items, model.user_map, model.item_map
-    )
-    # prebuilt layouts (e.g. shared with the trainer's eval rep fn) are
-    # accepted to avoid duplicating the O(E) host bucketing + device copies
+    # prebuilt feat COO/layouts (e.g. shared with the trainer's eval rep fn)
+    # are accepted to avoid duplicating the O(E) host passes + device copies
+    if feat_coo is not None:
+        frow, fcol, fval, row_sum = feat_coo
+    else:
+        frow, fcol, fval, row_sum = build_feat_matrix(
+            ds.train_array, n_users, n_items, model.user_map, model.item_map
+        )
     if feat_emat is None:
         feat_emat = build_edge_sharded_spmm(
             frow, fcol, fval, (n_nodes, model.feat_n_cols), n_shards

@@ -273,6 +273,7 @@ class EdgeShardedTrainer(BasicTrainer):
                 feat_emat=feat_emat,
                 adj_emat=adj_emat,
                 contrastive=mode,
+                feat_coo=(frow, fcol, fval, row_sum),
             )
             self._prep_view = prep
             self._vstate = self._prepare_views()
@@ -372,7 +373,18 @@ class EdgeShardedTrainer(BasicTrainer):
         return jax.tree_util.tree_map(place, tree)
 
     # -- training loop ---------------------------------------------------------
+    def _check_dataset_unchanged(self):
+        # the edge layouts were built from the construction-time train graph;
+        # a mid-run attach_dataset would leave them silently stale
+        if self.model.dataset is not self.dataset:
+            raise RuntimeError(
+                "EdgeShardedTrainer's sharded layouts are bound to the "
+                "construction-time dataset; rebuild the trainer after "
+                "attach_dataset (inductive catalog growth)"
+            )
+
     def train_one_epoch(self):
+        self._check_dataset_unchanged()
         losses = []
         with self.edge_mesh:
             for _ in range(self.steps_per_epoch):
@@ -383,18 +395,23 @@ class EdgeShardedTrainer(BasicTrainer):
         if self._family in ("igcn", "dose"):
             self.model.feat_mat_anneal()
         if self._family == "dose":
-            self.model.update_aug_adj(self._to_model_params(self.params))
+            # the EDGE params feed the selection directly: every model read
+            # slices [:feat_n_cols] itself, so no layout conversion — and no
+            # full-table device->host->device round trip — is needed
+            self.model.update_aug_adj(self.params)
             self._vstate = self._prepare_views()
         return _epoch_mean(losses)
 
     # -- evaluation -------------------------------------------------------------
     def eval(self, val_or_test, banned_items=None):
+        self._check_dataset_unchanged()
         with self.edge_mesh:
             return self.evaluator.evaluate(
                 self._scoring, self.params, val_or_test, banned_items=banned_items
             )
 
     def inductive_eval(self, n_old_users, n_old_items):
+        self._check_dataset_unchanged()
         with self.edge_mesh:
             return self.evaluator.inductive_eval(
                 self._scoring, self.params, n_old_users, n_old_items
@@ -412,8 +429,12 @@ class EdgeShardedTrainer(BasicTrainer):
         payload = load_checkpoint(path)
         mp = restore_like(self._model_template, payload["params"])
         self.model.restore_aux(payload.get("aux", {}))
-        self._rebuild_model_views()
+        # restore-THEN-rebuild, like BasicTrainer._load_model: the DOSE view
+        # regeneration must select from the RESTORED params, not the
+        # pre-restore ones (model reads slice [:feat_n_cols], so the edge
+        # layout is directly consumable)
         self.params = self._shard_model_params(mp)
+        self._rebuild_model_views()
         if self._family == "dose":
             self._vstate = self._prepare_views()
 
