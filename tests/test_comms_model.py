@@ -147,3 +147,22 @@ def test_dose_step_collective_budget(S):
     # every collective moves [n_pad, d] operands — O(n·d), not O(E)
     assert stats.in_bytes["reduce_scatter"] == (2 + 2 * L) * n_pad * d * 4
     assert stats.out_bytes["all_gather"] == (2 + 2 * L) * n_pad * d * 4
+
+
+def test_ensure_key_accepts_counters_and_both_key_styles():
+    """Steps' rng argument: scalar ints are counters (folded in-jit); typed
+    keys AND legacy uint32[2] PRNGKey arrays pass through unchanged."""
+    import jax.numpy as jnp
+
+    from inductive_recommendation_tpu.parallel.step import _ensure_key
+
+    legacy = jax.random.PRNGKey(3)
+    assert _ensure_key(legacy, 7) is legacy or np.array_equal(
+        np.asarray(_ensure_key(legacy, 7)), np.asarray(legacy)
+    )
+    typed = jax.random.key(3)
+    out = _ensure_key(typed, 7)
+    assert jnp.issubdtype(out.dtype, jax.dtypes.prng_key)
+    k1 = _ensure_key(jnp.int32(5), 7)
+    k2 = jax.random.fold_in(jax.random.key(7), 5)
+    assert jax.random.key_data(k1).tolist() == jax.random.key_data(k2).tolist()

@@ -50,7 +50,27 @@ with mesh:
     rep = jax.device_get(model.get_rep(params, training=False))
 rec = sharded_recommend_all_users(mesh, jnp.asarray(rep), ds.n_users, ds.n_items,
                                   k=10, batch_size=32)
+
+# EDGE-sharded step across the 2-process mesh: graph + table sharded over
+# the global 'model' axis (each process builds the identical layout from
+# deterministic host code; shard_map splits it across hosts)
+from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
+from inductive_recommendation_tpu.parallel import (
+    build_edge_sharded_spmm, make_edge_sharded_bpr_step, shard_operand)
+n = ds.n_users + ds.n_items
+r_, c_, v_ = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
+emat = build_edge_sharded_spmm(r_, c_, v_, (n, n), 4)
+emb0 = np.zeros((emat.n_cols_pad, 16), np.float32)
+emb0[:n] = np.asarray(model.init_params(jax.random.key(2))["embedding"])[:n]
+eparams = {"embedding": shard_operand(emb0, emat, mesh)}
+estep = make_edge_sharded_bpr_step(emat, mesh, optimizer, sampler, 64, 1e-4,
+                                   ds.n_users, 2)
+with mesh:
+    eparams, _, eloss = estep(eparams, optimizer.init(eparams), jax.random.key(3))
+    eloss_val = float(eloss)
+
 print("RESULT " + json.dumps({"pid": pid, "loss": loss_val,
+                              "eloss": eloss_val,
                               "rec0": np.asarray(rec)[0].tolist()}), flush=True)
 """
 
@@ -91,6 +111,8 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     assert set(results) == {0, 1}, logs
     # both processes observe the same global computation
     assert abs(results[0]["loss"] - results[1]["loss"]) < 1e-6
+    assert abs(results[0]["eloss"] - results[1]["eloss"]) < 1e-6
+    assert np.isfinite(results[0]["eloss"])
     assert results[0]["rec0"] == results[1]["rec0"]
 
     # single-process 8-device run must agree (same seeds, same mesh shape)
