@@ -52,12 +52,16 @@ class SGL(LightGCN):
         self.view_engine = ViewEngine(
             dataset.train_array, self.n_users, self.n_items, delta_budget=0
         )
+        #: raw EdgeViews by buffer key — the edge-sharded SGL step re-indexes
+        #: their base_scale into the sharded layout (parallel/step.py)
+        self.edge_views = {}
         views = {
-            f"aug_adj{i + 1}": self._drop_view() for i in range(self._n_views)
+            f"aug_adj{i + 1}": self._drop_view(f"aug_adj{i + 1}")
+            for i in range(self._n_views)
         }
         self.buffers = dict(self.buffers, view_base=self.view_engine.base, **views)
 
-    def _drop_view(self):
+    def _drop_view(self, key=None):
         """Random-keep view, generated and baked entirely on device."""
         n_pairs = len(self.view_engine.train_pairs)
         self._view_counter = getattr(self, "_view_counter", 0) + 1
@@ -67,10 +71,10 @@ class SGL(LightGCN):
             n_keep=int(n_pairs * self.aug_rate),
             seed=self._aug_seed,
         )
-        return bake_view(
-            self.view_engine.base,
-            self.view_engine.make_view_on_device(keep_pair_mask=keep),
-        )
+        ev = self.view_engine.make_view_on_device(keep_pair_mask=keep)
+        if key is not None:
+            self.edge_views[key] = ev
+        return bake_view(self.view_engine.base, ev)
 
     def update_aug_adj(self, params=None):
         """Per-epoch view regeneration (model.py:232-237). Snapshots the
@@ -81,7 +85,9 @@ class SGL(LightGCN):
 
     def _regen_views(self):
         self.buffers = dict(
-            self.buffers, aug_adj1=self._drop_view(), aug_adj2=self._drop_view()
+            self.buffers,
+            aug_adj1=self._drop_view("aug_adj1"),
+            aug_adj2=self._drop_view("aug_adj2"),
         )
 
     def rebuild_views(self, params=None):
@@ -135,7 +141,7 @@ class HALF(SGL):
     _n_views = 1  # single view (model.py:270-271)
 
     def _regen_views(self):
-        self.buffers = dict(self.buffers, aug_adj1=self._drop_view())
+        self.buffers = dict(self.buffers, aug_adj1=self._drop_view("aug_adj1"))
 
     def bpr_forward(
         self, params, users, pos_items, neg_items, rng=None, training=True, buffers=None

@@ -565,6 +565,148 @@ def make_edge_sharded_dose_step(
     return run, prepare_view, shard_model_params
 
 
+def make_edge_sharded_sgl_step(
+    model,
+    mesh,
+    optimizer,
+    sampler,
+    batch_size,
+    l2_reg,
+    contrastive_reg,
+    axis="model",
+    base_seed=0,
+    adj_emat=None,
+    contrastive="cross",
+):
+    """SGL / HALF contrastive training step with the main adjacency, BOTH
+    drop-view graphs and the embedding table edge-block-sharded.
+
+    Loss = BPR + l2_reg·L2(final reps — model.py:224-225, unlike plain
+    LightGCN's ego L2) + contrastive_reg·InfoNCE (reference
+    trainer.py:432-487 over model.py:130-365). The ``contrastive`` mode:
+
+    - ``"cross"`` (SGL): InfoNCE(v1, v2, v2) between the TWO drop views'
+      user reps (model.py:213-228);
+    - ``"single"`` (HALF): InfoNCE(main users_r, v, v) (model.py:332-349).
+
+    The LightGCN base has no feature matrix, aux loss or edge dropout, so
+    this is the DOSE step minus that machinery: the raw train adjacency
+    (ViewEngine base edge order) is one :class:`EdgeShardedSpMM`, and a
+    per-epoch drop view enters as its keep-mask x normalization scale
+    re-indexed once per epoch into each shard's local edge space
+    (``prepare_view``). SGL views are drop-only (``delta_budget=0``), so
+    there is no injected-pair delta path. Per-epoch view regeneration
+    changes only array VALUES — the jitted step never retraces.
+
+    -> (run, prepare_view):
+       run(params, opt_state, rng, view_state) -> (params, opt_state, loss),
+           params = {"embedding": [n_cols_pad, d] sharded over ``axis``};
+           ``view_state`` is one prepare_view output ("cross" mode: a
+           (state1, state2) tuple);
+       prepare_view(EdgeView) -> per-shard local scale array (call once per
+           epoch with the model's stashed ``edge_views[...]`` after
+           ``update_aug_adj``).
+    """
+    if contrastive not in ("single", "cross"):
+        raise ValueError(f"unknown contrastive mode {contrastive!r}")
+    from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
+    from inductive_recommendation_tpu.parallel.spmm import (
+        _wrap,
+        build_edge_sharded_spmm,
+    )
+
+    n_shards = mesh.shape[axis]
+    ds = model.dataset
+    n_users, n_items = model.n_users, model.n_items
+    n_nodes = n_users + n_items
+    n_layers = model.n_layers
+
+    if adj_emat is None:
+        r, c, v = sym_normalized_adjacency(ds.train_array, n_users, n_items)
+        adj_emat = build_edge_sharded_spmm(r, c, v, (n_nodes, n_nodes), n_shards)
+    eng = model.view_engine
+    view_emat = build_edge_sharded_spmm(
+        eng._base_rows,
+        eng._base_cols,
+        np.ones(len(eng._base_rows), np.float32),
+        (n_nodes, n_nodes),
+        n_shards,
+    )
+    if view_emat.n_cols_pad != adj_emat.n_cols_pad:
+        raise ValueError("adjacency and view operand rows must pad identically")
+
+    adj_spmm = _wrap(adj_emat, mesh, axis, "scatter")
+    view_spmm = _wrap(view_emat, mesh, axis, "scatter")
+    scale_sharding = NamedSharding(mesh, P(axis, None))
+    row_sharding = NamedSharding(mesh, P(axis, None))
+
+    @jax.jit
+    def _prep(eid_map, base_scale):
+        return jax.lax.with_sharding_constraint(base_scale[eid_map], scale_sharding)
+
+    def prepare_view(view):
+        """EdgeView -> the shards' local base scales for ``run``."""
+        return _prep(view_emat.eid_map, view.base_scale)
+
+    def propagate(spmm, fwd, bwd, scale, x0):
+        acc, h = x0, x0
+        for _ in range(n_layers):
+            h = spmm(fwd, bwd, scale, h)
+            acc = acc + h
+        return acc / (n_layers + 1)
+
+    def step(params, opt_state, afwd, abwd, vfwd, vbwd, vscale, vscale2, smp, rng):
+        rng_s, _ = jax.random.split(_ensure_key(rng, base_seed))
+        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+
+        def loss_fn(p):
+            x = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
+            rep = propagate(adj_spmm, afwd, abwd, None, x)
+            u_r = rep[users]
+            p_r = rep[n_users + pos]
+            n_r = rep[n_users + neg[:, 0]]
+            l2 = jnp.sum(u_r**2, 1) + jnp.sum(p_r**2, 1) + jnp.sum(n_r**2, 1)
+            v1 = propagate(view_spmm, vfwd, vbwd, vscale, x)[users]
+            if contrastive == "cross":
+                v2 = propagate(view_spmm, vfwd, vbwd, vscale2, x)[users]
+                closs = L.info_nce(v1, v2, v2)
+            else:
+                closs = L.info_nce(u_r, v1, v1)
+            return (
+                L.bpr_loss(u_r, p_r, n_r)
+                + l2_reg * l2.mean()
+                + contrastive_reg * closs.mean()
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+
+    def run(params, opt_state, rng, view_state):
+        # "cross" takes (state1, state2); a single state is a bare ARRAY
+        if isinstance(view_state, tuple):
+            vscale, vscale2 = view_state
+        else:
+            vscale = vscale2 = view_state
+        return jitted(
+            params,
+            opt_state,
+            adj_emat.fwd,
+            adj_emat.bwd,
+            view_emat.fwd,
+            view_emat.bwd,
+            vscale,
+            vscale2,
+            sampler,
+            rng,
+        )
+
+    return run, prepare_view
+
+
 def make_sharded_igcn_step(
     model, optimizer, sampler, aux_sampler, batch_size, l2_reg, aux_reg, mesh
 ):

@@ -14,14 +14,17 @@ Supported model/loss families (each routed to its parallel/step.py step):
   IMF is the n_layers=0 case)
 - DOSE variants -> + the variant's contrastive term over the per-epoch
   view(s) (``make_edge_sharded_dose_step``): single-view InfoNCE
-  (DOSE_aug/aug3/aug4, DOSE_drop/2/3, DOSE_aug_drop2/3), two-draw summed
-  InfoNCE (DOSE_aug_drop), cross-view InfoNCE (TEST2), the literal
+  (DOSE_aug/aug3/aug4, DOSE_drop/2/3, DOSE_aug_drop2/3, TEST — whose main
+  adjacency layout is built from its static dropped pair set), two-draw
+  summed InfoNCE (DOSE_aug_drop), cross-view InfoNCE (TEST2), the literal
   view-mean slot (DOSE_test); view regeneration reaches the sharded layout
   through ``prepare_view``
+- SGL / HALF -> BPR + rep-L2 + cross-view / main-vs-view InfoNCE over the
+  LightGCN base (``make_edge_sharded_sgl_step``)
 
 Rejected with a clear error: AttIGCN (attention aggregation is not in the
-edge-sharded step), DOSE_aug2 (aug FEATURE matrix path), TEST (non-train
-main adjacency), SGL/HALF (drop-view contrastive over the LightGCN base).
+edge-sharded step) and DOSE_aug2 (its aug FEATURE matrix is rebuilt with a
+fresh shape each epoch — incompatible with a static sharded layout).
 
 Evaluation computes the main representation with the SAME edge-sharded
 layouts (forward-only; layouts ride the evaluator's jitted scoring through
@@ -62,6 +65,10 @@ _DOSE_SUPPORTED = {
     # both reference terms propagate over the AUG view (model.py:3140-3142)
     "DOSE_aug_drop": ("double_same", ("aug_adj",)),
     "TEST2": ("cross", ("aug_adj", "aug_adj2")),
+    # TEST's MAIN adjacency is a static dropped graph (model.py:1989-1990):
+    # the main layout is built from the dropped pair set instead of the
+    # full train graph; its contrastive view is DOSE_drop2's
+    "TEST": ("single", ("aug_adj",)),
     "DOSE_test": ("mean", ("aug_adj",)),
 }
 
@@ -137,8 +144,8 @@ class EdgeShardedTrainer(BasicTrainer):
             if name not in _DOSE_SUPPORTED:
                 raise ValueError(
                     f"{name} is not edge-shardable (the aug-feature-matrix "
-                    f"and non-train-adjacency variants are single-device or "
-                    f"data-parallel only); supported: {sorted(_DOSE_SUPPORTED)}"
+                    f"variant is single-device or data-parallel only); "
+                    f"supported: {sorted(_DOSE_SUPPORTED)}"
                 )
             return "dose", _DOSE_SUPPORTED[name]
         if isinstance(model, AttIGCN):
@@ -146,15 +153,16 @@ class EdgeShardedTrainer(BasicTrainer):
         if isinstance(model, (IGCN, IMF)):
             return "igcn", None
         if isinstance(model, SGL):
-            raise ValueError(
-                "SGL/HALF contrastive drop views are not edge-shardable; "
-                "use the data-parallel mesh trainer"
-            )
+            from inductive_recommendation_tpu.models.sgl import HALF
+
+            if isinstance(model, HALF):
+                return "sgl", ("single", ("aug_adj1",))
+            return "sgl", ("cross", ("aug_adj1", "aug_adj2"))
         if isinstance(model, LightGCN):
             return "bpr", None
         raise ValueError(
-            f"{name} has no edge-sharded step (supported: LightGCN, "
-            f"IGCN/IMF, single-view DOSE variants)"
+            f"{name} has no edge-sharded step (supported: LightGCN, SGL/HALF, "
+            f"IGCN/IMF, DOSE variants except DOSE_aug2)"
         )
 
     # -- step + eval construction ---------------------------------------------
@@ -210,6 +218,52 @@ class EdgeShardedTrainer(BasicTrainer):
             self._scoring = _EdgeRepScoring(model, rep_fn, extra)
             return
 
+        if self._family == "sgl":
+            from inductive_recommendation_tpu.graph.build import (
+                sym_normalized_adjacency,
+            )
+            from inductive_recommendation_tpu.parallel.step import (
+                make_edge_sharded_sgl_step,
+            )
+
+            r, c, v = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
+            emat = build_edge_sharded_spmm(r, c, v, (n, n), S)
+            self._emat = emat
+            mode, _keys = self._view_key
+            step, prep = make_edge_sharded_sgl_step(
+                model,
+                mesh,
+                self.optimizer,
+                self.sampler,
+                self.batch_size,
+                self.l2_reg,
+                self.contrastive_reg,
+                axis=self.axis,
+                base_seed=self.seed,
+                adj_emat=emat,
+                contrastive=mode,
+            )
+            self._prep_view = prep
+            self._vstate = self._prepare_views()
+            self._run_step = lambda seed: step(
+                self.params, self.opt_state, seed, self._vstate
+            )
+            # eval rep = plain LightGCN propagation over the main adjacency
+            spmm = _wrap(emat, mesh, self.axis, "scatter")
+            L = model.n_layers
+
+            def rep_fn(params, b):
+                x = jax.lax.with_sharding_constraint(params["embedding"], row_spec)
+                acc, h = x, x
+                for _ in range(L):
+                    h = spmm(b["edge_fwd"], b["edge_bwd"], None, h)
+                    acc = acc + h
+                return (acc / (L + 1))[:n]
+
+            extra = {"edge_fwd": emat.fwd, "edge_bwd": emat.bwd}
+            self._scoring = _EdgeRepScoring(model, rep_fn, extra)
+            return
+
         # IGCN / DOSE: shared feat + adjacency layouts for step AND eval
         from inductive_recommendation_tpu.graph import build_feat_matrix
         from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
@@ -220,7 +274,18 @@ class EdgeShardedTrainer(BasicTrainer):
         feat_emat = build_edge_sharded_spmm(
             frow, fcol, fval, (n, model.feat_n_cols), S
         )
-        r, c, v = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
+        from inductive_recommendation_tpu.models.dose import TEST
+
+        if isinstance(model, TEST):
+            # TEST's main adjacency is its static dropped graph
+            # (model.py:1989-1990) — the layout must be built from the SAME
+            # pair set the model scored with (snapshot for stale detection
+            # after a checkpoint restore)
+            self._test_main_keep = np.asarray(model._main_keep).copy()
+            pairs = model._dedup_train[model._main_keep]
+            r, c, v = sym_normalized_adjacency(pairs, ds.n_users, ds.n_items)
+        else:
+            r, c, v = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
         adj_emat = build_edge_sharded_spmm(r, c, v, (n, n), S)
         self._emat = feat_emat
 
@@ -400,6 +465,10 @@ class EdgeShardedTrainer(BasicTrainer):
             # full-table device->host->device round trip — is needed
             self.model.update_aug_adj(self.params)
             self._vstate = self._prepare_views()
+        elif self._family == "sgl":
+            # random drop views: no param read (trainer.py:458)
+            self.model.update_aug_adj()
+            self._vstate = self._prepare_views()
         return _epoch_mean(losses)
 
     # -- evaluation -------------------------------------------------------------
@@ -435,10 +504,25 @@ class EdgeShardedTrainer(BasicTrainer):
         # layout is directly consumable)
         self.params = self._shard_model_params(mp)
         self._rebuild_model_views()
-        if self._family == "dose":
+        self._check_test_main_graph()
+        if self._family in ("dose", "sgl"):
             self._vstate = self._prepare_views()
 
     def load_state(self, path):
         super().load_state(path)  # edge-layout params/opt restored + _shard
-        if self._family == "dose":
+        self._check_test_main_graph()
+        if self._family in ("dose", "sgl"):
             self._vstate = self._prepare_views()
+
+    def _check_test_main_graph(self):
+        """TEST's main-graph layout was built from the construction-time drop
+        mask; a restore that brings a DIFFERENT mask (checkpoint from another
+        seed/run) would leave it silently stale — rebuild the layouts."""
+        if getattr(self, "_test_main_keep", None) is None:
+            return
+        cur = np.asarray(self.model._main_keep)
+        if cur.shape == self._test_main_keep.shape and np.array_equal(
+            cur, self._test_main_keep
+        ):
+            return
+        self._build_steps()

@@ -569,3 +569,91 @@ def test_edge_sharded_dose_multiterm_matches_single_device(model_name, mode, key
         )
         model.feat_mat_anneal()
         model.update_aug_adj(params0)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_name,mode", [("SGL", "cross"), ("HALF", "single")])
+def test_edge_sharded_sgl_step_matches_single_device(model_name, mode):
+    """SGL/HALF over the LightGCN base: the edge-sharded step (main adjacency
+    + BOTH drop-view graphs + table sharded) computes the same
+    BPR + rep-L2 + InfoNCE loss as the single-device SGLTrainer loss on the
+    same batch, at the initial views AND after update_aug_adj."""
+    import optax
+
+    from inductive_recommendation_tpu import get_dataset, get_model
+    from inductive_recommendation_tpu.data.sampling import (
+        build_sampler_state,
+        sample_bpr_batch,
+    )
+    from inductive_recommendation_tpu.parallel import make_edge_sharded_sgl_step
+    from inductive_recommendation_tpu.train import losses as L
+
+    ds = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 48,
+            "n_items": 40,
+            "n_interactions": 650,
+            "seed": 11,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+    model = get_model(
+        {
+            "name": model_name,
+            "embedding_size": 16,
+            "n_layers": 2,
+            "aug_rate": 0.5,
+            "table_align": 1,
+        },
+        ds,
+    )
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    params0 = model.init_params(jax.random.key(3))
+    l2_reg, c_reg, bs = 1e-4, 0.05, 64
+
+    def single_loss(p, buffers, rng):
+        # split exactly like the sharded step so both draw the same batch
+        rng_s, _ = jax.random.split(rng)
+        users, pos, neg = sample_bpr_batch(sampler, rng_s, bs)
+        u, pr, nr, l2, closs = model.bpr_forward(
+            p, users, pos, neg[:, 0], training=False, buffers=buffers
+        )
+        return L.bpr_loss(u, pr, nr) + l2_reg * l2.mean() + c_reg * closs.mean()
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    optimizer = optax.adam(1e-2)
+    step, prepare_view = make_edge_sharded_sgl_step(
+        model, mesh, optimizer, sampler, bs, l2_reg, c_reg, contrastive=mode
+    )
+    keys = ("aug_adj1", "aug_adj2") if mode == "cross" else ("aug_adj1",)
+
+    for epoch in range(2):
+        states = tuple(prepare_view(model.edge_views[k]) for k in keys)
+        vs = states if len(states) > 1 else states[0]
+        loss_ref = float(
+            jax.jit(single_loss)(params0, model.buffers, jax.random.key(9 + epoch))
+        )
+        from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
+        from inductive_recommendation_tpu.parallel import build_edge_sharded_spmm
+        from inductive_recommendation_tpu.parallel.spmm import shard_operand
+
+        r, c, v = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
+        adj = build_edge_sharded_spmm(
+            r, c, v, (ds.n_users + ds.n_items,) * 2, mesh.shape["model"]
+        )
+        params = {"embedding": shard_operand(params0["embedding"], adj, mesh)}
+        opt_state = optimizer.init(params)
+        with mesh:
+            params, opt_state, loss = step(
+                params, opt_state, jax.random.key(9 + epoch), vs
+            )
+        assert abs(float(loss) - loss_ref) < 3e-4, (
+            model_name,
+            epoch,
+            float(loss),
+            loss_ref,
+        )
+        assert not params["embedding"].sharding.is_fully_replicated
+        model.update_aug_adj()

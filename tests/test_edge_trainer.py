@@ -66,10 +66,74 @@ def test_edge_trainer_lightgcn_first_step_matches_single_device(ds):
     assert abs(float(l1) - float(l2)) < 1e-4, (float(l1), float(l2))
 
 
+def test_edge_trainer_sgl_first_step_matches_single_device(ds):
+    """SGL via get_trainer(mesh_mode='edge'): first-step loss equals the
+    single-device SGLTrainer's (same seed/counter rng scheme, same
+    construction-time drop views)."""
+    mesh = make_mesh(n_data=1, n_model=8)
+    mcfg = {
+        "name": "SGL",
+        "embedding_size": 16,
+        "n_layers": 2,
+        "aug_rate": 0.5,
+        "table_align": 1,
+    }
+    tkw = {"contrastive_reg": 0.05}
+    m1 = get_model(mcfg, ds)
+    t1 = get_trainer(_tcfg("SGLTrainer", **tkw), ds, m1)
+    m2 = get_model(mcfg, ds)
+    t2 = get_trainer(_tcfg("SGLTrainer", **tkw), ds, m2, mesh=mesh, mesh_mode="edge")
+    p1, o1, l1 = t1._step(
+        t1.params, t1.opt_state, m1.buffers, t1.sampler, t1._next_seed()
+    )
+    with mesh:
+        p2, o2, l2 = t2._run_step(t2._next_seed())
+    assert abs(float(l1) - float(l2)) < 2e-4, (float(l1), float(l2))
+
+
+def test_edge_trainer_test_variant_first_step_matches_single_device(ds):
+    """TEST's main adjacency is a static DROPPED graph — the edge layout must
+    be built from the same dropped pair set, or the first-step losses
+    diverge."""
+    mesh = make_mesh(n_data=1, n_model=8)
+    mcfg = {
+        "name": "TEST",
+        "embedding_size": 16,
+        "n_layers": 2,
+        "dropout": 0.0,
+        "feature_ratio": 1.0,
+        "aug_num": 10,
+        "aug_rate": 0.5,
+        "table_align": 1,
+    }
+    tkw = {"aux_reg": 0.01, "contrastive_reg": 0.05}
+    m1 = get_model(mcfg, ds)
+    t1 = get_trainer(_tcfg("DOSEdropTrainer", **tkw), ds, m1)
+    m2 = get_model(mcfg, ds)
+    t2 = get_trainer(
+        _tcfg("DOSEdropTrainer", **tkw), ds, m2, mesh=mesh, mesh_mode="edge"
+    )
+    p1, o1, l1 = t1._step(
+        t1.params, t1.opt_state, m1.buffers, t1.sampler, t1.aux_sampler,
+        t1._next_seed(),
+    )
+    with mesh:
+        p2, o2, l2 = t2._run_step(t2._next_seed())
+    assert abs(float(l1) - float(l2)) < 2e-4, (float(l1), float(l2))
+
+
 @pytest.mark.parametrize(
     "model_name,trainer_name,mkw,tkw",
     [
         ("LightGCN", "BPRTrainer", {}, {}),
+        ("SGL", "SGLTrainer", {"aug_rate": 0.5}, {"contrastive_reg": 0.05}),
+        ("HALF", "HALFTrainer", {"aug_rate": 0.5}, {"contrastive_reg": 0.05}),
+        (
+            "TEST",
+            "DOSEdropTrainer",
+            {"dropout": 0.0, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5},
+            {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        ),
         (
             "IGCN",
             "IGCNTrainer",
