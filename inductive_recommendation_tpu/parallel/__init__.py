@@ -23,6 +23,7 @@ from inductive_recommendation_tpu.parallel.mesh import make_mesh, shard_params
 from inductive_recommendation_tpu.parallel.step import (
     make_edge_sharded_bpr_step,
     make_edge_sharded_dose_step,
+    make_edge_sharded_att_igcn_step,
     make_edge_sharded_igcn_step,
     make_edge_sharded_sgl_step,
     make_sharded_bpr_step,
@@ -46,6 +47,7 @@ __all__ = [
     "shard_params",
     "make_edge_sharded_bpr_step",
     "make_edge_sharded_dose_step",
+    "make_edge_sharded_att_igcn_step",
     "make_edge_sharded_igcn_step",
     "make_edge_sharded_sgl_step",
     "make_sharded_bpr_step",

@@ -707,6 +707,158 @@ def make_edge_sharded_sgl_step(
     return run, prepare_view
 
 
+def make_edge_sharded_att_igcn_step(
+    model,
+    mesh,
+    optimizer,
+    sampler,
+    aux_sampler,
+    batch_size,
+    l2_reg,
+    aux_reg,
+    axis="model",
+    base_seed=0,
+    feat_emat=None,
+    adj_emat=None,
+    feat_coo=None,
+):
+    """AttIGCN training step with the feature matrix, the adjacency, the
+    per-edge ATTENTION softmax and the core embedding table all sharded.
+
+    Semantics match models/att_igcn.py (reference spec model.py:4224-4287):
+
+    - q = Wq(feat @ sg(emb)) with the alpha=0 feat weights (row_sum^-1) as a
+      sharded per-edge scale; k = Wk(sg(emb)); both row-sharded so the only
+      non-local attention traffic is one all-gather of q plus two
+      [n_pad, h] row-statistic all-reduces (parallel/attention.py);
+    - the inductive layer aggregates the NON-detached embedding with the
+      head-mean attention weights (model.py:4279);
+    - loss = BPR + l2_reg*(rep L2 + ||Wq||^2 + ||Wk||^2) + aux_reg*auxBPR(w)
+      (model.py:4283-4286 + trainer.py:542-549). AttIGCN fixes alpha=0 and
+      applies no feat dropout in its attention layer (att_igcn.py), so there
+      is no anneal argument.
+
+    -> run(params, opt_state, rng) -> (params, opt_state, loss), params =
+    AttIGCN's init_params with "embedding" sharded to [n_cols_pad, d].
+    """
+    from inductive_recommendation_tpu.graph import build_feat_matrix
+    from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
+    from inductive_recommendation_tpu.parallel.attention import (
+        build_attention_perm,
+        make_edge_sharded_attention,
+    )
+    from inductive_recommendation_tpu.parallel.spmm import (
+        _wrap,
+        build_edge_sharded_spmm,
+    )
+
+    n_shards = mesh.shape[axis]
+    ds = model.dataset
+    n_users, n_items = model.n_users, model.n_items
+    n_nodes = n_users + n_items
+    d, n_heads, n_layers = model.embedding_size, model.n_heads, model.n_layers
+    user_dim = model.user_dim
+
+    if feat_coo is not None:
+        frow, fcol, fval, row_sum = feat_coo
+    else:
+        frow, fcol, fval, row_sum = build_feat_matrix(
+            ds.train_array, n_users, n_items, model.user_map, model.item_map
+        )
+    if feat_emat is None:
+        feat_emat = build_edge_sharded_spmm(
+            frow, fcol, fval, (n_nodes, model.feat_n_cols), n_shards
+        )
+    if adj_emat is None:
+        r, c, v = sym_normalized_adjacency(ds.train_array, n_users, n_items)
+        adj_emat = build_edge_sharded_spmm(r, c, v, (n_nodes, n_nodes), n_shards)
+    if feat_emat.n_rows_pad != adj_emat.n_cols_pad:
+        raise ValueError(
+            "feat output rows and adjacency operand rows must pad identically"
+        )
+
+    feat_spmm = _wrap(feat_emat, mesh, axis, "scatter")
+    adj_spmm = _wrap(adj_emat, mesh, axis, "scatter")
+    attn_fn = make_edge_sharded_attention(
+        feat_emat, mesh, axis, temperature=model.temperature
+    )
+    perm = build_attention_perm(feat_emat)
+    scale_sharding = NamedSharding(mesh, P(axis, None))
+    row_sharding = NamedSharding(mesh, P(axis, None))
+
+    def step(
+        params, opt_state, ffwd, fbwd, afwd, abwd, fperm, frow_st, rs, smp, aux_smp, rng
+    ):
+        # 3-way split matching the single-device trainer steps (the third
+        # key is the model-dropout slot — unused here, AttIGCN applies none)
+        rng_s, rng_a, _ = jax.random.split(_ensure_key(rng, base_seed), 3)
+        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+        a_users, a_pos, a_neg = sample_bpr_batch(aux_smp, rng_a, batch_size)
+
+        # alpha is fixed to 0 (att_igcn.py) -> feat weights row_sum^-1
+        qscale = jax.lax.with_sharding_constraint(
+            1.0 / jnp.maximum(rs, 1e-12)[frow_st], scale_sharding
+        )
+
+        def loss_fn(p):
+            emb = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
+            emb_sg = jax.lax.stop_gradient(emb)
+            x_q = feat_spmm(ffwd, fbwd, qscale, emb_sg)
+            q = x_q @ p["weight_q"]["w"] + p["weight_q"]["b"]
+            q = jax.lax.with_sharding_constraint(
+                q, NamedSharding(mesh, P(axis, None))
+            ).reshape(-1, n_heads, d)
+            k_table = jax.lax.with_sharding_constraint(
+                emb_sg @ p["weight_k"]["w"] + p["weight_k"]["b"], row_sharding
+            )
+            x0 = attn_fn(ffwd, fperm, q, k_table, emb)
+            acc, h = x0, x0
+            for _ in range(n_layers):
+                h = adj_spmm(afwd, abwd, None, h)
+                acc = acc + h
+            rep = acc / (n_layers + 1)
+            u_r = rep[users]
+            p_r = rep[n_users + pos]
+            n_r = rep[n_users + neg[:, 0]]
+            l2 = jnp.sum(u_r**2, 1) + jnp.sum(p_r**2, 1) + jnp.sum(n_r**2, 1)
+            w_l2 = jnp.sum(p["weight_q"]["w"] ** 2) + jnp.sum(p["weight_k"]["w"] ** 2)
+            bpr = L.bpr_loss(u_r, p_r, n_r)
+            aux_loss = L.aux_bpr_w(
+                emb, p["w"], a_users, a_pos, a_neg[:, 0], user_dim
+            )
+            return bpr + l2_reg * (l2.mean() + w_l2) + aux_reg * aux_loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+    frow_stacked = jax.device_put(
+        np.asarray(frow, dtype=np.int32)[np.asarray(feat_emat.eid_map)],
+        scale_sharding,
+    )
+    rs_dev = jnp.asarray(row_sum, dtype=jnp.float32)
+
+    def run(params, opt_state, rng):
+        return jitted(
+            params,
+            opt_state,
+            feat_emat.fwd,
+            feat_emat.bwd,
+            adj_emat.fwd,
+            adj_emat.bwd,
+            perm,
+            frow_stacked,
+            rs_dev,
+            sampler,
+            aux_sampler,
+            rng,
+        )
+
+    return run
+
+
 def make_sharded_igcn_step(
     model, optimizer, sampler, aux_sampler, batch_size, l2_reg, aux_reg, mesh
 ):

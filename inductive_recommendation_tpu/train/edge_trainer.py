@@ -21,10 +21,12 @@ Supported model/loss families (each routed to its parallel/step.py step):
   through ``prepare_view``
 - SGL / HALF -> BPR + rep-L2 + cross-view / main-vs-view InfoNCE over the
   LightGCN base (``make_edge_sharded_sgl_step``)
+- AttIGCN -> attention-weighted inductive layer with the per-edge softmax
+  itself sharded (``make_edge_sharded_att_igcn_step`` + parallel/attention.py)
 
-Rejected with a clear error: AttIGCN (attention aggregation is not in the
-edge-sharded step) and DOSE_aug2 (its aug FEATURE matrix is rebuilt with a
-fresh shape each epoch — incompatible with a static sharded layout).
+Rejected with a clear error: DOSE_aug2 only (its aug FEATURE matrix is
+rebuilt with a fresh shape each epoch — incompatible with a static sharded
+layout).
 
 Evaluation computes the main representation with the SAME edge-sharded
 layouts (forward-only; layouts ride the evaluator's jitted scoring through
@@ -149,7 +151,7 @@ class EdgeShardedTrainer(BasicTrainer):
                 )
             return "dose", _DOSE_SUPPORTED[name]
         if isinstance(model, AttIGCN):
-            raise ValueError("AttIGCN's attention aggregation is not edge-shardable")
+            return "att_igcn", None
         if isinstance(model, (IGCN, IMF)):
             return "igcn", None
         if isinstance(model, SGL):
@@ -162,7 +164,7 @@ class EdgeShardedTrainer(BasicTrainer):
             return "bpr", None
         raise ValueError(
             f"{name} has no edge-sharded step (supported: LightGCN, SGL/HALF, "
-            f"IGCN/IMF, DOSE variants except DOSE_aug2)"
+            f"IGCN/IMF/AttIGCN, DOSE variants except DOSE_aug2)"
         )
 
     # -- step + eval construction ---------------------------------------------
@@ -298,7 +300,28 @@ class EdgeShardedTrainer(BasicTrainer):
         # propagation loop degenerates to rep = x0 at zero layers
         n_layers_eff = 0 if isinstance(model, IMF) else model.n_layers
 
-        if self._family == "igcn":
+        if self._family == "att_igcn":
+            from inductive_recommendation_tpu.parallel.step import (
+                make_edge_sharded_att_igcn_step,
+            )
+
+            astep = make_edge_sharded_att_igcn_step(
+                model,
+                mesh,
+                self.optimizer,
+                self.sampler,
+                self.aux_sampler,
+                self.batch_size,
+                self.l2_reg,
+                self.aux_reg,
+                axis=self.axis,
+                base_seed=self.seed,
+                feat_emat=feat_emat,
+                adj_emat=adj_emat,
+                feat_coo=(frow, fcol, fval, row_sum),
+            )
+            self._run_step = lambda seed: astep(self.params, self.opt_state, seed)
+        elif self._family == "igcn":
             step = make_edge_sharded_igcn_step(
                 feat_emat,
                 adj_emat,
@@ -358,22 +381,6 @@ class EdgeShardedTrainer(BasicTrainer):
         )
         rs_dev = jnp.asarray(row_sum, jnp.float32)
 
-        def rep_fn(params, b):
-            # alpha rides the model BUFFERS (updated by feat_mat_anneal), so
-            # the evaluator's jitted scoring never retraces across epochs
-            expo = (b["alpha"] - 1.0) / 2.0 - 0.5
-            anneal = jax.lax.with_sharding_constraint(
-                jnp.power(jnp.maximum(b["edge_rs"], 1e-12)[b["edge_frow"]], expo),
-                row_spec,
-            )
-            x = jax.lax.with_sharding_constraint(params["embedding"], row_spec)
-            x0 = feat_spmm(b["edge_feat_fwd"], b["edge_feat_bwd"], anneal, x)
-            acc, h = x0, x0
-            for _ in range(L):
-                h = adj_spmm(b["edge_adj_fwd"], b["edge_adj_bwd"], None, h)
-                acc = acc + h
-            return (acc / (L + 1))[:n]
-
         extra = {
             "edge_feat_fwd": feat_emat.fwd,
             "edge_feat_bwd": feat_emat.bwd,
@@ -382,6 +389,63 @@ class EdgeShardedTrainer(BasicTrainer):
             "edge_frow": frow_st,
             "edge_rs": rs_dev,
         }
+
+        if self._family == "att_igcn":
+            from inductive_recommendation_tpu.parallel.attention import (
+                build_attention_perm,
+                make_edge_sharded_attention,
+            )
+
+            attn_fn = make_edge_sharded_attention(
+                feat_emat, mesh, self.axis, temperature=model.temperature
+            )
+            extra["edge_attn_perm"] = build_attention_perm(feat_emat)
+            h_heads, d_emb = model.n_heads, model.embedding_size
+
+            def rep_fn(params, b):
+                emb = jax.lax.with_sharding_constraint(
+                    params["embedding"], row_spec
+                )
+                qscale = jax.lax.with_sharding_constraint(
+                    1.0 / jnp.maximum(b["edge_rs"], 1e-12)[b["edge_frow"]],
+                    row_spec,
+                )
+                x_q = feat_spmm(b["edge_feat_fwd"], b["edge_feat_bwd"], qscale, emb)
+                q = jax.lax.with_sharding_constraint(
+                    x_q @ params["weight_q"]["w"] + params["weight_q"]["b"],
+                    row_spec,
+                ).reshape(-1, h_heads, d_emb)
+                k_table = jax.lax.with_sharding_constraint(
+                    emb @ params["weight_k"]["w"] + params["weight_k"]["b"],
+                    row_spec,
+                )
+                x0 = attn_fn(b["edge_feat_fwd"], b["edge_attn_perm"], q, k_table, emb)
+                acc, h = x0, x0
+                for _ in range(L):
+                    h = adj_spmm(b["edge_adj_fwd"], b["edge_adj_bwd"], None, h)
+                    acc = acc + h
+                return (acc / (L + 1))[:n]
+
+        else:
+
+            def rep_fn(params, b):
+                # alpha rides the model BUFFERS (updated by feat_mat_anneal),
+                # so the evaluator's jitted scoring never retraces per epoch
+                expo = (b["alpha"] - 1.0) / 2.0 - 0.5
+                anneal = jax.lax.with_sharding_constraint(
+                    jnp.power(
+                        jnp.maximum(b["edge_rs"], 1e-12)[b["edge_frow"]], expo
+                    ),
+                    row_spec,
+                )
+                x = jax.lax.with_sharding_constraint(params["embedding"], row_spec)
+                x0 = feat_spmm(b["edge_feat_fwd"], b["edge_feat_bwd"], anneal, x)
+                acc, h = x0, x0
+                for _ in range(L):
+                    h = adj_spmm(b["edge_adj_fwd"], b["edge_adj_bwd"], None, h)
+                    acc = acc + h
+                return (acc / (L + 1))[:n]
+
         self._scoring = _EdgeRepScoring(model, rep_fn, extra)
 
     def _prepare_views(self):
@@ -393,11 +457,13 @@ class EdgeShardedTrainer(BasicTrainer):
 
     # -- params layout conversion ---------------------------------------------
     def _shard_model_params(self, params):
-        """Model-layout params -> padded edge layout on the mesh."""
+        """Model-layout params -> padded edge layout on the mesh. Only the
+        embedding table re-lays out; nested sub-dicts (AttIGCN's weight_q/
+        weight_k) and vectors are copied (the step donates params)."""
         out = {}
         for k, v in params.items():
-            v = jnp.asarray(v)
-            if v.ndim == 2:
+            if k == "embedding":
+                v = jnp.asarray(v)
                 pad = self._emat.n_cols_pad - v.shape[0]
                 if pad < 0:
                     v = v[: self._emat.n_cols_pad]
@@ -405,23 +471,23 @@ class EdgeShardedTrainer(BasicTrainer):
                 v = jnp.concatenate([v, jnp.zeros((pad, v.shape[1]), v.dtype)])
                 out[k] = jax.device_put(v, self._row_spec)
             else:
-                out[k] = jnp.array(v)  # copy: the step donates params
+                out[k] = jax.tree_util.tree_map(jnp.array, v)
         return out
 
     def _to_model_params(self, params):
         """Edge-layout params -> the model's own init_params layout (host)."""
-        out = {}
-        for k, t in self._model_template.items():
-            src = np.asarray(jax.device_get(params[k]))
+
+        def conv(t, s):
+            src = np.asarray(jax.device_get(s))
             t = np.asarray(t)
             if src.shape == t.shape:
-                out[k] = src
-            else:
-                dst = np.zeros(t.shape, t.dtype)
-                m = min(t.shape[0], src.shape[0])
-                dst[:m] = src[:m]
-                out[k] = dst
-        return out
+                return src
+            dst = np.zeros(t.shape, t.dtype)
+            m = min(t.shape[0], src.shape[0])
+            dst[:m] = src[:m]
+            return dst
+
+        return jax.tree_util.tree_map(conv, self._model_template, dict(params))
 
     def _shard(self, tree):
         """Re-place restored host arrays: edge-padded tables (and their adam
@@ -457,7 +523,10 @@ class EdgeShardedTrainer(BasicTrainer):
                     self._next_seed()
                 )
                 losses.append(loss)
-        if self._family in ("igcn", "dose"):
+        if self._family in ("igcn", "att_igcn", "dose"):
+            # AttIGCN's alpha is pinned at 0, so its anneal is a numeric
+            # no-op — called anyway to keep model buffers/aux in sync with
+            # the single-device IGCNTrainer epoch
             self.model.feat_mat_anneal()
         if self._family == "dose":
             # the EDGE params feed the selection directly: every model read

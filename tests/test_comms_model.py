@@ -166,3 +166,74 @@ def test_ensure_key_accepts_counters_and_both_key_styles():
     k1 = _ensure_key(jnp.int32(5), 7)
     k2 = jax.random.fold_in(jax.random.key(7), 5)
     assert jax.random.key_data(k1).tolist() == jax.random.key_data(k2).tolist()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("S", [2, 8])
+def test_att_igcn_step_collective_budget(S):
+    """The edge-sharded AttIGCN step's collective count is S-independent:
+    forward 1 feat + 1 attention-output + L adjacency reduce-scatters, one
+    q all-gather + one [S, n_pad, h] row-max stat all-gather (stop-grad, no
+    transpose) + one denominator all-reduce; backward one all-gather per
+    reduce-scatter with the q all-gather transposing to the 5th
+    reduce-scatter. Everything moves O(n_pad·h·d) — nothing scales with |E|
+    or S (the row-stat gather's [S, n_pad, h] output is the one tiny
+    exception, documented in parallel/attention.py)."""
+    import jax.numpy as jnp
+    import optax
+
+    from inductive_recommendation_tpu.graph import build_feat_matrix
+    from inductive_recommendation_tpu.parallel import (
+        make_edge_sharded_att_igcn_step,
+    )
+
+    ds, _, sampler, _, mesh, opt = _tiny_igcn_setup(S)
+    from inductive_recommendation_tpu import get_model
+    from inductive_recommendation_tpu.data.dataset import AuxiliaryDataset
+    from inductive_recommendation_tpu.data.sampling import build_sampler_state
+
+    model = get_model(
+        {
+            "name": "AttIGCN",
+            "embedding_size": 8,
+            "n_layers": 2,
+            "dropout": 0.0,
+            "n_heads": 2,
+            "table_align": 1,
+        },
+        ds,
+    )
+    aux = AuxiliaryDataset(ds, model.user_map, model.item_map)
+    aux_sampler = build_sampler_state(aux.train_data, aux.n_items)
+    step = make_edge_sharded_att_igcn_step(
+        model, mesh, opt, sampler, aux_sampler, 32, 1e-4, 0.01
+    )
+    femat = build_edge_sharded_spmm(
+        *build_feat_matrix(
+            ds.train_array, ds.n_users, ds.n_items, model.user_map, model.item_map
+        )[:3],
+        (ds.n_users + ds.n_items, model.feat_n_cols),
+        S,
+    )
+    params = {
+        k: (
+            shard_operand(jnp.asarray(v)[: model.feat_n_cols], femat, mesh)
+            if k == "embedding"
+            else jax.tree_util.tree_map(jnp.array, v)
+        )
+        for k, v in model.init_params(jax.random.key(0)).items()
+    }
+    opt_state = opt.init(params)
+    with mesh:
+        stats = collective_stats(
+            lambda p, o: step(p, o, jax.random.key(1))[2], params, opt_state
+        )
+    L, d, h = model.n_layers, 8, 2
+    assert stats.counts["reduce_scatter"] == 2 + L + 1, stats.counts
+    assert stats.counts["all_gather"] == 2 + L + 1, stats.counts
+    assert stats.counts["all_to_all"] == 0
+    # exactly two model-axis all-reduces: softmax denominator fwd + bwd
+    assert sum(1 for s in stats.axis_sizes["psum"] if s == S) == 2
+    n_pad = -(-(ds.n_users + ds.n_items) // S) * S
+    # 4 x [n_pad, d] (feat, attn out, L adj) + the q transpose [n_pad, h*d]
+    assert stats.in_bytes["reduce_scatter"] == (2 + L) * n_pad * d * 4 + n_pad * h * d * 4

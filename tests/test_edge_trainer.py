@@ -122,10 +122,45 @@ def test_edge_trainer_test_variant_first_step_matches_single_device(ds):
     assert abs(float(l1) - float(l2)) < 2e-4, (float(l1), float(l2))
 
 
+def test_edge_trainer_att_igcn_first_step_matches_single_device(ds):
+    """AttIGCN via get_trainer(mesh_mode='edge'): the sharded attention
+    softmax + feat/adjacency layouts reproduce the single-device
+    IGCNTrainer first-step loss."""
+    mesh = make_mesh(n_data=1, n_model=8)
+    mcfg = {
+        "name": "AttIGCN",
+        "embedding_size": 16,
+        "n_layers": 2,
+        "dropout": 0.0,
+        "n_heads": 2,
+        "table_align": 1,
+    }
+    tkw = {"aux_reg": 0.01}
+    m1 = get_model(mcfg, ds)
+    t1 = get_trainer(_tcfg("IGCNTrainer", **tkw), ds, m1)
+    m2 = get_model(mcfg, ds)
+    t2 = get_trainer(
+        _tcfg("IGCNTrainer", **tkw), ds, m2, mesh=mesh, mesh_mode="edge"
+    )
+    p1, o1, l1 = t1._step(
+        t1.params, t1.opt_state, m1.buffers, t1.sampler, t1.aux_sampler,
+        t1._next_seed(),
+    )
+    with mesh:
+        p2, o2, l2 = t2._run_step(t2._next_seed())
+    assert abs(float(l1) - float(l2)) < 2e-4, (float(l1), float(l2))
+
+
 @pytest.mark.parametrize(
     "model_name,trainer_name,mkw,tkw",
     [
         ("LightGCN", "BPRTrainer", {}, {}),
+        (
+            "AttIGCN",
+            "IGCNTrainer",
+            {"dropout": 0.0, "n_heads": 2},
+            {"aux_reg": 0.01},
+        ),
         ("SGL", "SGLTrainer", {"aug_rate": 0.5}, {"contrastive_reg": 0.05}),
         ("HALF", "HALFTrainer", {"aug_rate": 0.5}, {"contrastive_reg": 0.05}),
         (
