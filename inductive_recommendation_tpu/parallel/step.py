@@ -297,8 +297,10 @@ def make_edge_sharded_dose_step(
     - ``"mean"``: the view users' representation mean — DOSE_test's literal
       contrastive slot (model.py:3843-3855 + DOSEtestTrainer).
 
-    Still single-device only: DOSE_aug2 (aug FEATURE matrix path) and TEST
-    (non-train main adjacency).
+    TEST (whose MAIN adjacency is a static dropped graph) routes through
+    this step too — the caller builds ``adj_emat`` from the dropped pair set
+    (train/edge_trainer.py). Still single-device only: DOSE_aug2 (aug
+    FEATURE matrix path).
 
     View layout: the raw train adjacency (both directions, ViewEngine's base
     edge order) is one more :class:`EdgeShardedSpMM`; a view enters the step
@@ -721,9 +723,14 @@ def make_edge_sharded_att_igcn_step(
     feat_emat=None,
     adj_emat=None,
     feat_coo=None,
+    attn_fn=None,
+    attn_perm=None,
 ):
     """AttIGCN training step with the feature matrix, the adjacency, the
     per-edge ATTENTION softmax and the core embedding table all sharded.
+    Prebuilt layouts (``feat_emat``/``adj_emat``/``feat_coo``) and attention
+    pieces (``attn_fn``/``attn_perm``, e.g. shared with the trainer's eval
+    path) are accepted to avoid duplicating the O(E) host passes.
 
     Semantics match models/att_igcn.py (reference spec model.py:4224-4287):
 
@@ -779,10 +786,11 @@ def make_edge_sharded_att_igcn_step(
 
     feat_spmm = _wrap(feat_emat, mesh, axis, "scatter")
     adj_spmm = _wrap(adj_emat, mesh, axis, "scatter")
-    attn_fn = make_edge_sharded_attention(
-        feat_emat, mesh, axis, temperature=model.temperature
-    )
-    perm = build_attention_perm(feat_emat)
+    if attn_fn is None:
+        attn_fn = make_edge_sharded_attention(
+            feat_emat, mesh, axis, temperature=model.temperature
+        )
+    perm = attn_perm if attn_perm is not None else build_attention_perm(feat_emat)
     scale_sharding = NamedSharding(mesh, P(axis, None))
     row_sharding = NamedSharding(mesh, P(axis, None))
 

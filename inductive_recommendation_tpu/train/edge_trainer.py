@@ -184,7 +184,7 @@ class EdgeShardedTrainer(BasicTrainer):
         row_spec = NamedSharding(mesh, P(self.axis, None))
         self._row_spec = row_spec
 
-        if self._family == "bpr":
+        if self._family in ("bpr", "sgl"):
             from inductive_recommendation_tpu.graph.build import (
                 sym_normalized_adjacency,
             )
@@ -192,78 +192,47 @@ class EdgeShardedTrainer(BasicTrainer):
             r, c, v = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
             emat = build_edge_sharded_spmm(r, c, v, (n, n), S)
             self._emat = emat
-            step = make_edge_sharded_bpr_step(
-                emat,
-                mesh,
-                self.optimizer,
-                self.sampler,
-                self.batch_size,
-                self.l2_reg,
-                ds.n_users,
-                model.n_layers,
-                axis=self.axis,
-                base_seed=self.seed,
-            )
-            self._run_step = lambda seed: step(self.params, self.opt_state, seed)
-            spmm = _wrap(emat, mesh, self.axis, "scatter")
-            L = model.n_layers
+            if self._family == "bpr":
+                step = make_edge_sharded_bpr_step(
+                    emat,
+                    mesh,
+                    self.optimizer,
+                    self.sampler,
+                    self.batch_size,
+                    self.l2_reg,
+                    ds.n_users,
+                    model.n_layers,
+                    axis=self.axis,
+                    base_seed=self.seed,
+                )
+                self._run_step = lambda seed: step(self.params, self.opt_state, seed)
+            else:
+                from inductive_recommendation_tpu.parallel.step import (
+                    make_edge_sharded_sgl_step,
+                )
 
-            def rep_fn(params, b):
-                x = jax.lax.with_sharding_constraint(params["embedding"], row_spec)
-                acc, h = x, x
-                for _ in range(L):
-                    h = spmm(b["edge_fwd"], b["edge_bwd"], None, h)
-                    acc = acc + h
-                return (acc / (L + 1))[:n]
-
-            extra = {"edge_fwd": emat.fwd, "edge_bwd": emat.bwd}
-            self._scoring = _EdgeRepScoring(model, rep_fn, extra)
-            return
-
-        if self._family == "sgl":
-            from inductive_recommendation_tpu.graph.build import (
-                sym_normalized_adjacency,
-            )
-            from inductive_recommendation_tpu.parallel.step import (
-                make_edge_sharded_sgl_step,
-            )
-
-            r, c, v = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
-            emat = build_edge_sharded_spmm(r, c, v, (n, n), S)
-            self._emat = emat
-            mode, _keys = self._view_key
-            step, prep = make_edge_sharded_sgl_step(
-                model,
-                mesh,
-                self.optimizer,
-                self.sampler,
-                self.batch_size,
-                self.l2_reg,
-                self.contrastive_reg,
-                axis=self.axis,
-                base_seed=self.seed,
-                adj_emat=emat,
-                contrastive=mode,
-            )
-            self._prep_view = prep
-            self._vstate = self._prepare_views()
-            self._run_step = lambda seed: step(
-                self.params, self.opt_state, seed, self._vstate
-            )
+                mode, _keys = self._view_key
+                sgl_step, prep = make_edge_sharded_sgl_step(
+                    model,
+                    mesh,
+                    self.optimizer,
+                    self.sampler,
+                    self.batch_size,
+                    self.l2_reg,
+                    self.contrastive_reg,
+                    axis=self.axis,
+                    base_seed=self.seed,
+                    adj_emat=emat,
+                    contrastive=mode,
+                )
+                self._prep_view = prep
+                self._vstate = self._prepare_views()
+                self._run_step = lambda seed: sgl_step(
+                    self.params, self.opt_state, seed, self._vstate
+                )
             # eval rep = plain LightGCN propagation over the main adjacency
-            spmm = _wrap(emat, mesh, self.axis, "scatter")
-            L = model.n_layers
-
-            def rep_fn(params, b):
-                x = jax.lax.with_sharding_constraint(params["embedding"], row_spec)
-                acc, h = x, x
-                for _ in range(L):
-                    h = spmm(b["edge_fwd"], b["edge_bwd"], None, h)
-                    acc = acc + h
-                return (acc / (L + 1))[:n]
-
-            extra = {"edge_fwd": emat.fwd, "edge_bwd": emat.bwd}
-            self._scoring = _EdgeRepScoring(model, rep_fn, extra)
+            # (SGL/HALF score with the main rep too, models/sgl.py)
+            self._scoring = self._lightgcn_eval_scoring(emat)
             return
 
         # IGCN / DOSE: shared feat + adjacency layouts for step AND eval
@@ -300,6 +269,20 @@ class EdgeShardedTrainer(BasicTrainer):
         # propagation loop degenerates to rep = x0 at zero layers
         n_layers_eff = 0 if isinstance(model, IMF) else model.n_layers
 
+        # attention pieces are built ONCE and shared by the step and the
+        # eval path (build_attention_perm is an O(S·n) host pass)
+        attn_fn = attn_perm = None
+        if self._family == "att_igcn":
+            from inductive_recommendation_tpu.parallel.attention import (
+                build_attention_perm,
+                make_edge_sharded_attention,
+            )
+
+            attn_fn = make_edge_sharded_attention(
+                feat_emat, mesh, self.axis, temperature=model.temperature
+            )
+            attn_perm = build_attention_perm(feat_emat)
+
         if self._family == "att_igcn":
             from inductive_recommendation_tpu.parallel.step import (
                 make_edge_sharded_att_igcn_step,
@@ -319,6 +302,8 @@ class EdgeShardedTrainer(BasicTrainer):
                 feat_emat=feat_emat,
                 adj_emat=adj_emat,
                 feat_coo=(frow, fcol, fval, row_sum),
+                attn_fn=attn_fn,
+                attn_perm=attn_perm,
             )
             self._run_step = lambda seed: astep(self.params, self.opt_state, seed)
         elif self._family == "igcn":
@@ -391,15 +376,7 @@ class EdgeShardedTrainer(BasicTrainer):
         }
 
         if self._family == "att_igcn":
-            from inductive_recommendation_tpu.parallel.attention import (
-                build_attention_perm,
-                make_edge_sharded_attention,
-            )
-
-            attn_fn = make_edge_sharded_attention(
-                feat_emat, mesh, self.axis, temperature=model.temperature
-            )
-            extra["edge_attn_perm"] = build_attention_perm(feat_emat)
+            extra["edge_attn_perm"] = attn_perm
             h_heads, d_emb = model.n_heads, model.embedding_size
 
             def rep_fn(params, b):
@@ -447,6 +424,28 @@ class EdgeShardedTrainer(BasicTrainer):
                 return (acc / (L + 1))[:n]
 
         self._scoring = _EdgeRepScoring(model, rep_fn, extra)
+
+    def _lightgcn_eval_scoring(self, emat):
+        """LightGCN-style eval rep over one square edge-sharded adjacency —
+        shared by the bpr and sgl families."""
+        from inductive_recommendation_tpu.parallel.spmm import _wrap
+
+        spmm = _wrap(emat, self.edge_mesh, self.axis, "scatter")
+        L = self.model.n_layers
+        n = self.dataset.n_users + self.dataset.n_items
+        row_spec = self._row_spec
+
+        def rep_fn(params, b):
+            x = jax.lax.with_sharding_constraint(params["embedding"], row_spec)
+            acc, h = x, x
+            for _ in range(L):
+                h = spmm(b["edge_fwd"], b["edge_bwd"], None, h)
+                acc = acc + h
+            return (acc / (L + 1))[:n]
+
+        return _EdgeRepScoring(
+            self.model, rep_fn, {"edge_fwd": emat.fwd, "edge_bwd": emat.bwd}
+        )
 
     def _prepare_views(self):
         """Re-index the model's freshly regenerated EdgeView(s) into the
