@@ -237,3 +237,72 @@ def test_att_igcn_step_collective_budget(S):
     n_pad = -(-(ds.n_users + ds.n_items) // S) * S
     # 4 x [n_pad, d] (feat, attn out, L adj) + the q transpose [n_pad, h*d]
     assert stats.in_bytes["reduce_scatter"] == (2 + L) * n_pad * d * 4 + n_pad * h * d * 4
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("S", [2, 8])
+def test_sgl_step_collective_budget(S):
+    """The edge-sharded SGL step is 3 LightGCN-shaped propagations (main +
+    two drop views): 3L reduce-scatters forward, 3L all-gathers backward,
+    every one moving a [n_pad, d] operand — S-independent, |E|-independent,
+    no all-to-all."""
+    import jax.numpy as jnp
+    import optax
+
+    from inductive_recommendation_tpu import get_dataset, get_model
+    from inductive_recommendation_tpu.data.sampling import build_sampler_state
+    from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
+    from inductive_recommendation_tpu.parallel import make_edge_sharded_sgl_step
+
+    ds = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 48,
+            "n_items": 40,
+            "n_interactions": 650,
+            "seed": 11,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+    model = get_model(
+        {
+            "name": "SGL",
+            "embedding_size": 8,
+            "n_layers": 2,
+            "aug_rate": 0.5,
+            "table_align": 1,
+        },
+        ds,
+    )
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    mesh = make_mesh(n_data=1, n_model=S, devices=jax.devices()[:S])
+    opt = optax.adam(1e-2)
+    step, prep = make_edge_sharded_sgl_step(
+        model, mesh, opt, sampler, 32, 1e-4, 0.05, contrastive="cross"
+    )
+    n = ds.n_users + ds.n_items
+    r, c, v = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
+    adj = build_edge_sharded_spmm(r, c, v, (n, n), S)
+    params = {
+        "embedding": shard_operand(
+            jnp.asarray(model.init_params(jax.random.key(0))["embedding"]),
+            adj,
+            mesh,
+        )
+    }
+    vstate = tuple(prep(model.edge_views[k]) for k in ("aug_adj1", "aug_adj2"))
+    opt_state = opt.init(params)
+    with mesh:
+        stats = collective_stats(
+            lambda p, o: step(p, o, jax.random.key(1), vstate)[2],
+            params,
+            opt_state,
+        )
+    L, d = model.n_layers, 8
+    assert stats.counts["reduce_scatter"] == 3 * L, stats.counts
+    assert stats.counts["all_gather"] == 3 * L, stats.counts
+    assert stats.counts["all_to_all"] == 0
+    n_pad = adj.n_rows_pad
+    assert stats.in_bytes["reduce_scatter"] == 3 * L * n_pad * d * 4
+    assert stats.out_bytes["all_gather"] == 3 * L * n_pad * d * 4
