@@ -602,6 +602,68 @@ def device_make_feat_delta(
     return row_sum_view, d_row, d_col, d_val, d_row[t], d_col[t], d_val[t]
 
 
+def feat_delta_host(
+    train_keys,
+    user_map,
+    item_map,
+    base_row_sum,
+    add_pairs,
+    alpha,
+    *,
+    budget: int,
+    n_users: int,
+    n_items: int,
+    user_dim: int,
+):
+    """Host oracle / 64-bit fallback for :func:`device_make_feat_delta`
+    (pair keys beyond the device's 32-bit int lattice). Same contract:
+    (row_sum_view, d_row, d_col, d_val, dt_row, dt_col, dt_val) with the
+    delta zero-padded to ``2 * budget`` entries and alpha-annealed values."""
+    train_keys = np.asarray(train_keys, np.int64)
+    user_map = np.asarray(user_map, np.int64)
+    item_map = np.asarray(item_map, np.int64)
+    add_pairs = np.unique(np.asarray(add_pairs, np.int64).reshape(-1, 2), axis=0)
+    keys = add_pairs[:, 0] * n_items + add_pairs[:, 1]
+    E = len(train_keys)
+    pos = np.clip(np.searchsorted(train_keys, keys), 0, max(E - 1, 0))
+    in_train = (train_keys[pos] == keys) if E else np.zeros(len(keys), bool)
+    delta = add_pairs[~in_train]
+    if len(delta) > budget:
+        raise ValueError(f"aug delta {len(delta)} exceeds budget {budget}")
+
+    au, ai = delta[:, 0], delta[:, 1]
+    im, um = item_map[ai], user_map[au]
+    e1 = im >= 0  # user-row entries (u, user_dim + item_map[i])
+    e2 = um >= 0  # item-row entries (n_users + i, user_map[u])
+    row_sum_view = np.asarray(base_row_sum, np.float64).copy()
+    np.add.at(row_sum_view, au[e1], 1.0)
+    np.add.at(row_sum_view, n_users + ai[e2], 1.0)
+    expo = (float(alpha) - 1.0) / 2.0 - 0.5
+    w = np.power(np.maximum(row_sum_view, 1e-12), expo)
+
+    B = budget
+    rr = np.zeros(2 * B, np.int64)
+    cc = np.zeros(2 * B, np.int64)
+    vv = np.zeros(2 * B, np.float32)
+    n1, n2 = int(e1.sum()), int(e2.sum())
+    rr[:n1], cc[:n1] = au[e1], user_dim + im[e1]
+    rr[B : B + n2], cc[B : B + n2] = n_users + ai[e2], um[e2]
+    vv[:n1] = w[rr[:n1]]
+    vv[B : B + n2] = w[rr[B : B + n2]]
+    o = np.argsort(rr, kind="stable")
+    d_row, d_col, d_val = rr[o], cc[o], vv[o]
+    t = np.argsort(d_col, kind="stable")
+    return (
+        jnp.asarray(row_sum_view, jnp.float32),
+        jnp.asarray(d_row, jnp.int32),
+        jnp.asarray(d_col, jnp.int32),
+        jnp.asarray(d_val),
+        jnp.asarray(d_row[t], jnp.int32),
+        jnp.asarray(d_col[t], jnp.int32),
+        jnp.asarray(d_val[t]),
+    )
+
+
 @partial(jax.jit, static_argnames=("n", "n_users", "n_items", "seed"))
 def random_pairs_on_device(counter, *, n, n_users, n_items, seed):
     """n uniform random (u, i) pairs, generated on device (jitted; integer

@@ -94,6 +94,22 @@ def make_edge_sharded_bpr_step(
     from inductive_recommendation_tpu.parallel.spmm import _wrap
 
     spmm = _wrap(emat, mesh, axis, "scatter")
+    row_sharding = NamedSharding(mesh, P(axis, None))
+
+    def propagate(fwd, bwd, x):
+        """LightGCN layer-mean propagation — the ONE forward definition,
+        shared by the training loss and the trainer's eval rep."""
+        acc, h = x, x
+        for _ in range(n_layers):
+            h = spmm(fwd, bwd, None, h)
+            acc = acc + h
+        return acc / (n_layers + 1)
+
+    def eval_rep(params, b):
+        """Main representation over the edge-sharded layout (forward-only);
+        ``b`` carries edge_fwd/edge_bwd (the trainer's scoring buffers)."""
+        x = jax.lax.with_sharding_constraint(params["embedding"], row_sharding)
+        return propagate(b["edge_fwd"], b["edge_bwd"], x)[: emat.n_rows]
 
     def step(params, opt_state, fwd, bwd, smp, rng):
         rng_s, _ = jax.random.split(_ensure_key(rng, base_seed))
@@ -101,14 +117,8 @@ def make_edge_sharded_bpr_step(
 
         def loss_fn(p):
             x = p["embedding"]
-            x = jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P(axis, None))
-            )
-            acc, h = x, x
-            for _ in range(n_layers):
-                h = spmm(fwd, bwd, None, h)
-                acc = acc + h
-            rep = acc / (n_layers + 1)
+            x = jax.lax.with_sharding_constraint(x, row_sharding)
+            rep = propagate(fwd, bwd, x)
             u_r = rep[users]
             p_r = rep[n_users + pos]
             n_r = rep[n_users + neg[:, 0]]
@@ -130,6 +140,7 @@ def make_edge_sharded_bpr_step(
     def run(params, opt_state, rng):
         return jitted(params, opt_state, emat.fwd, emat.bwd, sampler, rng)
 
+    run.eval_rep = eval_rep
     return run
 
 
@@ -193,6 +204,33 @@ def make_edge_sharded_igcn_step(
     p_drop = float(dropout)
     scale_sharding = NamedSharding(mesh, P(axis, None))
 
+    def main_rep(emb, ffwd, fbwd, afwd, abwd, anneal):
+        """Annealed feat layer + adjacency layer-mean — the ONE IGCN forward
+        definition, shared by the training loss and the trainer's eval rep."""
+        x0 = feat_spmm(ffwd, fbwd, anneal, emb)
+        acc, h = x0, x0
+        for _ in range(n_layers):
+            h = adj_spmm(afwd, abwd, None, h)
+            acc = acc + h
+        return acc / (n_layers + 1)
+
+    def eval_rep(params, b):
+        """Forward-only main rep; ``b`` carries the trainer's scoring buffers
+        (edge_feat_fwd/bwd, edge_adj_fwd/bwd, edge_frow, edge_rs) plus the
+        model's ``alpha`` (annealed per epoch — a buffer, so the jitted
+        scoring never retraces). No feature dropout at eval."""
+        expo = (b["alpha"] - 1.0) / 2.0 - 0.5
+        anneal = jax.lax.with_sharding_constraint(
+            jnp.power(jnp.maximum(b["edge_rs"], 1e-12)[b["edge_frow"]], expo),
+            scale_sharding,
+        )
+        emb = jax.lax.with_sharding_constraint(params["embedding"], scale_sharding)
+        rep = main_rep(
+            emb, b["edge_feat_fwd"], b["edge_feat_bwd"],
+            b["edge_adj_fwd"], b["edge_adj_bwd"], anneal,
+        )
+        return rep[: feat_emat.n_rows]
+
     def step(params, opt_state, ffwd, fbwd, afwd, abwd, frow_st, rs, smp, aux_smp, rng, alpha):
         rng_s, rng_a, rng_d = jax.random.split(_ensure_key(rng, base_seed), 3)
         users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
@@ -211,12 +249,7 @@ def make_edge_sharded_igcn_step(
             emb = jax.lax.with_sharding_constraint(
                 p["embedding"], NamedSharding(mesh, P(axis, None))
             )
-            x0 = feat_spmm(ffwd, fbwd, anneal, emb)
-            acc, h = x0, x0
-            for _ in range(n_layers):
-                h = adj_spmm(afwd, abwd, None, h)
-                acc = acc + h
-            rep = acc / (n_layers + 1)
+            rep = main_rep(emb, ffwd, fbwd, afwd, abwd, anneal)
             u_r = rep[users]
             p_r = rep[n_users + pos]
             n_r = rep[n_users + neg[:, 0]]
@@ -259,6 +292,7 @@ def make_edge_sharded_igcn_step(
             jnp.asarray(alpha, jnp.float32),
         )
 
+    run.eval_rep = eval_rep
     return run
 
 
@@ -278,6 +312,7 @@ def make_edge_sharded_dose_step(
     adj_emat=None,
     contrastive="single",
     feat_coo=None,
+    aug_feat=False,
 ):
     """DOSE-family training step (the repo's flagship contrastive models)
     with EVERY O(|E|) and O(n·d) object sharded: the feature matrix, the
@@ -299,8 +334,21 @@ def make_edge_sharded_dose_step(
 
     TEST (whose MAIN adjacency is a static dropped graph) routes through
     this step too — the caller builds ``adj_emat`` from the dropped pair set
-    (train/edge_trainer.py). Still single-device only: DOSE_aug2 (aug
-    FEATURE matrix path).
+    (train/edge_trainer.py).
+
+    ``aug_feat=True`` (DOSE_aug2, reference model.py:831-1117): the view
+    branch's layer-0 input comes from the AUG feature matrix over
+    train ∪ aug (generate_aug_feat, model.py:935-978) instead of the main
+    feat matrix. The aug matrix is static-shaped, like the single-device
+    path (models/dose.py): one more edge-sharded layout over the TRAIN feat
+    entries (built with the model's AUG core maps) whose per-edge annealed
+    weights enter as a per-epoch sharded scale, plus a fixed-budget
+    injected-entry delta COO (graph/views.py device_make_feat_delta) applied
+    outside the shard_map. Per-epoch regeneration (``prepare_aug_feat``,
+    attached to ``run``) writes new value arrays of fixed shapes — no
+    retrace. Feature dropout on the aug base draws i.i.d. per shard (same
+    divergence as the main branch); delta entries use the entry-hash dropout
+    (delta_spmm_rect_dropout), identical to the single-device path.
 
     View layout: the raw train adjacency (both directions, ViewEngine's base
     edge order) is one more :class:`EdgeShardedSpMM`; a view enters the step
@@ -332,7 +380,12 @@ def make_edge_sharded_dose_step(
         raise ValueError(f"unknown contrastive mode {contrastive!r}")
     from inductive_recommendation_tpu.graph import build_feat_matrix
     from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
-    from inductive_recommendation_tpu.graph.views import delta_spmm_rect
+    from inductive_recommendation_tpu.graph.views import (
+        delta_spmm_rect,
+        delta_spmm_rect_dropout,
+        device_make_feat_delta,
+        feat_delta_host,
+    )
     from inductive_recommendation_tpu.parallel.spmm import (
         _wrap,
         build_edge_sharded_spmm,
@@ -396,9 +449,113 @@ def make_edge_sharded_dose_step(
         )
         return _prep(view_emat.eid_map, view.base_scale), delta
 
+    # -- DOSE_aug2: edge-sharded AUG feature matrix (see docstring) ----------
+    aug_feat_spmm = prepare_aug_feat = None
+    feat_n_cols = int(model.feat_n_cols)
+    if aug_feat:
+        aug_user_map, aug_item_map = model._aug_core_maps()
+        arow, acol, aval, abase_rs = build_feat_matrix(
+            eng.train_pairs, n_users, n_items, aug_user_map, aug_item_map
+        )
+        aug_emat = build_edge_sharded_spmm(
+            arow, acol, aval, (n_nodes, feat_n_cols), n_shards
+        )
+        if aug_emat.n_cols_pad != feat_emat.n_cols_pad:
+            raise ValueError("aug feat and feat operand columns must pad identically")
+        aug_feat_spmm = _wrap(aug_emat, mesh, axis, "scatter")
+        # per-LOCAL-edge feat row ids, pre-sharded (each device O(nnz/S))
+        arow_st = jax.device_put(
+            np.asarray(arow, np.int32)[np.asarray(aug_emat.eid_map)],
+            NamedSharding(mesh, P(axis, None)),
+        )
+        abase_rs_dev = jnp.asarray(abase_rs, jnp.float32)
+        aug_budget = max(int(model.aug_num), 1)
+        keys_fit_i32 = n_users * n_items + aug_budget < 2**31
+        train_keys_dev = (
+            eng._device_buffers()["train_keys"] if keys_fit_i32 else None
+        )
+        um_dev = jnp.asarray(aug_user_map, jnp.int32)
+        im_dev = jnp.asarray(aug_item_map, jnp.int32)
+
+        @jax.jit
+        def _aug_scale(row_sum_view, alpha):
+            # annealed base weights in each shard's LOCAL edge space; the
+            # delta values come out of device_make_feat_delta pre-annealed
+            expo = (alpha - 1.0) / 2.0 - 0.5
+            w = jnp.power(jnp.maximum(row_sum_view, 1e-12), expo)
+            return jax.lax.with_sharding_constraint(
+                w[arow_st], NamedSharding(mesh, P(axis, None))
+            )
+
+        def prepare_aug_feat(aug_pairs, alpha):
+            """(selected aug pairs [k, 2] on device, current alpha) ->
+            (sharded base scale, annealed delta COO). Once per epoch, right
+            after update_aug_adj (alpha is already annealed then, matching
+            the single-device bake order, models/dose.py)."""
+            alpha = jnp.asarray(alpha, jnp.float32)
+            if keys_fit_i32:
+                row_sum_view, *delta = device_make_feat_delta(
+                    train_keys_dev,
+                    um_dev,
+                    im_dev,
+                    abase_rs_dev,
+                    jnp.asarray(aug_pairs),
+                    alpha,
+                    budget=aug_budget,
+                    n_users=n_users,
+                    n_items=n_items,
+                    user_dim=user_dim,
+                )
+            else:
+                row_sum_view, *delta = feat_delta_host(
+                    eng.train_keys,
+                    aug_user_map,
+                    aug_item_map,
+                    np.asarray(abase_rs),
+                    np.asarray(aug_pairs),
+                    float(alpha),
+                    budget=aug_budget,
+                    n_users=n_users,
+                    n_items=n_items,
+                    user_dim=user_dim,
+                )
+            return _aug_scale(jnp.asarray(row_sum_view), alpha), tuple(delta)
+
     has_delta = eng.delta_budget > 0
 
     two_view_draws = contrastive in ("double_same", "cross")
+
+    def propagate(spmm, fwd, bwd, scale, x0, dlt):
+        """Adjacency/view layer-mean propagation (A_view @ h = base @ h +
+        delta @ h, both on the SAME h) — the ONE propagation definition,
+        shared by the training loss (main + view branches) and the trainer's
+        eval rep."""
+        acc, h = x0, x0
+        for _ in range(n_layers):
+            out = spmm(fwd, bwd, scale, h)
+            if dlt is not None:
+                out = out + jax.lax.with_sharding_constraint(
+                    delta_spmm_rect(n_pad, dlt, h), row_sharding
+                )
+            h = out
+            acc = acc + h
+        return acc / (n_layers + 1)
+
+    def eval_rep(params, b):
+        """Forward-only MAIN rep (views don't score; models/dose.py scores
+        with the main representation); same buffer contract as the IGCN
+        step's eval_rep. No feature dropout at eval."""
+        expo = (b["alpha"] - 1.0) / 2.0 - 0.5
+        anneal = jax.lax.with_sharding_constraint(
+            jnp.power(jnp.maximum(b["edge_rs"], 1e-12)[b["edge_frow"]], expo),
+            scale_sharding,
+        )
+        emb = jax.lax.with_sharding_constraint(params["embedding"], row_sharding)
+        x0 = feat_spmm(b["edge_feat_fwd"], b["edge_feat_bwd"], anneal, emb)
+        rep = propagate(
+            adj_spmm, b["edge_adj_fwd"], b["edge_adj_bwd"], None, x0, None
+        )
+        return rep[:n_nodes]
 
     def step(
         params,
@@ -452,19 +609,6 @@ def make_edge_sharded_dose_step(
             return anneal_main if p_drop <= 0.0 else constrain_scale(
                 dropped(anneal, key)
             )
-
-        def propagate(spmm, fwd, bwd, scale, x0, dlt):
-            acc, h = x0, x0
-            for _ in range(n_layers):
-                # A_view @ h = base @ h + delta @ h — both on the SAME h
-                out = spmm(fwd, bwd, scale, h)
-                if dlt is not None:
-                    out = out + jax.lax.with_sharding_constraint(
-                        delta_spmm_rect(n_pad, dlt, h), row_sharding
-                    )
-                h = out
-                acc = acc + h
-            return acc / (n_layers + 1)
 
         def loss_fn(p):
             emb = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
@@ -564,6 +708,7 @@ def make_edge_sharded_dose_step(
             "w": jnp.array(params["w"]),
         }
 
+    run.eval_rep = eval_rep
     return run, prepare_view, shard_model_params
 
 
@@ -657,6 +802,13 @@ def make_edge_sharded_sgl_step(
             acc = acc + h
         return acc / (n_layers + 1)
 
+    def eval_rep(params, b):
+        """Forward-only MAIN rep (SGL/HALF score with the main adjacency's
+        rep, models/sgl.py); ``b`` carries edge_fwd/edge_bwd — the same
+        ``propagate`` the training loss uses."""
+        x = jax.lax.with_sharding_constraint(params["embedding"], row_sharding)
+        return propagate(adj_spmm, b["edge_fwd"], b["edge_bwd"], None, x)[:n_nodes]
+
     def step(params, opt_state, afwd, abwd, vfwd, vbwd, vscale, vscale2, smp, rng):
         rng_s, _ = jax.random.split(_ensure_key(rng, base_seed))
         users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
@@ -706,6 +858,7 @@ def make_edge_sharded_sgl_step(
             rng,
         )
 
+    run.eval_rep = eval_rep
     return run, prepare_view
 
 
@@ -794,6 +947,41 @@ def make_edge_sharded_att_igcn_step(
     scale_sharding = NamedSharding(mesh, P(axis, None))
     row_sharding = NamedSharding(mesh, P(axis, None))
 
+    def main_rep(p, ffwd, fbwd, afwd, abwd, fperm, qscale):
+        """Attention-weighted inductive layer + adjacency layer-mean — the
+        ONE AttIGCN forward definition, shared by the training loss and the
+        trainer's eval rep. Returns (rep, emb) — the loss also needs the raw
+        sharded table for the aux term. The q/k stop_gradient matches
+        models/att_igcn.py (a no-op under eval's forward-only use)."""
+        emb = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
+        emb_sg = jax.lax.stop_gradient(emb)
+        x_q = feat_spmm(ffwd, fbwd, qscale, emb_sg)
+        q = x_q @ p["weight_q"]["w"] + p["weight_q"]["b"]
+        q = jax.lax.with_sharding_constraint(
+            q, NamedSharding(mesh, P(axis, None))
+        ).reshape(-1, n_heads, d)
+        k_table = jax.lax.with_sharding_constraint(
+            emb_sg @ p["weight_k"]["w"] + p["weight_k"]["b"], row_sharding
+        )
+        x0 = attn_fn(ffwd, fperm, q, k_table, emb)
+        acc, h = x0, x0
+        for _ in range(n_layers):
+            h = adj_spmm(afwd, abwd, None, h)
+            acc = acc + h
+        return acc / (n_layers + 1), emb
+
+    def eval_rep(params, b):
+        """Forward-only main rep; ``b`` additionally carries the attention
+        permutation (edge_attn_perm)."""
+        qscale = jax.lax.with_sharding_constraint(
+            1.0 / jnp.maximum(b["edge_rs"], 1e-12)[b["edge_frow"]], scale_sharding
+        )
+        rep, _ = main_rep(
+            params, b["edge_feat_fwd"], b["edge_feat_bwd"],
+            b["edge_adj_fwd"], b["edge_adj_bwd"], b["edge_attn_perm"], qscale,
+        )
+        return rep[:n_nodes]
+
     def step(
         params, opt_state, ffwd, fbwd, afwd, abwd, fperm, frow_st, rs, smp, aux_smp, rng
     ):
@@ -809,22 +997,7 @@ def make_edge_sharded_att_igcn_step(
         )
 
         def loss_fn(p):
-            emb = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
-            emb_sg = jax.lax.stop_gradient(emb)
-            x_q = feat_spmm(ffwd, fbwd, qscale, emb_sg)
-            q = x_q @ p["weight_q"]["w"] + p["weight_q"]["b"]
-            q = jax.lax.with_sharding_constraint(
-                q, NamedSharding(mesh, P(axis, None))
-            ).reshape(-1, n_heads, d)
-            k_table = jax.lax.with_sharding_constraint(
-                emb_sg @ p["weight_k"]["w"] + p["weight_k"]["b"], row_sharding
-            )
-            x0 = attn_fn(ffwd, fperm, q, k_table, emb)
-            acc, h = x0, x0
-            for _ in range(n_layers):
-                h = adj_spmm(afwd, abwd, None, h)
-                acc = acc + h
-            rep = acc / (n_layers + 1)
+            rep, emb = main_rep(p, ffwd, fbwd, afwd, abwd, fperm, qscale)
             u_r = rep[users]
             p_r = rep[n_users + pos]
             n_r = rep[n_users + neg[:, 0]]
@@ -864,6 +1037,7 @@ def make_edge_sharded_att_igcn_step(
             rng,
         )
 
+    run.eval_rep = eval_rep
     return run
 
 

@@ -170,7 +170,6 @@ class EdgeShardedTrainer(BasicTrainer):
     # -- step + eval construction ---------------------------------------------
     def _build_steps(self):
         from inductive_recommendation_tpu.parallel.spmm import (
-            _wrap,
             build_edge_sharded_spmm,
         )
         from inductive_recommendation_tpu.parallel.step import (
@@ -193,7 +192,7 @@ class EdgeShardedTrainer(BasicTrainer):
             emat = build_edge_sharded_spmm(r, c, v, (n, n), S)
             self._emat = emat
             if self._family == "bpr":
-                step = make_edge_sharded_bpr_step(
+                estep = make_edge_sharded_bpr_step(
                     emat,
                     mesh,
                     self.optimizer,
@@ -205,14 +204,14 @@ class EdgeShardedTrainer(BasicTrainer):
                     axis=self.axis,
                     base_seed=self.seed,
                 )
-                self._run_step = lambda seed: step(self.params, self.opt_state, seed)
+                self._run_step = lambda seed: estep(self.params, self.opt_state, seed)
             else:
                 from inductive_recommendation_tpu.parallel.step import (
                     make_edge_sharded_sgl_step,
                 )
 
                 mode, _keys = self._view_key
-                sgl_step, prep = make_edge_sharded_sgl_step(
+                estep, prep = make_edge_sharded_sgl_step(
                     model,
                     mesh,
                     self.optimizer,
@@ -227,12 +226,15 @@ class EdgeShardedTrainer(BasicTrainer):
                 )
                 self._prep_view = prep
                 self._vstate = self._prepare_views()
-                self._run_step = lambda seed: sgl_step(
+                self._run_step = lambda seed: estep(
                     self.params, self.opt_state, seed, self._vstate
                 )
-            # eval rep = plain LightGCN propagation over the main adjacency
-            # (SGL/HALF score with the main rep too, models/sgl.py)
-            self._scoring = self._lightgcn_eval_scoring(emat)
+            # eval rep = the STEP's own propagation over the main adjacency
+            # (SGL/HALF score with the main rep too, models/sgl.py) — one
+            # forward definition per family, shared train/eval
+            self._scoring = _EdgeRepScoring(
+                model, estep.eval_rep, {"edge_fwd": emat.fwd, "edge_bwd": emat.bwd}
+            )
             return
 
         # IGCN / DOSE: shared feat + adjacency layouts for step AND eval
@@ -288,7 +290,7 @@ class EdgeShardedTrainer(BasicTrainer):
                 make_edge_sharded_att_igcn_step,
             )
 
-            astep = make_edge_sharded_att_igcn_step(
+            estep = make_edge_sharded_att_igcn_step(
                 model,
                 mesh,
                 self.optimizer,
@@ -305,9 +307,9 @@ class EdgeShardedTrainer(BasicTrainer):
                 attn_fn=attn_fn,
                 attn_perm=attn_perm,
             )
-            self._run_step = lambda seed: astep(self.params, self.opt_state, seed)
+            self._run_step = lambda seed: estep(self.params, self.opt_state, seed)
         elif self._family == "igcn":
-            step = make_edge_sharded_igcn_step(
+            estep = make_edge_sharded_igcn_step(
                 feat_emat,
                 adj_emat,
                 frow,
@@ -326,12 +328,12 @@ class EdgeShardedTrainer(BasicTrainer):
                 axis=self.axis,
                 base_seed=self.seed,
             )
-            self._run_step = lambda seed: step(
+            self._run_step = lambda seed: estep(
                 self.params, self.opt_state, seed, alpha=self.model.alpha
             )
         else:
             mode, _keys = self._view_key
-            step, prep, _ = make_edge_sharded_dose_step(
+            estep, prep, _ = make_edge_sharded_dose_step(
                 model,
                 mesh,
                 self.optimizer,
@@ -350,7 +352,7 @@ class EdgeShardedTrainer(BasicTrainer):
             )
             self._prep_view = prep
             self._vstate = self._prepare_views()
-            self._run_step = lambda seed: step(
+            self._run_step = lambda seed: estep(
                 self.params,
                 self.opt_state,
                 seed,
@@ -358,94 +360,24 @@ class EdgeShardedTrainer(BasicTrainer):
                 alpha=self.model.alpha,
             )
 
-        feat_spmm = _wrap(feat_emat, mesh, self.axis, "scatter")
-        adj_spmm = _wrap(adj_emat, mesh, self.axis, "scatter")
-        L = n_layers_eff
+        # eval rep = the STEP's own forward (one definition per family,
+        # parallel/step.py) over buffers carried as jit arguments; alpha
+        # rides the MODEL buffers (updated by feat_mat_anneal), so the
+        # evaluator's jitted scoring never retraces per epoch
         frow_st = jax.device_put(
             np.asarray(frow, np.int32)[np.asarray(feat_emat.eid_map)], row_spec
         )
-        rs_dev = jnp.asarray(row_sum, jnp.float32)
-
         extra = {
             "edge_feat_fwd": feat_emat.fwd,
             "edge_feat_bwd": feat_emat.bwd,
             "edge_adj_fwd": adj_emat.fwd,
             "edge_adj_bwd": adj_emat.bwd,
             "edge_frow": frow_st,
-            "edge_rs": rs_dev,
+            "edge_rs": jnp.asarray(row_sum, jnp.float32),
         }
-
         if self._family == "att_igcn":
             extra["edge_attn_perm"] = attn_perm
-            h_heads, d_emb = model.n_heads, model.embedding_size
-
-            def rep_fn(params, b):
-                emb = jax.lax.with_sharding_constraint(
-                    params["embedding"], row_spec
-                )
-                qscale = jax.lax.with_sharding_constraint(
-                    1.0 / jnp.maximum(b["edge_rs"], 1e-12)[b["edge_frow"]],
-                    row_spec,
-                )
-                x_q = feat_spmm(b["edge_feat_fwd"], b["edge_feat_bwd"], qscale, emb)
-                q = jax.lax.with_sharding_constraint(
-                    x_q @ params["weight_q"]["w"] + params["weight_q"]["b"],
-                    row_spec,
-                ).reshape(-1, h_heads, d_emb)
-                k_table = jax.lax.with_sharding_constraint(
-                    emb @ params["weight_k"]["w"] + params["weight_k"]["b"],
-                    row_spec,
-                )
-                x0 = attn_fn(b["edge_feat_fwd"], b["edge_attn_perm"], q, k_table, emb)
-                acc, h = x0, x0
-                for _ in range(L):
-                    h = adj_spmm(b["edge_adj_fwd"], b["edge_adj_bwd"], None, h)
-                    acc = acc + h
-                return (acc / (L + 1))[:n]
-
-        else:
-
-            def rep_fn(params, b):
-                # alpha rides the model BUFFERS (updated by feat_mat_anneal),
-                # so the evaluator's jitted scoring never retraces per epoch
-                expo = (b["alpha"] - 1.0) / 2.0 - 0.5
-                anneal = jax.lax.with_sharding_constraint(
-                    jnp.power(
-                        jnp.maximum(b["edge_rs"], 1e-12)[b["edge_frow"]], expo
-                    ),
-                    row_spec,
-                )
-                x = jax.lax.with_sharding_constraint(params["embedding"], row_spec)
-                x0 = feat_spmm(b["edge_feat_fwd"], b["edge_feat_bwd"], anneal, x)
-                acc, h = x0, x0
-                for _ in range(L):
-                    h = adj_spmm(b["edge_adj_fwd"], b["edge_adj_bwd"], None, h)
-                    acc = acc + h
-                return (acc / (L + 1))[:n]
-
-        self._scoring = _EdgeRepScoring(model, rep_fn, extra)
-
-    def _lightgcn_eval_scoring(self, emat):
-        """LightGCN-style eval rep over one square edge-sharded adjacency —
-        shared by the bpr and sgl families."""
-        from inductive_recommendation_tpu.parallel.spmm import _wrap
-
-        spmm = _wrap(emat, self.edge_mesh, self.axis, "scatter")
-        L = self.model.n_layers
-        n = self.dataset.n_users + self.dataset.n_items
-        row_spec = self._row_spec
-
-        def rep_fn(params, b):
-            x = jax.lax.with_sharding_constraint(params["embedding"], row_spec)
-            acc, h = x, x
-            for _ in range(L):
-                h = spmm(b["edge_fwd"], b["edge_bwd"], None, h)
-                acc = acc + h
-            return (acc / (L + 1))[:n]
-
-        return _EdgeRepScoring(
-            self.model, rep_fn, {"edge_fwd": emat.fwd, "edge_bwd": emat.bwd}
-        )
+        self._scoring = _EdgeRepScoring(model, estep.eval_rep, extra)
 
     def _prepare_views(self):
         """Re-index the model's freshly regenerated EdgeView(s) into the
