@@ -19,9 +19,10 @@ from inductive_recommendation_tpu.ops import build_bucketed_spmm, spmm_bucketed
 from inductive_recommendation_tpu.ops.bucketed_spmm import spmm_bucketed_dropout
 
 
-def build_selfloop_l1_adj(dataset):
-    """A + I, row-L1 normalized (model.py:4008-4014). Built symmetric=False:
-    training-time edge dropout needs the explicit transpose layout."""
+def selfloop_l1_coo(dataset):
+    """COO of A + I, row-L1 normalized (model.py:4008-4014) — shared by the
+    single-device bucketed layout and the edge-sharded layout
+    (parallel/step.py make_edge_sharded_ngcf_step)."""
     n = dataset.n_users + dataset.n_items
     row, col = bipartite_edges(dataset.train_array, dataset.n_users, dataset.n_items)
     row = np.concatenate([row, np.arange(n)])
@@ -31,6 +32,13 @@ def build_selfloop_l1_adj(dataset):
     row = (uniq // n).astype(np.int64)
     col = (uniq % n).astype(np.int64)
     val = row_l1_normalize_values(row, col, n, counts.astype(np.float32))
+    return row, col, val, n
+
+
+def build_selfloop_l1_adj(dataset):
+    """A + I, row-L1 normalized. Built symmetric=False: training-time edge
+    dropout needs the explicit transpose layout."""
+    row, col, val, n = selfloop_l1_coo(dataset)
     return build_bucketed_spmm(row, col, val, (n, n), symmetric=False)
 
 

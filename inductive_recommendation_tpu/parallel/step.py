@@ -570,6 +570,10 @@ def make_edge_sharded_dose_step(
         delta,
         vscale2,
         delta2,
+        agfwd,
+        agbwd,
+        agscale,
+        agdelta,
         frow_st,
         rs,
         smp,
@@ -626,7 +630,29 @@ def make_edge_sharded_dose_step(
 
             # view branch(es): re-drawn feat dropout -> view-graph propagation
             def view_users(vs, dlt, key):
-                x0v = feat_spmm(ffwd, fbwd, anneal_view(key), emb)
+                if aug_feat and agscale is not None:
+                    # DOSE_aug2: layer 0 reads the AUG feature matrix
+                    # (annealed scale baked per epoch; dropout re-drawn here)
+                    sc = (
+                        agscale
+                        if p_drop <= 0.0
+                        else constrain_scale(dropped(agscale, key))
+                    )
+                    x0v = aug_feat_spmm(agfwd, agbwd, sc, emb)
+                    if p_drop > 0.0:
+                        dx = delta_spmm_rect_dropout(
+                            n_pad,
+                            feat_n_cols,
+                            agdelta,
+                            jax.random.key_data(key),
+                            jnp.asarray(p_drop, jnp.float32),
+                            emb,
+                        )
+                    else:
+                        dx = delta_spmm_rect(n_pad, agdelta, emb)
+                    x0v = x0v + jax.lax.with_sharding_constraint(dx, row_sharding)
+                else:
+                    x0v = feat_spmm(ffwd, fbwd, anneal_view(key), emb)
                 vrep = propagate(
                     view_spmm, vfwd, vbwd, vs, x0v, dlt if has_delta else None
                 )
@@ -664,7 +690,7 @@ def make_edge_sharded_dose_step(
     )
     rs_dev = jnp.asarray(row_sum, dtype=jnp.float32)
 
-    def run(params, opt_state, rng, view_state, alpha=1.0):
+    def run(params, opt_state, rng, view_state, alpha=1.0, aug_state=None):
         # "cross" takes (state1, state2); a single state is (vscale, delta)
         # where vscale is an ARRAY — disambiguate on the leading element
         if isinstance(view_state[0], tuple):
@@ -672,6 +698,11 @@ def make_edge_sharded_dose_step(
         else:
             vscale, delta = view_state
             vscale2, delta2 = vscale, delta
+        if aug_state is not None:
+            agscale, agdelta = aug_state
+            agfwd, agbwd = aug_emat.fwd, aug_emat.bwd
+        else:
+            agscale = agdelta = agfwd = agbwd = None
         return jitted(
             params,
             opt_state,
@@ -685,6 +716,10 @@ def make_edge_sharded_dose_step(
             delta,
             vscale2,
             delta2,
+            agfwd,
+            agbwd,
+            agscale,
+            agdelta,
             frow_stacked,
             rs_dev,
             sampler,
@@ -709,6 +744,7 @@ def make_edge_sharded_dose_step(
         }
 
     run.eval_rep = eval_rep
+    run.prepare_aug_feat = prepare_aug_feat
     return run, prepare_view, shard_model_params
 
 
@@ -860,6 +896,381 @@ def make_edge_sharded_sgl_step(
 
     run.eval_rep = eval_rep
     return run, prepare_view
+
+
+def make_edge_sharded_ngcf_step(
+    model,
+    mesh,
+    optimizer,
+    sampler,
+    batch_size,
+    l2_reg,
+    axis="model",
+    base_seed=0,
+):
+    """NGCF BPR step with the self-loop row-L1 adjacency AND the embedding
+    table edge-block-sharded (reference model.py:3986-4055 driven by
+    trainer.py:403-429).
+
+    Per layer (model.py:4030-4044): m0 = A_drop @ h; m1 = h ∘ m0;
+    h = leaky_relu(W_gc m0 + W_bi m1) -> feature dropout -> row L2
+    normalization; rep = concat of layer outputs. The gc/bi linears,
+    leaky-relu, dropout and normalization are LOCAL ops on the row-sharded
+    activations (the [d, d'] weights are replicated; XLA psums their
+    gradients) — the only communication is the SpMM's reduce-scatter
+    forward / all-gather backward per layer.
+
+    Training-time edge dropout on the adjacency is ONE mask per step shared
+    across layers (the reference drops the matrix once per forward),
+    entering as a per-shard i.i.d. [S, E_pad] edge scale — identical
+    keep/rescale algebra to the single-device in-layout hash, different
+    draws; the feature dropout draws over the padded row space (same
+    divergence class). Loss parity with the single-device BPRTrainer step
+    is exact at dropout=0.
+
+    -> run(params, opt_state, rng) with NGCF's init_params layout,
+    "embedding" re-laid to the sharded [n_cols_pad, d].
+    """
+    from inductive_recommendation_tpu.models.base import apply_linear
+    from inductive_recommendation_tpu.models.ngcf import selfloop_l1_coo
+    from inductive_recommendation_tpu.parallel.spmm import (
+        _wrap,
+        build_edge_sharded_spmm,
+    )
+
+    ds = model.dataset
+    n_users = model.n_users
+    n_layers = model.n_layers
+    p_drop = float(model.dropout)
+    row, col, val, n_nodes = selfloop_l1_coo(ds)
+    emat = build_edge_sharded_spmm(
+        row, col, val, (n_nodes, n_nodes), mesh.shape[axis]
+    )
+    spmm = _wrap(emat, mesh, axis, "scatter")
+    row_sharding = NamedSharding(mesh, P(axis, None))
+    e_shape = tuple(emat.eid_map.shape)  # [S, E_pad]
+
+    def forward(p, fwd, bwd, rng, training):
+        """The ONE NGCF forward definition (training loss + eval rep)."""
+        h = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
+        layers = [h]
+        edge_scale = None
+        rng_feat = rng
+        if training and rng is not None and p_drop > 0.0:
+            rng_edge, rng_feat = jax.random.split(rng)
+            keep = jax.random.uniform(rng_edge, e_shape) >= p_drop
+            edge_scale = jax.lax.with_sharding_constraint(
+                jnp.where(keep, 1.0 / (1.0 - p_drop), 0.0), row_sharding
+            )
+        for i in range(n_layers):
+            m0 = spmm(fwd, bwd, edge_scale, h)
+            m1 = h * m0
+            m0 = apply_linear(p["gc_layers"][i], m0)
+            m1 = apply_linear(p["bi_layers"][i], m1)
+            h = jax.nn.leaky_relu(m0 + m1, negative_slope=0.2)
+            if training and rng_feat is not None and p_drop > 0.0:
+                rng_feat, sub = jax.random.split(rng_feat)
+                keepf = jax.random.uniform(sub, h.shape) >= p_drop
+                h = jnp.where(keepf, h / (1.0 - p_drop), 0.0)
+            h = jax.lax.with_sharding_constraint(h, row_sharding)
+            # the CONCATENATED copy is L2-normalized; the value fed to the
+            # next layer is NOT (models/ngcf.py — reference model.py:4042)
+            norm = jnp.maximum(jnp.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+            layers.append(h / norm)
+        return jnp.concatenate(layers, axis=1)
+
+    def eval_rep(params, b):
+        return forward(params, b["edge_fwd"], b["edge_bwd"], None, False)[:n_nodes]
+
+    def step(params, opt_state, fwd, bwd, smp, rng):
+        rng_s, rng_m = jax.random.split(_ensure_key(rng, base_seed))
+        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+
+        def loss_fn(p):
+            rep = forward(p, fwd, bwd, rng_m, True)
+            u_r = rep[users]
+            p_r = rep[n_users + pos]
+            n_r = rep[n_users + neg[:, 0]]
+            l2 = jnp.sum(u_r**2, 1) + jnp.sum(p_r**2, 1) + jnp.sum(n_r**2, 1)
+            return L.bpr_loss(u_r, p_r, n_r) + l2_reg * l2.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+
+    def run(params, opt_state, rng):
+        return jitted(params, opt_state, emat.fwd, emat.bwd, sampler, rng)
+
+    run.eval_rep = eval_rep
+    run.emat = emat
+    return run
+
+
+def make_edge_sharded_imcgae_step(
+    model,
+    mesh,
+    optimizer,
+    sampler,
+    batch_size,
+    l2_reg,
+    axis="model",
+    base_seed=0,
+):
+    """IMCGAE BPR step with the normalized adjacency AND the personal
+    embedding rows edge-block-sharded (reference model.py:4300-4345 driven
+    by trainer.py:403-429).
+
+    Edge-layout params: {"embedding": [n_cols_pad, d] PERSONAL rows sharded,
+    "special": [3, d] replicated} — the three shared rows (identical,
+    general-user, general-item; model.py:4314-4327) are O(d) and broadcast
+    per shard via a row-index select, so the concat to 3d width is local.
+    Per layer: node dropout at the decayed rate max(dropout - 0.1·i, 0) (a
+    row scale — shard-local), propagation, sum-combine with 1/(i+2) scaling
+    (model.py:4331-4339). Node dropout draws over the padded row space
+    (different draws than single-device, same algebra); loss parity is exact
+    at dropout=0.
+    """
+    from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
+    from inductive_recommendation_tpu.parallel.spmm import (
+        _wrap,
+        build_edge_sharded_spmm,
+    )
+
+    ds = model.dataset
+    n_users, n_items = model.n_users, model.n_items
+    n_nodes = n_users + n_items
+    n_layers = model.n_layers
+    p_drop = float(model.dropout)
+    r, c, v = sym_normalized_adjacency(ds.train_array, n_users, n_items)
+    emat = build_edge_sharded_spmm(r, c, v, (n_nodes, n_nodes), mesh.shape[axis])
+    spmm = _wrap(emat, mesh, axis, "scatter")
+    row_sharding = NamedSharding(mesh, P(axis, None))
+    n_pad = emat.n_cols_pad
+    # per-layer decayed rate clamped at 0 (models/imcgae.py documents the
+    # negative-rate reference quirk)
+    rates = [max(p_drop - 0.1 * i, 0.0) for i in range(n_layers)]
+
+    def forward(p, fwd, bwd, rng, training):
+        """The ONE IMCGAE forward definition (training loss + eval rep)."""
+        emb = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
+        sp = p["special"]  # [identical, general_user, general_item]
+        is_user = (jnp.arange(n_pad) < n_users)[:, None]
+        general = jnp.where(is_user, sp[1], sp[2])
+        h = jax.lax.with_sharding_constraint(
+            jnp.concatenate(
+                [emb, general, jnp.broadcast_to(sp[0], emb.shape)], axis=1
+            ),
+            row_sharding,
+        )
+        final = h
+        for i in range(n_layers):
+            if training and rng is not None and rates[i] > 0.0:
+                keep = jax.random.uniform(
+                    jax.random.fold_in(rng, i), (n_pad,)
+                ) >= rates[i]
+                mask = jnp.where(keep, 1.0 / max(1.0 - rates[i], 1e-6), 0.0)
+                h = h * mask[:, None]
+            h = spmm(fwd, bwd, None, h)
+            final = final + h * (1.0 / (i + 2))
+        return final
+
+    def eval_rep(params, b):
+        return forward(params, b["edge_fwd"], b["edge_bwd"], None, False)[:n_nodes]
+
+    def step(params, opt_state, fwd, bwd, smp, rng):
+        rng_s, rng_m = jax.random.split(_ensure_key(rng, base_seed))
+        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+
+        def loss_fn(p):
+            rep = forward(p, fwd, bwd, rng_m, True)
+            u_r = rep[users]
+            p_r = rep[n_users + pos]
+            n_r = rep[n_users + neg[:, 0]]
+            l2 = jnp.sum(u_r**2, 1) + jnp.sum(p_r**2, 1) + jnp.sum(n_r**2, 1)
+            return L.bpr_loss(u_r, p_r, n_r) + l2_reg * l2.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+
+    def run(params, opt_state, rng):
+        return jitted(params, opt_state, emat.fwd, emat.bwd, sampler, rng)
+
+    run.eval_rep = eval_rep
+    run.emat = emat
+    return run
+
+
+def make_edge_sharded_idcf_step(
+    model,
+    mesh,
+    optimizer,
+    sampler,
+    batch_size,
+    l2_reg,
+    contrastive_reg,
+    axis="model",
+    base_seed=0,
+):
+    """IDCF_LGCN step with the feature matrix, the adjacency AND the frozen
+    pretrained table edge-block-sharded (reference model.py:3895-3983 driven
+    by trainer.py:488-515).
+
+    The frozen LightGCN table is a BUFFER (no gradient); it is the SpMM
+    operand, row-sharded like the layout's column blocks. Per head the
+    attention over ``n_samples`` sampled key users/items is a row-local op:
+    both the user-keyed and item-keyed attention run over the full padded
+    row space and a row-index select picks the right one (2x the attention
+    FLOPs of the split version, but m=50 makes it negligible next to the
+    SpMMs and it keeps the activations block-aligned — no resharding). The
+    logsumexp contrastive regularizer (model.py:3946-3955, last head's
+    samples) is computed on the GATHERED batch rows only.
+
+    The rng path mirrors the single-device model exactly (same split
+    sequence, _representations), so the sampled keys — and with dropout
+    absent, the loss — match the single-device IDCFTrainer step to fp
+    noise at any shard count.
+    """
+    from inductive_recommendation_tpu.graph import bipartite_edges
+    from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
+    from inductive_recommendation_tpu.models.base import apply_linear
+    from inductive_recommendation_tpu.models.idcf import relation_gat
+    from inductive_recommendation_tpu.parallel.spmm import (
+        _wrap,
+        build_edge_sharded_spmm,
+        shard_operand,
+    )
+
+    ds = model.dataset
+    n_users, n_items = model.n_users, model.n_items
+    n_nodes = n_users + n_items
+    n_old_u, n_old_i = model.n_old_users, model.n_old_items
+    n_heads, n_samples = model.n_headers, model.n_samples
+    n_layers = model.n_layers
+    S = mesh.shape[axis]
+
+    # feat = adjacency columns in old-user ++ old-item order (model.py:3921-3925)
+    row, col = bipartite_edges(ds.train_array, n_users, n_items)
+    new_col = np.where(col < n_users, col, n_old_u + (col - n_users))
+    feat_emat = build_edge_sharded_spmm(
+        row,
+        new_col,
+        np.ones(len(row), np.float32),
+        (n_nodes, n_old_u + n_old_i),
+        S,
+    )
+    r, c, v = sym_normalized_adjacency(ds.train_array, n_users, n_items)
+    adj_emat = build_edge_sharded_spmm(r, c, v, (n_nodes, n_nodes), S)
+    if feat_emat.n_rows_pad != adj_emat.n_cols_pad:
+        raise ValueError(
+            "feat output rows and adjacency operand rows must pad identically"
+        )
+    feat_spmm = _wrap(feat_emat, mesh, axis, "scatter")
+    adj_spmm = _wrap(adj_emat, mesh, axis, "scatter")
+    row_sharding = NamedSharding(mesh, P(axis, None))
+    frozen_sh = shard_operand(
+        np.asarray(model.buffers["frozen_embedding"]), feat_emat, mesh, axis
+    )
+
+    def representations(p, ffwd, fbwd, frozen, rng):
+        """Pre-propagation representations + the LAST head's samples —
+        mirrors models/idcf.py _representations (same rng split sequence,
+        so the sampled keys match the single-device path exactly)."""
+        x_q = feat_spmm(ffwd, fbwd, None, frozen)
+        if rng is None:
+            rng = jax.random.key(0)
+        is_user = (jnp.arange(x_q.shape[0]) < n_users)[:, None]
+        outs = []
+        for i in range(n_heads):
+            rng, r_u, r_i = jax.random.split(rng, 3)
+            su = jax.random.randint(r_u, (n_samples,), 0, n_old_u)
+            si = jax.random.randint(r_i, (n_samples,), 0, n_old_i)
+            s_u = frozen[su]
+            s_i = frozen[n_old_u + si]
+            gat_u = relation_gat(p["gat_units"][i], x_q, s_u)
+            gat_i = relation_gat(p["gat_units"][i], x_q, s_i)
+            outs.append(jnp.where(is_user, gat_u, gat_i))
+        reps = apply_linear(p["w_out"], jnp.concatenate(outs, axis=1))
+        reps = jax.lax.with_sharding_constraint(reps, row_sharding)
+        return reps, (s_u, s_i)
+
+    def propagate(fwd, bwd, x0):
+        acc, h = x0, x0
+        for _ in range(n_layers):
+            h = adj_spmm(fwd, bwd, None, h)
+            acc = acc + h
+        return acc / (n_layers + 1)
+
+    def eval_rep(params, b):
+        reps, _ = representations(
+            params, b["edge_feat_fwd"], b["edge_feat_bwd"], b["edge_frozen"], None
+        )
+        return propagate(b["edge_adj_fwd"], b["edge_adj_bwd"], reps)[:n_nodes]
+
+    def step(params, opt_state, ffwd, fbwd, afwd, abwd, frozen, smp, rng):
+        rng_s, rng_m = jax.random.split(_ensure_key(rng, base_seed))
+        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+
+        def loss_fn(p):
+            reps0, (s_u, s_i) = representations(p, ffwd, fbwd, frozen, rng_m)
+            rep = propagate(afwd, abwd, reps0)
+            u_r = rep[users]
+            p_r = rep[n_users + pos]
+            n_r = rep[n_users + neg[:, 0]]
+            l2 = jnp.sum(u_r**2, 1) + jnp.sum(p_r**2, 1) + jnp.sum(n_r**2, 1)
+            for unit in p["gat_units"]:
+                l2 = l2 + jnp.sum(unit["wq"]["w"] ** 2) + jnp.sum(unit["wk"]["w"] ** 2)
+            # contrastive regularizer on the GATHERED batch rows of the
+            # pre-propagation representations (model.py:3946-3955)
+            ub = reps0[users]
+            pb = reps0[n_users + pos]
+            nb = reps0[n_users + neg[:, 0]]
+            lse = jax.scipy.special.logsumexp
+            closs = (
+                lse(ub @ s_u.T, axis=1)
+                - jnp.sum(ub * frozen[users], axis=1)
+                + lse(pb @ s_i.T, axis=1)
+                - jnp.sum(pb * frozen[n_old_u + pos], axis=1)
+                + lse(nb @ s_i.T, axis=1)
+                - jnp.sum(nb * frozen[n_old_u + neg[:, 0]], axis=1)
+            )
+            return (
+                L.bpr_loss(u_r, p_r, n_r)
+                + l2_reg * l2.mean()
+                + contrastive_reg * closs.mean()
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+
+    def run(params, opt_state, rng):
+        return jitted(
+            params,
+            opt_state,
+            feat_emat.fwd,
+            feat_emat.bwd,
+            adj_emat.fwd,
+            adj_emat.bwd,
+            frozen_sh,
+            sampler,
+            rng,
+        )
+
+    run.eval_rep = eval_rep
+    run.feat_emat = feat_emat
+    run.adj_emat = adj_emat
+    run.frozen_sh = frozen_sh
+    return run
 
 
 def make_edge_sharded_att_igcn_step(

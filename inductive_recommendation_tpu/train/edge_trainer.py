@@ -12,21 +12,20 @@ Supported model/loss families (each routed to its parallel/step.py step):
 - LightGCN -> BPR + L2 (``make_edge_sharded_bpr_step``)
 - IGCN / IMF -> + aux BPR on the core table (``make_edge_sharded_igcn_step``;
   IMF is the n_layers=0 case)
-- DOSE variants -> + the variant's contrastive term over the per-epoch
-  view(s) (``make_edge_sharded_dose_step``): single-view InfoNCE
-  (DOSE_aug/aug3/aug4, DOSE_drop/2/3, DOSE_aug_drop2/3, TEST — whose main
-  adjacency layout is built from its static dropped pair set), two-draw
-  summed InfoNCE (DOSE_aug_drop), cross-view InfoNCE (TEST2), the literal
-  view-mean slot (DOSE_test); view regeneration reaches the sharded layout
-  through ``prepare_view``
+- DOSE variants (ALL 13) -> + the variant's contrastive term over the
+  per-epoch view(s) (``make_edge_sharded_dose_step``): single-view InfoNCE
+  (DOSE_aug/aug2/aug3/aug4, DOSE_drop/2/3, DOSE_aug_drop2/3, TEST — whose
+  main adjacency layout is built from its static dropped pair set),
+  two-draw summed InfoNCE (DOSE_aug_drop), cross-view InfoNCE (TEST2), the
+  literal view-mean slot (DOSE_test); view regeneration reaches the sharded
+  layout through ``prepare_view``. DOSE_aug2's AUG feature matrix rides the
+  step's ``aug_feat`` path: a static edge-sharded layout over the train
+  feat entries + a fixed-budget injected-entry delta, re-valued per epoch
+  (``prepare_aug_feat``) — fixed shapes, no retrace
 - SGL / HALF -> BPR + rep-L2 + cross-view / main-vs-view InfoNCE over the
   LightGCN base (``make_edge_sharded_sgl_step``)
 - AttIGCN -> attention-weighted inductive layer with the per-edge softmax
   itself sharded (``make_edge_sharded_att_igcn_step`` + parallel/attention.py)
-
-Rejected with a clear error: DOSE_aug2 only (its aug FEATURE matrix is
-rebuilt with a fresh shape each epoch — incompatible with a static sharded
-layout).
 
 Evaluation computes the main representation with the SAME edge-sharded
 layouts (forward-only; layouts ride the evaluator's jitted scoring through
@@ -57,6 +56,9 @@ from inductive_recommendation_tpu.train.trainer import BasicTrainer, _epoch_mean
 #: see make_edge_sharded_dose_step's mode semantics
 _DOSE_SUPPORTED = {
     "DOSE_aug": ("single", ("aug_adj",)),
+    # aug2 additionally reads the AUG feature matrix in its view branch —
+    # routed through the step's aug_feat path (fixed-budget sharded layout)
+    "DOSE_aug2": ("single", ("aug_adj",)),
     "DOSE_aug3": ("single", ("aug_adj",)),
     "DOSE_aug4": ("single", ("aug_adj",)),
     "DOSE_drop": ("single", ("aug_adj",)),
@@ -137,16 +139,18 @@ class EdgeShardedTrainer(BasicTrainer):
     def _detect_family(model):
         from inductive_recommendation_tpu.models.att_igcn import AttIGCN
         from inductive_recommendation_tpu.models.dose import _DOSEBase
+        from inductive_recommendation_tpu.models.idcf import IDCF_LGCN
         from inductive_recommendation_tpu.models.igcn import IGCN, IMF
+        from inductive_recommendation_tpu.models.imcgae import IMCGAE
         from inductive_recommendation_tpu.models.lightgcn import LightGCN
+        from inductive_recommendation_tpu.models.ngcf import NGCF
         from inductive_recommendation_tpu.models.sgl import SGL
 
         name = type(model).__name__
         if isinstance(model, _DOSEBase):
             if name not in _DOSE_SUPPORTED:
                 raise ValueError(
-                    f"{name} is not edge-shardable (the aug-feature-matrix "
-                    f"variant is single-device or data-parallel only); "
+                    f"{name} has no edge-sharded routing; "
                     f"supported: {sorted(_DOSE_SUPPORTED)}"
                 )
             return "dose", _DOSE_SUPPORTED[name]
@@ -162,9 +166,18 @@ class EdgeShardedTrainer(BasicTrainer):
             return "sgl", ("cross", ("aug_adj1", "aug_adj2"))
         if isinstance(model, LightGCN):
             return "bpr", None
+        if isinstance(model, NGCF):
+            return "ngcf", None
+        if isinstance(model, IMCGAE):
+            return "imcgae", None
+        if isinstance(model, IDCF_LGCN):
+            return "idcf", None
         raise ValueError(
-            f"{name} has no edge-sharded step (supported: LightGCN, SGL/HALF, "
-            f"IGCN/IMF/AttIGCN, DOSE variants except DOSE_aug2)"
+            f"{name} has no edge-sharded step (supported: every full-graph "
+            f"propagation model — LightGCN, SGL/HALF, NGCF, IMCGAE, "
+            f"IDCF_LGCN, IGCN/IMF/AttIGCN and every DOSE variant; MF/NeuMF/"
+            f"MultiVAE/ItemKNN have no O(|E|) propagation to shard — use "
+            f"mesh_mode='data')"
         )
 
     # -- step + eval construction ---------------------------------------------
@@ -235,6 +248,48 @@ class EdgeShardedTrainer(BasicTrainer):
             self._scoring = _EdgeRepScoring(
                 model, estep.eval_rep, {"edge_fwd": emat.fwd, "edge_bwd": emat.bwd}
             )
+            return
+
+        if self._family in ("ngcf", "imcgae", "idcf"):
+            from inductive_recommendation_tpu.parallel.step import (
+                make_edge_sharded_idcf_step,
+                make_edge_sharded_imcgae_step,
+                make_edge_sharded_ngcf_step,
+            )
+
+            common = dict(axis=self.axis, base_seed=self.seed)
+            if self._family == "ngcf":
+                estep = make_edge_sharded_ngcf_step(
+                    model, mesh, self.optimizer, self.sampler,
+                    self.batch_size, self.l2_reg, **common,
+                )
+                self._emat = estep.emat
+                extra = {"edge_fwd": estep.emat.fwd, "edge_bwd": estep.emat.bwd}
+            elif self._family == "imcgae":
+                estep = make_edge_sharded_imcgae_step(
+                    model, mesh, self.optimizer, self.sampler,
+                    self.batch_size, self.l2_reg, **common,
+                )
+                self._emat = estep.emat
+                extra = {"edge_fwd": estep.emat.fwd, "edge_bwd": estep.emat.bwd}
+            else:
+                estep = make_edge_sharded_idcf_step(
+                    model, mesh, self.optimizer, self.sampler,
+                    self.batch_size, self.l2_reg, self.contrastive_reg,
+                    **common,
+                )
+                # IDCF's trainable params are all small/replicated; the
+                # sharded objects are the graph layouts + the frozen table
+                self._emat = estep.adj_emat
+                extra = {
+                    "edge_feat_fwd": estep.feat_emat.fwd,
+                    "edge_feat_bwd": estep.feat_emat.bwd,
+                    "edge_adj_fwd": estep.adj_emat.fwd,
+                    "edge_adj_bwd": estep.adj_emat.bwd,
+                    "edge_frozen": estep.frozen_sh,
+                }
+            self._run_step = lambda seed: estep(self.params, self.opt_state, seed)
+            self._scoring = _EdgeRepScoring(model, estep.eval_rep, extra)
             return
 
         # IGCN / DOSE: shared feat + adjacency layouts for step AND eval
@@ -333,6 +388,11 @@ class EdgeShardedTrainer(BasicTrainer):
             )
         else:
             mode, _keys = self._view_key
+            # DOSE_aug2's aug-feat layout needs the AUG core maps; with
+            # feature_ratio < 1 those are selected from the FIRST real aug
+            # graph (models/dose.py) — until then the step runs in the plain
+            # DOSE_aug shape and _refresh_views activates the layout later
+            use_aug_feat = self._uses_aug_feat() and self._aug_feat_ready()
             estep, prep, _ = make_edge_sharded_dose_step(
                 model,
                 mesh,
@@ -349,15 +409,26 @@ class EdgeShardedTrainer(BasicTrainer):
                 adj_emat=adj_emat,
                 contrastive=mode,
                 feat_coo=(frow, fcol, fval, row_sum),
+                aug_feat=use_aug_feat,
             )
+            self._aug_feat_active = use_aug_feat
+            self._estep = estep
             self._prep_view = prep
             self._vstate = self._prepare_views()
+            self._aug_state = (
+                estep.prepare_aug_feat(
+                    self.model._last_aug_pairs_dev, self.model.alpha
+                )
+                if use_aug_feat
+                else None
+            )
             self._run_step = lambda seed: estep(
                 self.params,
                 self.opt_state,
                 seed,
                 self._vstate,
                 alpha=self.model.alpha,
+                aug_state=self._aug_state,
             )
 
         # eval rep = the STEP's own forward (one definition per family,
@@ -386,11 +457,58 @@ class EdgeShardedTrainer(BasicTrainer):
         states = tuple(self._prep_view(self.model.edge_views[k]) for k in keys)
         return states if len(states) > 1 else states[0]
 
+    # -- DOSE_aug2 aug-feat activation/refresh --------------------------------
+    def _uses_aug_feat(self):
+        from inductive_recommendation_tpu.models.dose import DOSE_aug2
+
+        return self._family == "dose" and isinstance(self.model, DOSE_aug2)
+
+    def _aug_feat_ready(self):
+        """The AUG core maps exist (feature_ratio >= 1 -> the main maps;
+        < 1 -> selected from the first real aug graph or restored)."""
+        return self.model.feature_ratio >= 1.0 or hasattr(
+            self.model, "aug_user_map"
+        )
+
+    def _refresh_views(self):
+        """Recompute the per-epoch sharded view state — and DOSE_aug2's
+        aug-feat state — from the model's freshly (re)generated views."""
+        if (
+            self._uses_aug_feat()
+            and not self._aug_feat_active
+            and self._aug_feat_ready()
+        ):
+            # the aug core maps just appeared (first update_aug_adj of a
+            # feature_ratio<1 run, or a restore that brought them): build
+            # the aug-feat layout — the edge analog of the single-device
+            # path's one-time retrace (models/dose.py _establish_views)
+            self._build_steps()
+            return
+        self._vstate = self._prepare_views()
+        if getattr(self, "_aug_feat_active", False):
+            self._aug_state = self._estep.prepare_aug_feat(
+                self.model._last_aug_pairs_dev, self.model.alpha
+            )
+
     # -- params layout conversion ---------------------------------------------
     def _shard_model_params(self, params):
         """Model-layout params -> padded edge layout on the mesh. Only the
         embedding table re-lays out; nested sub-dicts (AttIGCN's weight_q/
-        weight_k) and vectors are copied (the step donates params)."""
+        weight_k) and vectors are copied (the step donates params).
+        IMCGAE's table splits: personal rows sharded, the 3 shared rows
+        (identical/general-user/general-item) replicated."""
+        if self._family == "imcgae":
+            emb = jnp.asarray(params["embedding"])
+            n = self.dataset.n_users + self.dataset.n_items
+            pers = emb[:n]
+            pad = self._emat.n_cols_pad - n
+            pers = jnp.concatenate(
+                [pers, jnp.zeros((pad, emb.shape[1]), emb.dtype)]
+            )
+            return {
+                "embedding": jax.device_put(pers, self._row_spec),
+                "special": jnp.array(emb[n : n + 3]),
+            }
         out = {}
         for k, v in params.items():
             if k == "embedding":
@@ -407,6 +525,13 @@ class EdgeShardedTrainer(BasicTrainer):
 
     def _to_model_params(self, params):
         """Edge-layout params -> the model's own init_params layout (host)."""
+        if self._family == "imcgae":
+            t = np.asarray(self._model_template["embedding"])
+            n = self.dataset.n_users + self.dataset.n_items
+            out = np.zeros(t.shape, t.dtype)
+            out[:n] = np.asarray(jax.device_get(params["embedding"]))[:n]
+            out[n : n + 3] = np.asarray(jax.device_get(params["special"]))
+            return {"embedding": out}
 
         def conv(t, s):
             src = np.asarray(jax.device_get(s))
@@ -434,16 +559,44 @@ class EdgeShardedTrainer(BasicTrainer):
 
         return jax.tree_util.tree_map(place, tree)
 
+    # -- inductive catalog growth (reference trainer.py:212-253 +
+    # model.py:4177-4200) ------------------------------------------------------
+    def attach_dataset(self, dataset):
+        """Inductive protocol under edge mode: attach the grown dataset
+        (train ∪ new interactions) to the model AND rebuild the sharded
+        layouts, samplers and evaluator around it — trained params and
+        optimizer state are KEPT (the IGCN family's table is core-sized, so
+        catalog growth changes only the graph layouts, never the table)."""
+        if not hasattr(self.model, "attach_dataset"):
+            raise ValueError(
+                f"{type(self.model).__name__} has no inductive attach path "
+                f"(retrain-free catalog growth is the IGCN family's "
+                f"template-row property)"
+            )
+        self.model.attach_dataset(dataset)
+        self._rebind_dataset(dataset)
+
+    def _rebind_dataset(self, dataset):
+        from inductive_recommendation_tpu.eval.evaluator import Evaluator
+
+        self.dataset = dataset
+        self.steps_per_epoch = max(1, -(-len(dataset) // self.batch_size))
+        self.sampler = build_sampler_state(dataset.train_data, dataset.n_items)
+        self.evaluator = Evaluator(
+            dataset, self.topks, self.config.get("test_batch_size", 512)
+        )
+        # rebuilds every layout, the aux sampler, the per-epoch view state
+        # and the eval scoring from the grown graph; params keep their
+        # (unchanged) edge layout — feat_n_cols is fixed by the core maps
+        self._build_steps()
+
     # -- training loop ---------------------------------------------------------
     def _check_dataset_unchanged(self):
-        # the edge layouts were built from the construction-time train graph;
-        # a mid-run attach_dataset would leave them silently stale
+        # a DIRECT model.attach_dataset(...) (the single-device UX) leaves
+        # the sharded layouts stale — rebuild them around the model's
+        # current dataset instead of failing
         if self.model.dataset is not self.dataset:
-            raise RuntimeError(
-                "EdgeShardedTrainer's sharded layouts are bound to the "
-                "construction-time dataset; rebuild the trainer after "
-                "attach_dataset (inductive catalog growth)"
-            )
+            self._rebind_dataset(self.model.dataset)
 
     def train_one_epoch(self):
         self._check_dataset_unchanged()
@@ -464,7 +617,7 @@ class EdgeShardedTrainer(BasicTrainer):
             # slices [:feat_n_cols] itself, so no layout conversion — and no
             # full-table device->host->device round trip — is needed
             self.model.update_aug_adj(self.params)
-            self._vstate = self._prepare_views()
+            self._refresh_views()
         elif self._family == "sgl":
             # random drop views: no param read (trainer.py:458)
             self.model.update_aug_adj()
@@ -506,13 +659,13 @@ class EdgeShardedTrainer(BasicTrainer):
         self._rebuild_model_views()
         self._check_test_main_graph()
         if self._family in ("dose", "sgl"):
-            self._vstate = self._prepare_views()
+            self._refresh_views()
 
     def load_state(self, path):
         super().load_state(path)  # edge-layout params/opt restored + _shard
         self._check_test_main_graph()
         if self._family in ("dose", "sgl"):
-            self._vstate = self._prepare_views()
+            self._refresh_views()
 
     def _check_test_main_graph(self):
         """TEST's main-graph layout was built from the construction-time drop

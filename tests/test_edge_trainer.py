@@ -151,10 +151,102 @@ def test_edge_trainer_att_igcn_first_step_matches_single_device(ds):
     assert abs(float(l1) - float(l2)) < 2e-4, (float(l1), float(l2))
 
 
+def _idcf_mcfg(ds, **kw):
+    rng = np.random.default_rng(7)
+    frozen = rng.standard_normal(
+        (ds.n_users + ds.n_items, 16), dtype=np.float32
+    ) * 0.1
+    cfg = {
+        "name": "IDCF_LGCN",
+        "embedding_size": 16,
+        "n_layers": 2,
+        "n_headers": 2,
+        "n_samples": 10,
+        "pretrained_embedding": frozen,
+        "table_align": 1,
+    }
+    cfg.update(kw)
+    return cfg
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_edge_trainer_ngcf_first_step_matches_single_device(ds, n_shards):
+    """NGCF via get_trainer(mesh_mode='edge'): the per-layer gc/bi linears +
+    leaky-relu + normalization run as local ops between sharded SpMMs; the
+    first-step loss equals the single-device BPRTrainer's (dropout=0)."""
+    mesh = make_mesh(n_data=8 // n_shards, n_model=n_shards)
+    mcfg = {
+        "name": "NGCF",
+        "embedding_size": 16,
+        "layer_sizes": [16, 16],
+        "dropout": 0.0,
+        "table_align": 1,
+    }
+    m1 = get_model(mcfg, ds)
+    t1 = get_trainer(_tcfg("BPRTrainer"), ds, m1)
+    m2 = get_model(mcfg, ds)
+    t2 = get_trainer(_tcfg("BPRTrainer"), ds, m2, mesh=mesh, mesh_mode="edge")
+    l1 = t1._step(
+        t1.params, t1.opt_state, m1.buffers, t1.sampler, t1._next_seed()
+    )[2]
+    with mesh:
+        l2 = t2._run_step(t2._next_seed())[2]
+    assert abs(float(l1) - float(l2)) < 2e-4, (float(l1), float(l2))
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_edge_trainer_imcgae_first_step_matches_single_device(ds, n_shards):
+    """IMCGAE via get_trainer(mesh_mode='edge'): personal rows sharded, the
+    3 shared rows replicated; first-step loss equals the single-device
+    BPRTrainer's (dropout=0)."""
+    mesh = make_mesh(n_data=8 // n_shards, n_model=n_shards)
+    mcfg = {
+        "name": "IMCGAE",
+        "embedding_size": 16,
+        "n_layers": 2,
+        "dropout": 0.0,
+        "table_align": 1,
+    }
+    m1 = get_model(mcfg, ds)
+    t1 = get_trainer(_tcfg("BPRTrainer"), ds, m1)
+    m2 = get_model(mcfg, ds)
+    t2 = get_trainer(_tcfg("BPRTrainer"), ds, m2, mesh=mesh, mesh_mode="edge")
+    l1 = t1._step(
+        t1.params, t1.opt_state, m1.buffers, t1.sampler, t1._next_seed()
+    )[2]
+    with mesh:
+        l2 = t2._run_step(t2._next_seed())[2]
+    assert abs(float(l1) - float(l2)) < 2e-4, (float(l1), float(l2))
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_edge_trainer_idcf_first_step_matches_single_device(ds, n_shards):
+    """IDCF_LGCN via get_trainer(mesh_mode='edge'): feat SpMM over the
+    sharded frozen table + local attention heads + sharded propagation; the
+    rng path mirrors the model exactly, so the sampled keys — and the loss,
+    contrastive term included — match the single-device IDCFTrainer."""
+    mesh = make_mesh(n_data=8 // n_shards, n_model=n_shards)
+    mcfg = _idcf_mcfg(ds)
+    tkw = {"contrastive_reg": 1e-3}
+    m1 = get_model(mcfg, ds)
+    t1 = get_trainer(_tcfg("IDCFTrainer", **tkw), ds, m1)
+    m2 = get_model(mcfg, ds)
+    t2 = get_trainer(_tcfg("IDCFTrainer", **tkw), ds, m2, mesh=mesh, mesh_mode="edge")
+    l1 = t1._step(
+        t1.params, t1.opt_state, m1.buffers, t1.sampler, t1._next_seed()
+    )[2]
+    with mesh:
+        l2 = t2._run_step(t2._next_seed())[2]
+    assert abs(float(l1) - float(l2)) < 2e-4, (float(l1), float(l2))
+
+
 @pytest.mark.parametrize(
     "model_name,trainer_name,mkw,tkw",
     [
         ("LightGCN", "BPRTrainer", {}, {}),
+        ("NGCF", "BPRTrainer", {"layer_sizes": [16, 16], "dropout": 0.3}, {}),
+        ("IMCGAE", "BPRTrainer", {"dropout": 0.3}, {}),
+        ("IDCF_LGCN", "IDCFTrainer", {}, {"contrastive_reg": 1e-3}),
         (
             "AttIGCN",
             "IGCNTrainer",
@@ -187,8 +279,49 @@ def test_edge_trainer_att_igcn_first_step_matches_single_device(ds):
             {"dropout": 0.3, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5},
             {"aux_reg": 0.01, "contrastive_reg": 0.05},
         ),
+        # aug2 exercises the aug-FEATURE-matrix path end-to-end, with
+        # feature dropout (the sharded base + hashed delta dropout)
+        (
+            "DOSE_aug2",
+            "DOSEaugTrainer",
+            {"dropout": 0.3, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5},
+            {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        ),
+        # feature_ratio < 1: the aug core maps are selected from the FIRST
+        # real aug graph — exercises the deferred aug-feat layout activation
+        (
+            "DOSE_aug2",
+            "DOSEaugTrainer",
+            {"dropout": 0.0, "feature_ratio": 0.8, "aug_num": 10, "aug_rate": 0.5},
+            {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        ),
+        (
+            "DOSE_aug3",
+            "DOSEaugTrainer",
+            {"dropout": 0.0, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5},
+            {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        ),
+        (
+            "DOSE_aug4",
+            "DOSEaugTrainer",
+            {"dropout": 0.0, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5,
+             "pai": 0.0},
+            {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        ),
+        (
+            "DOSE_drop",
+            "DOSEdropTrainer",
+            {"dropout": 0.0, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5},
+            {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        ),
         (
             "DOSE_drop2",
+            "DOSEdropTrainer",
+            {"dropout": 0.0, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5},
+            {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        ),
+        (
+            "DOSE_drop3",
             "DOSEdropTrainer",
             {"dropout": 0.0, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5},
             {"aux_reg": 0.01, "contrastive_reg": 0.05},
@@ -197,6 +330,20 @@ def test_edge_trainer_att_igcn_first_step_matches_single_device(ds):
             "DOSE_aug_drop",
             "DOSEdropTrainer",
             {"dropout": 0.3, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5},
+            {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        ),
+        # the two drop_adj-keyed routings (a distinct view-key path)
+        (
+            "DOSE_aug_drop2",
+            "DOSEdropTrainer",
+            {"dropout": 0.0, "feature_ratio": 1.0, "aug_num": 6, "aug_rate": 0.5,
+             "aug_ratio": 0.5},
+            {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        ),
+        (
+            "DOSE_aug_drop3",
+            "DOSEdropTrainer",
+            {"dropout": 0.0, "feature_ratio": 1.0, "aug_num": 10, "aug_rate": 0.5},
             {"aux_reg": 0.01, "contrastive_reg": 0.05},
         ),
         (
@@ -223,6 +370,8 @@ def test_edge_trainer_full_loop(ds, tmp_path, model_name, trainer_name, mkw, tkw
         {"name": model_name, "embedding_size": 16, "n_layers": 2, "table_align": 1},
         **mkw,
     )
+    if model_name == "IDCF_LGCN":
+        mcfg = dict(_idcf_mcfg(ds), **mkw)
     model = get_model(mcfg, ds)
     trainer = get_trainer(
         _tcfg(trainer_name, **tkw), ds, model, mesh=mesh, mesh_mode="edge"
@@ -286,29 +435,159 @@ def test_edge_trainer_save_state_resume(ds, tmp_path):
     assert l_resumed == pytest.approx(l_ref, rel=1e-4), (l_resumed, l_ref)
 
 
+def _grow_dataset(ds, n_new_users=5, n_new_items=4, seed=0):
+    """ds + new users/items with edges into the old catalog, plus test data
+    spanning old and new item ranges (for the six-slice protocol)."""
+    from inductive_recommendation_tpu.data.dataset import BasicDataset
+
+    new_ds = BasicDataset({"name": "BasicDataset"})
+    new_ds.n_users = ds.n_users + n_new_users
+    new_ds.n_items = ds.n_items + n_new_items
+    rng = np.random.default_rng(seed)
+    extra = []
+    for nu in range(ds.n_users, new_ds.n_users):
+        for i in rng.choice(ds.n_items, size=3, replace=False):
+            extra.append([nu, int(i)])
+    new_ds.train_data = [list(t) for t in ds.train_data] + [
+        [] for _ in range(n_new_users)
+    ]
+    for u, i in extra:
+        new_ds.train_data[u].append(i)
+    new_ds.train_array = np.concatenate(
+        [np.asarray(ds.train_array), np.asarray(extra)], axis=0
+    )
+    new_ds.val_data = [[] for _ in range(new_ds.n_users)]
+    new_ds.test_data = [
+        sorted(int(x) for x in rng.choice(new_ds.n_items, size=2, replace=False))
+        for _ in range(new_ds.n_users)
+    ]
+    return new_ds
+
+
+def test_edge_trainer_inductive_attach_matches_single_device(ds):
+    """attach_dataset under edge mode: a direct model.attach_dataset (the
+    single-device UX) is detected and the sharded layouts/evaluator rebuilt
+    around the grown graph; the six-slice inductive protocol then matches
+    the single-device attach path, and training continues on the grown
+    graph with the SAME params/opt state."""
+    from inductive_recommendation_tpu.eval.evaluator import Evaluator
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    mcfg = {
+        "name": "IGCN",
+        "embedding_size": 16,
+        "n_layers": 2,
+        "dropout": 0.0,
+        "feature_ratio": 1.0,
+        "table_align": 1,
+    }
+    tkw = {"aux_reg": 0.01}
+    m1 = get_model(mcfg, ds)
+    t1 = get_trainer(_tcfg("IGCNTrainer", **tkw), ds, m1)
+    m2 = get_model(mcfg, ds)
+    t2 = get_trainer(_tcfg("IGCNTrainer", **tkw), ds, m2, mesh=mesh, mesh_mode="edge")
+
+    grown = _grow_dataset(ds)
+    m1.attach_dataset(grown)
+    ev1 = Evaluator(grown, t1.topks, 16)
+    out1 = ev1.inductive_eval(m1, t1.params, ds.n_users, ds.n_items, verbose=False)
+
+    m2.attach_dataset(grown)  # direct attach; the trainer auto-rebuilds
+    out2 = t2.inductive_eval(ds.n_users, ds.n_items)
+    for tag, mx in out1.items():
+        for k in (5, 10):
+            assert out2[tag]["NDCG"][k] == pytest.approx(
+                mx["NDCG"][k], rel=1e-4, abs=1e-6
+            ), (tag, k)
+
+    # training continues on the grown graph (rebuilt sampler + layouts)
+    loss = t2.train_one_epoch()
+    assert np.isfinite(loss)
+
+
+def test_edge_trainer_explicit_attach_dose_aug2(ds):
+    """The explicit trainer API: attach_dataset on the aug-FEATURE-matrix
+    variant rebuilds the aug-feat layout for the grown catalog (extended
+    aug core maps) and keeps training."""
+    mesh = make_mesh(n_data=1, n_model=8)
+    t = get_trainer(
+        _tcfg("DOSEaugTrainer", **_AUG2_TKW),
+        ds,
+        get_model(_AUG2_MCFG, ds),
+        mesh=mesh,
+        mesh_mode="edge",
+    )
+    t.train_one_epoch()
+    t.attach_dataset(_grow_dataset(ds))
+    loss = t.train_one_epoch()
+    assert np.isfinite(loss)
+    _, metrics = t.eval("test")
+    assert np.isfinite(metrics["NDCG"][10])
+
+
 def test_edge_trainer_rejects_unsupported(ds):
     mesh = make_mesh(n_data=1, n_model=8)
-    model = get_model(
-        {
-            "name": "DOSE_aug2",  # aug-FEATURE-matrix path: single-device only
-            "embedding_size": 8,
-            "n_layers": 2,
-            "dropout": 0.0,
-            "feature_ratio": 1.0,
-            "aug_num": 8,
-            "aug_rate": 0.5,
-            "table_align": 1,
-        },
-        ds,
-    )
-    with pytest.raises(ValueError, match="not edge-shardable"):
-        get_trainer(
-            _tcfg("DOSEaugTrainer", aux_reg=0.01, contrastive_reg=0.05),
-            ds,
-            model,
-            mesh=mesh,
-            mesh_mode="edge",
-        )
     mf = get_model({"name": "MF", "embedding_size": 8, "table_align": 1}, ds)
     with pytest.raises(ValueError, match="no edge-sharded step"):
         get_trainer(_tcfg("BPRTrainer"), ds, mf, mesh=mesh, mesh_mode="edge")
+
+
+_AUG2_MCFG = {
+    "name": "DOSE_aug2",
+    "embedding_size": 16,
+    "n_layers": 2,
+    "dropout": 0.0,
+    "feature_ratio": 1.0,
+    "aug_num": 8,
+    "aug_rate": 0.5,
+    "table_align": 1,
+}
+_AUG2_TKW = {"aux_reg": 0.01, "contrastive_reg": 0.05}
+
+
+def _aug2_pair(ds, mesh):
+    m1 = get_model(_AUG2_MCFG, ds)
+    t1 = get_trainer(_tcfg("DOSEaugTrainer", **_AUG2_TKW), ds, m1)
+    m2 = get_model(_AUG2_MCFG, ds)
+    t2 = get_trainer(
+        _tcfg("DOSEaugTrainer", **_AUG2_TKW), ds, m2, mesh=mesh, mesh_mode="edge"
+    )
+    return m1, t1, m2, t2
+
+
+def _aug2_step_losses(t1, t2, mesh):
+    l1 = t1._step(
+        t1.params, t1.opt_state, t1.model.buffers, t1.sampler, t1.aux_sampler,
+        t1._next_seed(),
+    )[2]
+    with mesh:
+        l2 = t2._run_step(t2._next_seed())[2]
+    return float(l1), float(l2)
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_edge_trainer_dose_aug2_first_step_matches_single_device(ds, n_shards):
+    """DOSE_aug2 (the aug-FEATURE-matrix variant, reference model.py:831-1117)
+    on the edge path: the first-step loss (initial aug feat = train-only
+    matrix + all-zero delta) matches the single-device DOSEaugTrainer."""
+    mesh = make_mesh(n_data=8 // n_shards, n_model=n_shards)
+    m1, t1, m2, t2 = _aug2_pair(ds, mesh)
+    l1, l2 = _aug2_step_losses(t1, t2, mesh)
+    assert abs(l1 - l2) < 2e-4, (l1, l2)
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_edge_trainer_dose_aug2_post_update_matches_single_device(ds, n_shards):
+    """After feat_mat_anneal + update_aug_adj from IDENTICAL (initial)
+    params — so both sides select the SAME aug pairs — the next step's loss
+    matches: the injected entries flow through the fixed-budget sharded
+    aug-feat delta exactly as through the single-device rebuilt matrix."""
+    mesh = make_mesh(n_data=8 // n_shards, n_model=n_shards)
+    m1, t1, m2, t2 = _aug2_pair(ds, mesh)
+    m1.feat_mat_anneal()
+    m1.update_aug_adj(t1.params)
+    m2.feat_mat_anneal()
+    m2.update_aug_adj(t2.params)
+    t2._refresh_views()
+    l1, l2 = _aug2_step_losses(t1, t2, mesh)
+    assert abs(l1 - l2) < 2e-4, (l1, l2)
