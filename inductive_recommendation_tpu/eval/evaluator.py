@@ -232,7 +232,13 @@ class Evaluator:
                     batch_size=self.test_batch_size,
                 )
             # models without a rep-matrix scoring state (MultiVAE, NeuMF,
-            # ItemKNN) fall through to the single-device path
+            # ItemKNN) take the batched path below, which under a mesh is
+            # USER-BATCH sharded: rec_masked/rec_plain constrain the batch
+            # index vector (cu), so scoring + masking + top-k run
+            # data-parallel across every device — the sharded retrieval
+            # protocol is model-agnostic, like the reference's
+            # (trainer.py:146-172); only the item-sharded k-way-merge
+            # optimization is rep-matrix-specific
 
         B = self.test_batch_size
         if stage not in ("val", "test") and banned is None:

@@ -87,6 +87,26 @@ def test_evaluator_mesh_every_model_class(ds, mcfg):
     _assert_metrics_match(m1, m8, mcfg["name"])
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("mcfg", MODEL_CFGS, ids=[c["name"] for c in MODEL_CFGS])
+def test_recommend_mesh_every_model_class(ds, mcfg):
+    """Sharded serving is model-agnostic (reference trainer.py:146-172):
+    mesh recommend == single-device recommend for EVERY model class — the
+    rep-matrix models through item-sharded scoring + k-way merge, the rest
+    through the user-batch-sharded masked-top-k path (no fallback that
+    changes results)."""
+    model = get_model(dict(mcfg), ds)
+    params = model.init_params(jax.random.key(1)) if model.trainable else {}
+    ev1 = Evaluator(ds, TOPKS, test_batch_size=16)
+    ev8 = Evaluator(ds, TOPKS, test_batch_size=16, mesh=make_mesh(n_data=2, n_model=4))
+    for stage in ("test", "train"):  # exclusion path + plain path
+        r1 = ev1.recommend(model, params, stage)
+        r8 = ev8.recommend(model, params, stage)
+        np.testing.assert_array_equal(
+            r1, r8, err_msg=f"{mcfg['name']}/{stage}"
+        )
+
+
 def test_evaluator_mesh_batch_divisibility_error(ds):
     with pytest.raises(ValueError, match="mesh"):
         Evaluator(ds, TOPKS, test_batch_size=15, mesh=make_mesh(n_data=2, n_model=4))
