@@ -4,9 +4,11 @@ synthetic graph, LightGCN 3-layer d=64, full-graph SpMM per step.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (the driver
 contract). Diagnostics go to stderr.
 
-``--detail`` additionally measures the north-star metrics — IGCN flagship
-step throughput, full-catalog eval users/s, single-SpMM %SoL — and writes
-them to ``BENCH_DETAIL_r{N}.json`` so round-over-round deltas are
+``--detail`` additionally measures the north-star metrics — IGCN / AttIGCN /
+DOSE_aug / SGL step throughput, the edge-mode S=1 step (the single-chip
+sharding tax), full-catalog eval users/s, single-SpMM %SoL (true ceiling:
+the measured 366M rows/s random-gather transaction rate, ops/sol.py) — and
+writes them to ``BENCH_DETAIL_r{N}.json`` so round-over-round deltas are
 machine-checkable (run manually on the real chip; the default driver run
 stays single-metric and bounded).
 
@@ -176,6 +178,143 @@ def measure_igcn(ds, batch_size=2048, n_steps=30):
     return ex_s, model, trainer
 
 
+def _one_step_fn(trainer, with_aux):
+    def one_step():
+        args = [
+            trainer.params,
+            trainer.opt_state,
+            trainer.model.buffers,
+            trainer.sampler,
+        ]
+        if with_aux:
+            args.append(trainer.aux_sampler)
+        args.append(trainer._next_seed())
+        trainer.params, trainer.opt_state, loss = trainer._step(*args)
+        return loss
+
+    return one_step
+
+
+def _base_tcfg(name, batch_size, **kw):
+    cfg = {
+        "name": name,
+        "optimizer": "Adam",
+        "lr": 1e-3,
+        "l2_reg": 1e-4,
+        "n_epochs": 1,
+        "batch_size": batch_size,
+        "test_batch_size": 512,
+        "topks": [20],
+    }
+    cfg.update(kw)
+    return cfg
+
+
+def measure_att_igcn(ds, batch_size=2048, n_steps=30):
+    """AttIGCN step throughput (attention-weighted inductive layer: q/k
+    projections, per-edge softmax, weighted SpMM — the round-2 flagship)."""
+    from inductive_recommendation_tpu.models import get_model
+    from inductive_recommendation_tpu.train.trainer import IGCNTrainer
+
+    model = get_model(
+        {
+            "name": "AttIGCN",
+            "embedding_size": 64,
+            "n_layers": 3,
+            "dropout": 0.0,
+            "feature_ratio": 1.0,
+        },
+        ds,
+    )
+    trainer = IGCNTrainer(
+        _base_tcfg("IGCNTrainer", batch_size, aux_reg=0.01), ds, model
+    )
+    dt, loss = _time_steps(_one_step_fn(trainer, with_aux=True), n_steps)
+    ex_s = n_steps * batch_size / dt
+    _log(f"# att_igcn: {n_steps} steps in {dt:.3f}s | {ex_s:,.0f} ex/s | loss={loss:.4f}")
+    return ex_s
+
+
+def measure_dose_aug(ds, batch_size=2048, n_steps=30):
+    """DOSE_aug step throughput at the Gowalla grid's aug_num=500000 (BPR +
+    aux + InfoNCE over the injected-view propagation — the contrastive
+    flagship)."""
+    from inductive_recommendation_tpu.models import get_model
+    from inductive_recommendation_tpu.train.trainer import DOSEaugTrainer
+
+    model = get_model(
+        {
+            "name": "DOSE_aug",
+            "embedding_size": 64,
+            "n_layers": 3,
+            "dropout": 0.3,
+            "feature_ratio": 1.0,
+            "aug_num": 500000,
+            "aug_rate": 0.1,
+        },
+        ds,
+    )
+    trainer = DOSEaugTrainer(
+        _base_tcfg(
+            "DOSEaugTrainer", batch_size, aux_reg=0.01, contrastive_reg=0.01
+        ),
+        ds,
+        model,
+    )
+    dt, loss = _time_steps(_one_step_fn(trainer, with_aux=True), n_steps)
+    ex_s = n_steps * batch_size / dt
+    _log(f"# dose_aug: {n_steps} steps in {dt:.3f}s | {ex_s:,.0f} ex/s | loss={loss:.4f}")
+    return ex_s
+
+
+def measure_sgl(ds, batch_size=2048, n_steps=30):
+    """SGL step throughput (two drop-view propagations + InfoNCE)."""
+    from inductive_recommendation_tpu.models import get_model
+    from inductive_recommendation_tpu.train.trainer import SGLTrainer
+
+    model = get_model(
+        {
+            "name": "SGL",
+            "embedding_size": 64,
+            "n_layers": 3,
+            "aug_rate": 0.8,
+        },
+        ds,
+    )
+    trainer = SGLTrainer(
+        _base_tcfg("SGLTrainer", batch_size, contrastive_reg=0.05), ds, model
+    )
+    dt, loss = _time_steps(_one_step_fn(trainer, with_aux=False), n_steps)
+    ex_s = n_steps * batch_size / dt
+    _log(f"# sgl: {n_steps} steps in {dt:.3f}s | {ex_s:,.0f} ex/s | loss={loss:.4f}")
+    return ex_s
+
+
+def measure_edge_s1(ds, batch_size=2048, n_steps=30):
+    """Edge-mode BPR step at S=1 — the measurable sharding tax on one chip
+    (stacked layout + shard_map dispatch; the collectives degenerate)."""
+    from inductive_recommendation_tpu import get_model, get_trainer
+    from inductive_recommendation_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=1, n_model=1)
+    model = get_model({"name": "LightGCN", "embedding_size": 64, "n_layers": 3}, ds)
+    trainer = get_trainer(
+        _base_tcfg("BPRTrainer", batch_size), ds, model, mesh=mesh, mesh_mode="edge"
+    )
+
+    def one_step():
+        with mesh:
+            trainer.params, trainer.opt_state, loss = trainer._run_step(
+                trainer._next_seed()
+            )
+        return loss
+
+    dt, loss = _time_steps(one_step, n_steps)
+    ex_s = n_steps * batch_size / dt
+    _log(f"# edge_s1: {n_steps} steps in {dt:.3f}s | {ex_s:,.0f} ex/s | loss={loss:.4f}")
+    return ex_s
+
+
 def measure_eval(ds, model, params):
     """Full-catalog evaluation throughput (users/s, warm)."""
     from inductive_recommendation_tpu.eval.evaluator import Evaluator
@@ -228,9 +367,21 @@ def main():
         spmm_rep = measure_spmm(lgcn_model)
         eval_users_s = measure_eval(ds, lgcn_model, lgcn_trainer.params)
         igcn_ex_s, _, _ = measure_igcn(ds)
+        att_ex_s = measure_att_igcn(ds)
+        dose_ex_s = measure_dose_aug(ds)
+        sgl_ex_s = measure_sgl(ds)
+        edge_s1_ex_s = measure_edge_s1(ds)
         payload = {
             "bpr_train_examples_per_s_per_chip": round(bpr_ex_s, 1),
             "igcn_train_examples_per_s_per_chip": round(igcn_ex_s, 1),
+            "att_igcn_train_examples_per_s_per_chip": round(att_ex_s, 1),
+            "dose_aug_train_examples_per_s_per_chip": round(dose_ex_s, 1),
+            "sgl_train_examples_per_s_per_chip": round(sgl_ex_s, 1),
+            "edge_mode_s1_bpr_examples_per_s_per_chip": round(edge_s1_ex_s, 1),
+            # the single-chip sharding tax: edge-mode S=1 vs the plain step
+            "edge_mode_s1_overhead_pct": round(
+                100.0 * (bpr_ex_s / max(edge_s1_ex_s, 1e-9) - 1.0), 1
+            ),
             "eval_users_per_s": round(eval_users_s, 1),
             "spmm_ms": round(spmm_rep["measured_ms"], 3),
             "spmm_pct_sol_random_gather": round(

@@ -16,9 +16,16 @@ import dataclasses
 
 # v5e (v5litepod) HBM peak; override per generation as needed
 DEFAULT_HBM_GBPS = 819.0
-# measured ceiling for random row gathers at 512B rows on v5e (see
-# benchmarks/spmm_bench.py measurements; d=128 f32 reaches ~135 GB/s)
-RANDOM_GATHER_GBPS = 135.0
+# Measured random-row-gather TRANSACTION ceiling on v5e: ~366M rows/s, flat
+# in row width up to 512B (measured 2026-08: a d=128 f32 gather of 1.85M
+# rows takes ~5.05 ms whether indices are random or sorted — see CLAUDE.md
+# pack-2 note and benchmarks/spmm_bench.py). This is the calibrated ceiling
+# for anything gather-bound; the earlier 135 GB/s byte-rate form put the
+# "ceiling" BELOW the measured bucketed SpMM (113.7% SoL in r2's detail
+# artifact), so the transaction-rate form replaces it. If a kernel ever
+# exceeds 100% of this, re-measure the constant (benchmarks/spmm_bench.py)
+# rather than shipping a >100% figure.
+RANDOM_GATHER_ROWS_PER_S = 366e6
 
 
 @dataclasses.dataclass
@@ -45,8 +52,13 @@ class SpmmCost:
     def sol_seconds(self, gbps: float = DEFAULT_HBM_GBPS) -> float:
         return (self.useful_bytes + self.index_bytes) / (gbps * 1e9)
 
-    def achievable_seconds(self, gbps: float = RANDOM_GATHER_GBPS) -> float:
-        return (self.gather_bytes + self.index_bytes) / (gbps * 1e9)
+    def achievable_seconds(self, gbps: float = DEFAULT_HBM_GBPS) -> float:
+        """True upper bound for the gather-bound SpMM: the slower of the
+        measured random-gather transaction rate (one operand-row gather per
+        padded nnz) and the streaming floor for the moved bytes."""
+        transactions = self.padded_nnz / RANDOM_GATHER_ROWS_PER_S
+        stream = (self.gather_bytes + self.index_bytes) / (gbps * 1e9)
+        return max(transactions, stream)
 
     def report(self, measured_seconds: float) -> dict:
         return {
@@ -66,11 +78,6 @@ def spmm_cost(mat, d: int, dtype_bytes: int = 4) -> SpmmCost:
     """Cost model for a BucketedSpMM forward."""
     padded = sum(b.idx.shape[0] * b.idx.shape[1] for b in mat.fwd.buckets)
     return SpmmCost(nnz=mat.nnz, padded_nnz=padded, d=d, dtype_bytes=dtype_bytes)
-
-
-# measured random-row-gather transaction rate on v5e: ~366M rows/s for rows
-# up to 512B (flat in row width below that; see CLAUDE.md pack-2 note)
-RANDOM_GATHER_ROWS_PER_S = 366e6
 
 
 @dataclasses.dataclass
