@@ -12,10 +12,12 @@ inherently orders of magnitude below XLA's hardware gather, and the nested
 per-slot DMA loop exceeds the remote Mosaic compiler's budget at real
 sizes. The production SpMM is the bucketed gather path in
 ``ops/bucketed_spmm.py``, which measures ~91% of the random-gather hardware
-ceiling on v5e (benchmarks/spmm_bench.py); the TPU-proven fused Pallas
-kernel in this codebase is the attention tile kernel
-(ops/attention_spmm.py). This module exists for the ``impl='pallas'``
-escape hatch and as the scaffold for a future Mosaic with vector gathers.
+ceiling on v5e (benchmarks/spmm_bench.py). (A fused Pallas attention tile
+kernel was also built and TPU-verified, then REMOVED after measuring 1.54x
+slower than the jnp composition at Gowalla scale — evidence trail in the
+ops/attention_spmm.py docstring; do not rebuild without a different layout
+idea.) This module exists for the ``impl='pallas'`` escape hatch and as
+the scaffold for a future Mosaic with vector gathers.
 """
 
 from __future__ import annotations
