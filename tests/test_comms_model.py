@@ -306,3 +306,178 @@ def test_sgl_step_collective_budget(S):
     n_pad = adj.n_rows_pad
     assert stats.in_bytes["reduce_scatter"] == 3 * L * n_pad * d * 4
     assert stats.out_bytes["all_gather"] == 3 * L * n_pad * d * 4
+
+
+def _synth_ds():
+    from inductive_recommendation_tpu import get_dataset
+
+    return get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 48,
+            "n_items": 40,
+            "n_interactions": 650,
+            "seed": 11,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("S", [2, 8])
+def test_ngcf_step_collective_budget(S):
+    """The edge-sharded NGCF step: one SpMM per layer -> L reduce-scatters
+    forward + L all-gathers backward, each moving a [n_pad, d_layer]
+    operand; the gc/bi linears are local (their replicated-weight gradient
+    reductions are GSPMD-inserted O(d^2) — invisible to the jaxpr and
+    negligible). S-independent, |E|-independent."""
+    import optax
+
+    from inductive_recommendation_tpu import get_model
+    from inductive_recommendation_tpu.data.sampling import build_sampler_state
+    from inductive_recommendation_tpu.parallel.step import (
+        make_edge_sharded_ngcf_step,
+    )
+
+    ds = _synth_ds()
+    model = get_model(
+        {
+            "name": "NGCF",
+            "embedding_size": 8,
+            "layer_sizes": [8, 8],
+            "dropout": 0.0,
+            "table_align": 1,
+        },
+        ds,
+    )
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    mesh = make_mesh(n_data=1, n_model=S, devices=jax.devices()[:S])
+    opt = optax.adam(1e-2)
+    step = make_edge_sharded_ngcf_step(model, mesh, opt, sampler, 32, 1e-4)
+    params = {
+        k: (
+            shard_operand(jnp.asarray(v), step.emat, mesh)
+            if k == "embedding"
+            else jax.tree_util.tree_map(jnp.asarray, v)
+        )
+        for k, v in model.init_params(jax.random.key(0)).items()
+    }
+    opt_state = opt.init(params)
+    with mesh:
+        stats = collective_stats(
+            lambda p, o: step(p, o, jax.random.key(1))[2], params, opt_state
+        )
+    L, d = model.n_layers, 8
+    assert stats.counts["reduce_scatter"] == L, stats.counts
+    assert stats.counts["all_gather"] == L, stats.counts
+    assert stats.counts["all_to_all"] == 0
+    n_pad = step.emat.n_rows_pad
+    assert stats.in_bytes["reduce_scatter"] == L * n_pad * d * 4
+    assert stats.out_bytes["all_gather"] == L * n_pad * d * 4
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("S", [2, 8])
+def test_idcf_step_collective_budget(S):
+    """The edge-sharded IDCF step: 1 feat reduce-scatter (frozen operand —
+    NO backward all-gather, nothing upstream of it is differentiated) + L
+    adjacency layers (L rs fwd + L ag bwd); the attention heads and the
+    contrastive term are collective-free local ops."""
+    import optax
+
+    from inductive_recommendation_tpu import get_model
+    from inductive_recommendation_tpu.data.sampling import build_sampler_state
+    from inductive_recommendation_tpu.parallel.step import (
+        make_edge_sharded_idcf_step,
+    )
+
+    ds = _synth_ds()
+    rng = np.random.default_rng(7)
+    frozen = rng.standard_normal((ds.n_users + ds.n_items, 8)).astype(np.float32)
+    model = get_model(
+        {
+            "name": "IDCF_LGCN",
+            "embedding_size": 8,
+            "n_layers": 2,
+            "n_headers": 2,
+            "n_samples": 10,
+            "pretrained_embedding": frozen,
+            "table_align": 1,
+        },
+        ds,
+    )
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    mesh = make_mesh(n_data=1, n_model=S, devices=jax.devices()[:S])
+    opt = optax.adam(1e-2)
+    step = make_edge_sharded_idcf_step(
+        model, mesh, opt, sampler, 32, 1e-4, 1e-3
+    )
+    params = jax.tree_util.tree_map(
+        jnp.asarray, model.init_params(jax.random.key(0))
+    )
+    opt_state = opt.init(params)
+    with mesh:
+        stats = collective_stats(
+            lambda p, o: step(p, o, jax.random.key(1))[2], params, opt_state
+        )
+    L, d = model.n_layers, 8
+    assert stats.counts["reduce_scatter"] == 1 + L, stats.counts
+    assert stats.counts["all_gather"] == L, stats.counts
+    assert stats.counts["all_to_all"] == 0
+    n_pad = step.adj_emat.n_rows_pad
+    assert stats.in_bytes["reduce_scatter"] == (1 + L) * n_pad * d * 4
+    assert stats.out_bytes["all_gather"] == L * n_pad * d * 4
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("S", [2, 8])
+def test_dose_aug2_step_collective_budget(S):
+    """DOSE_aug2's aug-feat path keeps the DOSE collective budget: the view
+    branch's layer-0 pass reads the AUG feat layout instead of the main one
+    (still one reduce-scatter), and the fixed-budget delta runs OUTSIDE the
+    shard_map (XLA-routed gathers, no explicit collective): (2 + 2L) rs
+    forward, (2 + 2L) ag backward — same as every other DOSE variant."""
+    from inductive_recommendation_tpu import get_model
+    from inductive_recommendation_tpu.data.dataset import AuxiliaryDataset
+    from inductive_recommendation_tpu.data.sampling import build_sampler_state
+    from inductive_recommendation_tpu.parallel import make_edge_sharded_dose_step
+    import optax
+
+    ds = _synth_ds()
+    model = get_model(
+        {
+            "name": "DOSE_aug2",
+            "embedding_size": 8,
+            "n_layers": 2,
+            "dropout": 0.0,
+            "feature_ratio": 1.0,
+            "aug_num": 6,
+            "aug_rate": 0.5,
+            "table_align": 1,
+        },
+        ds,
+    )
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    aux = AuxiliaryDataset(ds, model.user_map, model.item_map)
+    aux_sampler = build_sampler_state(aux.train_data, aux.n_items)
+    mesh = make_mesh(n_data=1, n_model=S, devices=jax.devices()[:S])
+    opt = optax.adam(1e-2)
+    step, prep, shard = make_edge_sharded_dose_step(
+        model, mesh, opt, sampler, aux_sampler, 32, 1e-4, 0.01, 0.05,
+        aug_feat=True,
+    )
+    params = shard(model.init_params(jax.random.key(0)))
+    vstate = prep(model.edge_views["aug_adj"])
+    aug_state = step.prepare_aug_feat(model._last_aug_pairs_dev, model.alpha)
+    opt_state = opt.init(params)
+    with mesh:
+        stats = collective_stats(
+            lambda p, o: step(p, o, jax.random.key(1), vstate, aug_state=aug_state)[2],
+            params,
+            opt_state,
+        )
+    L, d = model.n_layers, 8
+    assert stats.counts["reduce_scatter"] == 2 + 2 * L, stats.counts
+    assert stats.counts["all_gather"] == 2 + 2 * L, stats.counts
+    assert stats.counts["all_to_all"] == 0
