@@ -169,75 +169,88 @@ def _idcf_mcfg(ds, **kw):
     return cfg
 
 
-@pytest.mark.parametrize("n_shards", [1, 4, 8])
-def test_edge_trainer_ngcf_first_step_matches_single_device(ds, n_shards):
-    """NGCF via get_trainer(mesh_mode='edge'): the per-layer gc/bi linears +
-    leaky-relu + normalization run as local ops between sharded SpMMs; the
-    first-step loss equals the single-device BPRTrainer's (dropout=0)."""
-    mesh = make_mesh(n_data=8 // n_shards, n_model=n_shards)
-    mcfg = {
-        "name": "NGCF",
-        "embedding_size": 16,
-        "layer_sizes": [16, 16],
-        "dropout": 0.0,
-        "table_align": 1,
+_NGCF_MCFG = {
+    "name": "NGCF",
+    "embedding_size": 16,
+    "layer_sizes": [16, 16],
+    "dropout": 0.0,
+    "table_align": 1,
+}
+_IMCGAE_MCFG = {
+    "name": "IMCGAE",
+    "embedding_size": 16,
+    "n_layers": 2,
+    "dropout": 0.0,
+    "table_align": 1,
+}
+
+
+def _single_first_step_loss(ds, mcfg, trainer_name, tkw):
+    m1 = get_model(dict(mcfg), ds)
+    t1 = get_trainer(_tcfg(trainer_name, **tkw), ds, m1)
+    return float(
+        t1._step(
+            t1.params, t1.opt_state, m1.buffers, t1.sampler, t1._next_seed()
+        )[2]
+    )
+
+
+@pytest.fixture(scope="module")
+def new_family_single_losses(ds):
+    """Single-device first-step losses for NGCF / IMCGAE / IDCF — computed
+    once, shared across the shard-count parametrizations."""
+    return {
+        "NGCF": _single_first_step_loss(ds, _NGCF_MCFG, "BPRTrainer", {}),
+        "IMCGAE": _single_first_step_loss(ds, _IMCGAE_MCFG, "BPRTrainer", {}),
+        "IDCF_LGCN": _single_first_step_loss(
+            ds, _idcf_mcfg(ds), "IDCFTrainer", {"contrastive_reg": 1e-3}
+        ),
     }
-    m1 = get_model(mcfg, ds)
-    t1 = get_trainer(_tcfg("BPRTrainer"), ds, m1)
-    m2 = get_model(mcfg, ds)
-    t2 = get_trainer(_tcfg("BPRTrainer"), ds, m2, mesh=mesh, mesh_mode="edge")
-    l1 = t1._step(
-        t1.params, t1.opt_state, m1.buffers, t1.sampler, t1._next_seed()
-    )[2]
-    with mesh:
-        l2 = t2._run_step(t2._next_seed())[2]
-    assert abs(float(l1) - float(l2)) < 2e-4, (float(l1), float(l2))
 
 
 @pytest.mark.parametrize("n_shards", [1, 4, 8])
-def test_edge_trainer_imcgae_first_step_matches_single_device(ds, n_shards):
-    """IMCGAE via get_trainer(mesh_mode='edge'): personal rows sharded, the
-    3 shared rows replicated; first-step loss equals the single-device
-    BPRTrainer's (dropout=0)."""
+@pytest.mark.parametrize("family", ["NGCF", "IMCGAE", "IDCF_LGCN"])
+def test_edge_trainer_new_family_first_step_matches_single_device(
+    ds, new_family_single_losses, family, n_shards
+):
+    """NGCF (local gc/bi linears + leaky-relu + normalization between
+    sharded SpMMs), IMCGAE (personal rows sharded, 3 shared rows
+    replicated) and IDCF_LGCN (sharded frozen table + local attention
+    heads; the rng path mirrors the model, so the sampled keys — and the
+    loss, contrastive term included — match) via
+    get_trainer(mesh_mode='edge'): first-step loss equals the single-device
+    trainer's at every shard count."""
+    if family == "NGCF":
+        mcfg, tname, tkw = _NGCF_MCFG, "BPRTrainer", {}
+    elif family == "IMCGAE":
+        mcfg, tname, tkw = _IMCGAE_MCFG, "BPRTrainer", {}
+    else:
+        mcfg, tname, tkw = _idcf_mcfg(ds), "IDCFTrainer", {"contrastive_reg": 1e-3}
     mesh = make_mesh(n_data=8 // n_shards, n_model=n_shards)
-    mcfg = {
-        "name": "IMCGAE",
-        "embedding_size": 16,
-        "n_layers": 2,
-        "dropout": 0.0,
-        "table_align": 1,
-    }
-    m1 = get_model(mcfg, ds)
-    t1 = get_trainer(_tcfg("BPRTrainer"), ds, m1)
-    m2 = get_model(mcfg, ds)
-    t2 = get_trainer(_tcfg("BPRTrainer"), ds, m2, mesh=mesh, mesh_mode="edge")
-    l1 = t1._step(
-        t1.params, t1.opt_state, m1.buffers, t1.sampler, t1._next_seed()
-    )[2]
+    m2 = get_model(dict(mcfg), ds)
+    t2 = get_trainer(_tcfg(tname, **tkw), ds, m2, mesh=mesh, mesh_mode="edge")
     with mesh:
-        l2 = t2._run_step(t2._next_seed())[2]
-    assert abs(float(l1) - float(l2)) < 2e-4, (float(l1), float(l2))
+        l2 = float(t2._run_step(t2._next_seed())[2])
+    l1 = new_family_single_losses[family]
+    assert abs(l1 - l2) < 2e-4, (family, l1, l2)
 
 
-@pytest.mark.parametrize("n_shards", [1, 4, 8])
-def test_edge_trainer_idcf_first_step_matches_single_device(ds, n_shards):
-    """IDCF_LGCN via get_trainer(mesh_mode='edge'): feat SpMM over the
-    sharded frozen table + local attention heads + sharded propagation; the
-    rng path mirrors the model exactly, so the sampled keys — and the loss,
-    contrastive term included — match the single-device IDCFTrainer."""
-    mesh = make_mesh(n_data=8 // n_shards, n_model=n_shards)
-    mcfg = _idcf_mcfg(ds)
-    tkw = {"contrastive_reg": 1e-3}
-    m1 = get_model(mcfg, ds)
-    t1 = get_trainer(_tcfg("IDCFTrainer", **tkw), ds, m1)
-    m2 = get_model(mcfg, ds)
-    t2 = get_trainer(_tcfg("IDCFTrainer", **tkw), ds, m2, mesh=mesh, mesh_mode="edge")
-    l1 = t1._step(
-        t1.params, t1.opt_state, m1.buffers, t1.sampler, t1._next_seed()
-    )[2]
-    with mesh:
-        l2 = t2._run_step(t2._next_seed())[2]
-    assert abs(float(l1) - float(l2)) < 2e-4, (float(l1), float(l2))
+#: variants whose eval scoring + checkpoint machinery is code-identical to a
+#: checked representative (the dose family shares ONE eval rep path,
+#: parallel/step.py eval_rep; views never feed eval) — the expensive
+#: single-device reload parity runs once per DISTINCT path instead:
+#: LightGCN(bpr), SGL+HALF(sgl), NGCF, IMCGAE, IDCF, IGCN+IMF(igcn),
+#: AttIGCN, DOSE_aug/DOSE_aug2/TEST(static dropped main)/DOSE_test(dose)
+_RELOAD_PARITY_SKIP = {
+    "DOSE_aug3", "DOSE_aug4", "DOSE_drop", "DOSE_drop2", "DOSE_drop3",
+    "DOSE_aug_drop", "DOSE_aug_drop2", "DOSE_aug_drop3", "TEST2",
+}
+#: a 1-epoch train() is a FULL loop (train -> epoch-end regen -> eval ->
+#: checkpoint -> reload); training ON regenerated views is covered exactly
+#: by the dedicated post-update parity tests (aug2 above;
+#: test_edge_sharded_spmm's initial-AND-post-update DOSE/SGL cases) — one
+#: representative (DOSE_aug) keeps a 2-epoch loop as the integration proof
+_TWO_EPOCH = {"DOSE_aug"}
 
 
 @pytest.mark.parametrize(
@@ -360,10 +373,13 @@ def test_edge_trainer_idcf_first_step_matches_single_device(ds, n_shards):
         ),
     ],
 )
-def test_edge_trainer_full_loop(ds, tmp_path, model_name, trainer_name, mkw, tkw):
+def test_edge_trainer_full_loop(
+    ds, tmp_path, monkeypatch, model_name, trainer_name, mkw, tkw
+):
     """train() end-to-end under the edge mesh: epochs + per-epoch view
     regeneration + eval + best-checkpoint save/reload; checkpoints are in
     the MODEL layout (single-device interoperable)."""
+    monkeypatch.chdir(tmp_path)  # isolate checkpoints/ (xdist-safe)
     os.makedirs("checkpoints", exist_ok=True)
     mesh = make_mesh(n_data=1, n_model=8)
     mcfg = dict(
@@ -373,25 +389,30 @@ def test_edge_trainer_full_loop(ds, tmp_path, model_name, trainer_name, mkw, tkw
     if model_name == "IDCF_LGCN":
         mcfg = dict(_idcf_mcfg(ds), **mkw)
     model = get_model(mcfg, ds)
+    n_epochs = 2 if model_name in _TWO_EPOCH else 1
     trainer = get_trainer(
-        _tcfg(trainer_name, **tkw), ds, model, mesh=mesh, mesh_mode="edge"
+        _tcfg(trainer_name, n_epochs=n_epochs, **tkw),
+        ds, model, mesh=mesh, mesh_mode="edge",
     )
     ndcg = trainer.train(verbose=False)
     assert np.isfinite(ndcg), ndcg
     # eval through the edge-sharded rep
     _, metrics = trainer.eval("val")
     assert np.isfinite(metrics["NDCG"][10])
-    # the best checkpoint reloads into a SINGLE-DEVICE trainer (model layout)
-    if trainer.save_path and os.path.exists(trainer.save_path):
-        single = get_trainer(_tcfg(trainer_name, **tkw), ds, get_model(mcfg, ds))
-        single._load_model(trainer.save_path)
-        _, sm = single.eval("val")
-        assert np.isfinite(sm["NDCG"][10])
-        # same restored params -> same metrics as the edge-side reload
-        trainer._load_model(trainer.save_path)
-        _, em = trainer.eval("val")
-        for k in (5, 10):
-            assert em["NDCG"][k] == pytest.approx(sm["NDCG"][k], rel=1e-4), k
+    if model_name in _RELOAD_PARITY_SKIP:
+        return
+    # the best checkpoint reloads into a SINGLE-DEVICE trainer (model
+    # layout) and scores identically — the per-family eval-parity gate
+    assert trainer.save_path and os.path.exists(trainer.save_path)
+    single = get_trainer(_tcfg(trainer_name, **tkw), ds, get_model(mcfg, ds))
+    single._load_model(trainer.save_path)
+    _, sm = single.eval("val")
+    assert np.isfinite(sm["NDCG"][10])
+    # same restored params -> same metrics as the edge-side reload
+    trainer._load_model(trainer.save_path)
+    _, em = trainer.eval("val")
+    for k in (5, 10):
+        assert em["NDCG"][k] == pytest.approx(sm["NDCG"][k], rel=1e-4), k
 
 
 def test_edge_trainer_save_state_resume(ds, tmp_path):
@@ -545,49 +566,61 @@ _AUG2_MCFG = {
 _AUG2_TKW = {"aux_reg": 0.01, "contrastive_reg": 0.05}
 
 
-def _aug2_pair(ds, mesh):
+@pytest.fixture(scope="module")
+def aug2_single_losses(ds):
+    """(first-step loss, post-update-step loss) from the single-device
+    DOSEaugTrainer — computed ONCE and shared across the shard-count
+    parametrizations (the single-device side is identical for every S)."""
     m1 = get_model(_AUG2_MCFG, ds)
     t1 = get_trainer(_tcfg("DOSEaugTrainer", **_AUG2_TKW), ds, m1)
+    l_first = float(
+        t1._step(
+            t1.params, t1.opt_state, m1.buffers, t1.sampler, t1.aux_sampler,
+            t1._next_seed(),
+        )[2]
+    )
+    # fresh trainer for the post-update path (the step donates params)
+    m1b = get_model(_AUG2_MCFG, ds)
+    t1b = get_trainer(_tcfg("DOSEaugTrainer", **_AUG2_TKW), ds, m1b)
+    m1b.feat_mat_anneal()
+    m1b.update_aug_adj(t1b.params)
+    l_post = float(
+        t1b._step(
+            t1b.params, t1b.opt_state, m1b.buffers, t1b.sampler,
+            t1b.aux_sampler, t1b._next_seed(),
+        )[2]
+    )
+    return l_first, l_post
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_edge_trainer_dose_aug2_matches_single_device(
+    ds, aug2_single_losses, n_shards
+):
+    """DOSE_aug2 (the aug-FEATURE-matrix variant, reference model.py:831-1117)
+    on the edge path: the first-step loss (initial aug feat = train-only
+    matrix + all-zero delta) AND the post-feat_mat_anneal+update_aug_adj
+    step loss (selection from the IDENTICAL initial params -> same aug
+    pairs; injected entries flow through the fixed-budget sharded aug-feat
+    delta) match the single-device DOSEaugTrainer."""
+    l_first, l_post = aug2_single_losses
+    mesh = make_mesh(n_data=8 // n_shards, n_model=n_shards)
     m2 = get_model(_AUG2_MCFG, ds)
     t2 = get_trainer(
         _tcfg("DOSEaugTrainer", **_AUG2_TKW), ds, m2, mesh=mesh, mesh_mode="edge"
     )
-    return m1, t1, m2, t2
-
-
-def _aug2_step_losses(t1, t2, mesh):
-    l1 = t1._step(
-        t1.params, t1.opt_state, t1.model.buffers, t1.sampler, t1.aux_sampler,
-        t1._next_seed(),
-    )[2]
     with mesh:
-        l2 = t2._run_step(t2._next_seed())[2]
-    return float(l1), float(l2)
+        l2 = float(t2._run_step(t2._next_seed())[2])
+    assert abs(l_first - l2) < 2e-4, (l_first, l2)
 
-
-@pytest.mark.parametrize("n_shards", [1, 4, 8])
-def test_edge_trainer_dose_aug2_first_step_matches_single_device(ds, n_shards):
-    """DOSE_aug2 (the aug-FEATURE-matrix variant, reference model.py:831-1117)
-    on the edge path: the first-step loss (initial aug feat = train-only
-    matrix + all-zero delta) matches the single-device DOSEaugTrainer."""
-    mesh = make_mesh(n_data=8 // n_shards, n_model=n_shards)
-    m1, t1, m2, t2 = _aug2_pair(ds, mesh)
-    l1, l2 = _aug2_step_losses(t1, t2, mesh)
-    assert abs(l1 - l2) < 2e-4, (l1, l2)
-
-
-@pytest.mark.parametrize("n_shards", [1, 4, 8])
-def test_edge_trainer_dose_aug2_post_update_matches_single_device(ds, n_shards):
-    """After feat_mat_anneal + update_aug_adj from IDENTICAL (initial)
-    params — so both sides select the SAME aug pairs — the next step's loss
-    matches: the injected entries flow through the fixed-budget sharded
-    aug-feat delta exactly as through the single-device rebuilt matrix."""
-    mesh = make_mesh(n_data=8 // n_shards, n_model=n_shards)
-    m1, t1, m2, t2 = _aug2_pair(ds, mesh)
-    m1.feat_mat_anneal()
-    m1.update_aug_adj(t1.params)
-    m2.feat_mat_anneal()
-    m2.update_aug_adj(t2.params)
-    t2._refresh_views()
-    l1, l2 = _aug2_step_losses(t1, t2, mesh)
-    assert abs(l1 - l2) < 2e-4, (l1, l2)
+    # fresh edge trainer for the post-update comparison (donated params)
+    m2b = get_model(_AUG2_MCFG, ds)
+    t2b = get_trainer(
+        _tcfg("DOSEaugTrainer", **_AUG2_TKW), ds, m2b, mesh=mesh, mesh_mode="edge"
+    )
+    m2b.feat_mat_anneal()
+    m2b.update_aug_adj(t2b.params)
+    t2b._refresh_views()
+    with mesh:
+        l2p = float(t2b._run_step(t2b._next_seed())[2])
+    assert abs(l_post - l2p) < 2e-4, (l_post, l2p)
