@@ -97,6 +97,62 @@ def _attention_forward(mat, q, k_table, v_table, temperature):
     return _assemble_rows(side, parts, v_table.shape[-1], v_table.dtype)
 
 
+def _attention_forward_qk(mat, qk, qb, v_table, temperature):
+    """Fused-key attention forward: scores from the VALUE gather.
+
+    When the key table is a linear map of the value table (AttIGCN:
+    k = sg(emb) @ Wk + bk, v = emb — reference model.py:4258-4279), the
+    per-edge score q[r]·k[c] = (q[r] @ Wk^T)·v[c] + q[r]·bk. Folding Wk
+    into the QUERY side (``qk`` [n_rows, h, dv], ``qb`` [n_rows, h]) means
+    the scores reuse the [dv]-wide value gather the output needs ANYWAY —
+    no [h·dh]-wide key-row gathers in the forward and no key-table
+    scatter-adds in the backward (dWk flows through the dense qk einsum
+    instead). Measured on v5e at Gowalla scale, 4 heads, d=64: fwd 40 ms ->
+    ~13 ms, fwd+bwd 166 ms -> ~45 ms (see benchmarks/attn_eval_bench.py
+    note in BASELINE.md r03).
+
+    The key-path values are stop-gradiented INSIDE (matching emb_sg);
+    ``v_table`` gradients flow only through the output aggregation."""
+    side = mat.fwd
+    parts = []
+    dv = v_table.shape[-1]
+    for b, rows in _iter_buckets(side):
+        m, k_slots = b.idx.shape
+        mask = (b.val != 0).astype(v_table.dtype)
+        vals = jnp.take(v_table, b.idx, axis=0)  # [m, k, dv] — the ONE gather
+        vals_sg = jax.lax.stop_gradient(vals)
+        # [m, k, h]: per-head scores via the folded query
+        scores = jnp.einsum("mhd,mkd->mkh", qk[rows], vals_sg)
+        scores = scores + qb[rows][:, None, :]
+        neg = jnp.asarray(-1e30, scores.dtype)
+        scores = jnp.where(mask[:, :, None] > 0, scores, neg)
+        smax = jnp.max(scores, axis=1, keepdims=True)
+        smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+        ex = jnp.exp((scores - smax) / temperature)
+        ex = ex * mask[:, :, None]
+        denom = jnp.sum(ex, axis=1, keepdims=True)
+        attn = (ex / jnp.maximum(denom, 1e-12)).mean(axis=-1)  # head mean
+        parts.append(jnp.einsum("mk,mkd->md", attn, vals))
+    return _assemble_rows(side, parts, dv, v_table.dtype)
+
+
+def attention_spmm_fused_kv(mat, q, w_k, b_k, v_table, temperature):
+    """out[r] = sum_{c in N(r)} softmax_c(q[r]·(sg(v[c]) @ Wk + bk) / T) v[c].
+
+    The AttIGCN attention with the key table fused into the query side (see
+    :func:`_attention_forward_qk`). ``q`` [n_rows, h, dh]; ``w_k``
+    [dv, h*dh]; ``b_k`` [h*dh]; ``v_table`` [n_cols, dv]. Numerically equal
+    to ``attention_spmm(mat, q, sg(v) @ Wk + bk, v, T)`` up to fp
+    reassociation (the per-row q·bk term is softmax-shift-invariant either
+    way; it is kept so intermediate scores match too)."""
+    h, dh = q.shape[1], q.shape[2]
+    dv = v_table.shape[-1]
+    wk = w_k.reshape(dv, h, dh)
+    qk = jnp.einsum("nhd,vhd->nhv", q, wk)  # [n_rows, h, dv] — dense MXU
+    qb = jnp.einsum("nhd,hd->nh", q, b_k.reshape(h, dh))
+    return _attention_forward_qk(mat, qk, qb, v_table, float(temperature))
+
+
 def attention_spmm(
     mat, q, k_table, v_table, temperature
 ):

@@ -1362,8 +1362,11 @@ def make_edge_sharded_att_igcn_step(
         """Attention-weighted inductive layer + adjacency layer-mean — the
         ONE AttIGCN forward definition, shared by the training loss and the
         trainer's eval rep. Returns (rep, emb) — the loss also needs the raw
-        sharded table for the aux term. The q/k stop_gradient matches
-        models/att_igcn.py (a no-op under eval's forward-only use)."""
+        sharded table for the aux term. The q stop_gradient matches
+        models/att_igcn.py (a no-op under eval's forward-only use); the key
+        table is FOLDED into the query side (qk = q @ Wk^T per head, the
+        measured 2.4x form — ops/attention_spmm.py attention_spmm_fused_kv;
+        the key-side value detach happens inside parallel/attention.py)."""
         emb = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
         emb_sg = jax.lax.stop_gradient(emb)
         x_q = feat_spmm(ffwd, fbwd, qscale, emb_sg)
@@ -1371,10 +1374,15 @@ def make_edge_sharded_att_igcn_step(
         q = jax.lax.with_sharding_constraint(
             q, NamedSharding(mesh, P(axis, None))
         ).reshape(-1, n_heads, d)
-        k_table = jax.lax.with_sharding_constraint(
-            emb_sg @ p["weight_k"]["w"] + p["weight_k"]["b"], row_sharding
+        wk = p["weight_k"]["w"].reshape(d, n_heads, d)
+        qk = jax.lax.with_sharding_constraint(
+            jnp.einsum("nhd,vhd->nhv", q, wk), NamedSharding(mesh, P(axis))
         )
-        x0 = attn_fn(ffwd, fperm, q, k_table, emb)
+        qb = jax.lax.with_sharding_constraint(
+            jnp.einsum("nhd,hd->nh", q, p["weight_k"]["b"].reshape(n_heads, d)),
+            NamedSharding(mesh, P(axis, None)),
+        )
+        x0 = attn_fn(ffwd, fperm, qk, qb, emb)
         acc, h = x0, x0
         for _ in range(n_layers):
             h = adj_spmm(afwd, abwd, None, h)

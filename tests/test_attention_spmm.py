@@ -50,6 +50,48 @@ def test_attention_spmm_matches_dense(tiny_graph, rng):
     np.testing.assert_allclose(out, oracle, rtol=1e-3, atol=1e-4)
 
 
+def test_attention_spmm_fused_kv_matches_general(tiny_graph, rng):
+    """The folded-query form (scores from the value gather, no key table —
+    the measured 2.4x production path) equals the general kernel fed the
+    materialized key table k = sg(v) @ Wk + bk, values AND gradients."""
+    from inductive_recommendation_tpu.ops.attention_spmm import (
+        attention_spmm_fused_kv,
+    )
+
+    train_array, n_users, n_items = tiny_graph
+    row, col, val = sym_normalized_adjacency(train_array, n_users, n_items)
+    n = n_users + n_items
+    mat = build_bucketed_spmm(row, col, val, (n, n), symmetric=False)
+    h, dh, dv = 3, 8, 8
+    q = jnp.asarray(rng.standard_normal((n, h, dh)).astype(np.float32))
+    wk = jnp.asarray(rng.standard_normal((dv, h * dh)).astype(np.float32))
+    bk = jnp.asarray(rng.standard_normal((h * dh,)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, dv)).astype(np.float32))
+    T = 5.0
+
+    def general(q_, wk_, v_):
+        k_ = jax.lax.stop_gradient(v_) @ wk_ + bk
+        return attention_spmm(mat, q_, k_, v_, T)
+
+    def fused(q_, wk_, v_):
+        return attention_spmm_fused_kv(mat, q_, wk_, bk, v_, T)
+
+    np.testing.assert_allclose(
+        np.asarray(fused(q, wk, v)), np.asarray(general(q, wk, v)),
+        rtol=1e-5, atol=1e-5,
+    )
+    g1 = jax.grad(lambda *a: jnp.sum(jnp.sin(general(*a))), argnums=(0, 1, 2))(
+        q, wk, v
+    )
+    g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(fused(*a))), argnums=(0, 1, 2))(
+        q, wk, v
+    )
+    for name, a, b in zip(("dq", "dwk", "dv"), g2, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
 def test_attention_spmm_grad_flows(tiny_graph, rng):
     train_array, n_users, n_items = tiny_graph
     row, col, val = sym_normalized_adjacency(train_array, n_users, n_items)

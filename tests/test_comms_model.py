@@ -172,13 +172,14 @@ def test_ensure_key_accepts_counters_and_both_key_styles():
 @pytest.mark.parametrize("S", [2, 8])
 def test_att_igcn_step_collective_budget(S):
     """The edge-sharded AttIGCN step's collective count is S-independent:
-    forward 1 feat + 1 attention-output + L adjacency reduce-scatters, one
-    q all-gather + one [S, n_pad, h] row-max stat all-gather (stop-grad, no
-    transpose) + one denominator all-reduce; backward one all-gather per
-    reduce-scatter with the q all-gather transposing to the 5th
-    reduce-scatter. Everything moves O(n_pad·h·d) — nothing scales with |E|
-    or S (the row-stat gather's [S, n_pad, h] output is the one tiny
-    exception, documented in parallel/attention.py)."""
+    forward 1 feat + 1 attention-output + L adjacency reduce-scatters, the
+    FOLDED-query all-gathers (qk [n_pad, h·d] + qb [n_pad, h] — the fused
+    key form, parallel/attention.py) + one [S, n_pad, h] row-max stat
+    all-gather (stop-grad, no transpose) + one denominator all-reduce;
+    backward one all-gather per reduce-scatter with the qk/qb all-gathers
+    transposing to reduce-scatters. Everything moves O(n_pad·h·d) — nothing
+    scales with |E| or S (the row-stat gather's [S, n_pad, h] output is the
+    one tiny exception)."""
     import jax.numpy as jnp
     import optax
 
@@ -229,14 +230,17 @@ def test_att_igcn_step_collective_budget(S):
             lambda p, o: step(p, o, jax.random.key(1))[2], params, opt_state
         )
     L, d, h = model.n_layers, 8, 2
-    assert stats.counts["reduce_scatter"] == 2 + L + 1, stats.counts
-    assert stats.counts["all_gather"] == 2 + L + 1, stats.counts
+    assert stats.counts["reduce_scatter"] == 2 + L + 2, stats.counts
+    assert stats.counts["all_gather"] == 2 + L + 2, stats.counts
     assert stats.counts["all_to_all"] == 0
     # exactly two model-axis all-reduces: softmax denominator fwd + bwd
     assert sum(1 for s in stats.axis_sizes["psum"] if s == S) == 2
     n_pad = -(-(ds.n_users + ds.n_items) // S) * S
-    # 4 x [n_pad, d] (feat, attn out, L adj) + the q transpose [n_pad, h*d]
-    assert stats.in_bytes["reduce_scatter"] == (2 + L) * n_pad * d * 4 + n_pad * h * d * 4
+    # 4 x [n_pad, d] (feat, attn out, L adj) + the folded-query transposes
+    # [n_pad, h*d] (qk) and [n_pad, h] (qb)
+    assert stats.in_bytes["reduce_scatter"] == (
+        (2 + L) * n_pad * d * 4 + n_pad * h * d * 4 + n_pad * h * 4
+    )
 
 
 @pytest.mark.slow

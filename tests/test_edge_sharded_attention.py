@@ -32,14 +32,24 @@ def setup():
     row, col = pairs[:, 0], pairs[:, 1]
     val = rng.uniform(0.5, 1.5, len(row)).astype(np.float32)
     q = rng.normal(size=(n_rows, h, dh)).astype(np.float32)
-    k = rng.normal(size=(n_cols, h * dh)).astype(np.float32)
+    # the sharded kernel takes the FOLDED query (keys = linear map of the
+    # value rows, the AttIGCN structure): wk [dv, h*dh], bk [h*dh]
+    wk = rng.normal(size=(dv, h * dh)).astype(np.float32)
+    bk = rng.normal(size=(h * dh,)).astype(np.float32)
     v = rng.normal(size=(n_cols, dv)).astype(np.float32)
     w = rng.normal(size=(n_rows, dv)).astype(np.float32)
-    return (row, col, val, (n_rows, n_cols)), q, k, v, w
+    return (row, col, val, (n_rows, n_cols)), q, wk, bk, v, w
+
+
+def _fold(q, wk, bk, dv, h, dh):
+    qk = jnp.einsum("nhd,vhd->nhv", q, jnp.asarray(wk).reshape(dv, h, dh))
+    qb = jnp.einsum("nhd,hd->nh", q, jnp.asarray(bk).reshape(h, dh))
+    return qk, qb
 
 
 def _sharded(setup_t, n_shards):
-    (row, col, val, shape), q, k, v, _ = setup_t
+    (row, col, val, shape), q, wk, bk, v, _ = setup_t
+    h, dh, dv = q.shape[1], q.shape[2], v.shape[1]
     mesh = make_mesh(n_data=8 // n_shards, n_model=n_shards)
     mat = build_edge_sharded_spmm(row, col, val, shape, n_shards)
     perm = build_attention_perm(mat)
@@ -49,53 +59,74 @@ def _sharded(setup_t, n_shards):
     qs = jax.device_put(
         jnp.asarray(qp), NamedSharding(mesh, P("model", None, None))
     )
-    return mesh, mat, perm, fn, qs, shard_operand(k, mat, mesh), shard_operand(
-        v, mat, mesh
-    )
+    qk, qb = _fold(qs, wk, bk, dv, h, dh)
+    qk = jax.device_put(qk, NamedSharding(mesh, P("model", None, None)))
+    qb = jax.device_put(qb, NamedSharding(mesh, P("model", None)))
+    return mesh, mat, perm, fn, qk, qb, shard_operand(v, mat, mesh)
+
+
+def _ref_out(setup_t):
+    """Single-device oracle: the general-k kernel fed the materialized key
+    table k = sg(v) @ wk + bk (the structure the fold exploits)."""
+    (row, col, val, shape), q, wk, bk, v, _ = setup_t
+    flat = build_bucketed_spmm(row, col, val, shape)
+    k = jnp.asarray(v) @ jnp.asarray(wk) + jnp.asarray(bk)
+    return np.asarray(attention_spmm(flat, q, k, v, 3.7))
 
 
 @pytest.mark.parametrize("n_shards", [1, 4, 8])
 def test_attention_forward_matches_single_device(setup, n_shards):
-    """Cross-shard row softmax (max + denom all-reduces) reproduces the
-    single-device dense masked row softmax exactly."""
-    (row, col, val, shape), q, k, v, _ = setup
-    flat = build_bucketed_spmm(row, col, val, shape)
-    ref = np.asarray(attention_spmm(flat, q, k, v, 3.7))
-    mesh, mat, perm, fn, qs, ks, vs = _sharded(setup, n_shards)
+    """Cross-shard row softmax (max + denom all-reduces) over the folded
+    query reproduces the single-device dense masked row softmax with the
+    materialized key table."""
+    shape = setup[0][3]
+    ref = _ref_out(setup)
+    mesh, mat, perm, fn, qk, qb, vs = _sharded(setup, n_shards)
     with mesh:
-        out = np.asarray(jax.jit(fn)(mat.fwd, perm, qs, ks, vs))[: shape[0]]
+        out = np.asarray(jax.jit(fn)(mat.fwd, perm, qk, qb, vs))[: shape[0]]
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
 def test_attention_grads_match_single_device(setup):
     """XLA autodiff through the sharded softmax (all_gather/psum/
-    psum_scatter transposes) gives the single-device gradients for q, k, v."""
-    (row, col, val, shape), q, k, v, w = setup
+    psum_scatter transposes) gives the single-device gradients for q, wk
+    and v (key path detached, as in AttIGCN)."""
+    (row, col, val, shape), q, wk, bk, v, w = setup
     n_rows, n_cols = shape
+    h, dh, dv = q.shape[1], q.shape[2], v.shape[1]
     flat = build_bucketed_spmm(row, col, val, shape)
 
-    def loss_ref(q_, k_, v_):
+    def loss_ref(q_, wk_, v_):
+        k_ = jax.lax.stop_gradient(v_) @ wk_ + bk
         return jnp.sum(attention_spmm(flat, q_, k_, v_, 3.7) * w)
 
     gref = jax.grad(loss_ref, argnums=(0, 1, 2))(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+        jnp.asarray(q), jnp.asarray(wk), jnp.asarray(v)
     )
-    mesh, mat, perm, fn, qs, ks, vs = _sharded(setup, 8)
+    mesh, mat, perm, fn, _, _, vs = _sharded(setup, 8)
     wp = np.zeros((mat.n_rows_pad, v.shape[1]), np.float32)
     wp[:n_rows] = w
+    qp = np.zeros((mat.n_rows_pad,) + q.shape[1:], np.float32)
+    qp[: shape[0]] = q
+    qs = jax.device_put(
+        jnp.asarray(qp), NamedSharding(mesh, P("model", None, None))
+    )
 
-    def loss_sh(q_, k_, v_):
-        return jnp.sum(fn(mat.fwd, perm, q_, k_, v_) * wp)
+    def loss_sh(q_, wk_, v_):
+        qk, qb = _fold(q_, wk_, bk, dv, h, dh)
+        return jnp.sum(fn(mat.fwd, perm, qk, qb, v_) * wp)
 
     with mesh:
-        gsh = jax.jit(jax.grad(loss_sh, argnums=(0, 1, 2)))(qs, ks, vs)
+        gsh = jax.jit(jax.grad(loss_sh, argnums=(0, 1, 2)))(
+            qs, jnp.asarray(wk), vs
+        )
     for name, a, b, n in (
         ("dq", gsh[0], gref[0], n_rows),
-        ("dk", gsh[1], gref[1], n_cols),
+        ("dwk", gsh[1], gref[1], len(np.asarray(gref[1]))),
         ("dv", gsh[2], gref[2], n_cols),
     ):
         np.testing.assert_allclose(
-            np.asarray(a)[:n], np.asarray(b), rtol=1e-5, atol=1e-6, err_msg=name
+            np.asarray(a)[:n], np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=name
         )
 
 
