@@ -261,6 +261,12 @@ def measure_dose_aug(ds, batch_size=2048, n_steps=30):
         ds,
         model,
     )
+    # STEADY-STATE step: regenerate the view once (as every epoch end does)
+    # so the injected-pair delta is real — the construction-time view has an
+    # all-zero delta (degenerate gathers/scatter of row 0), which measures
+    # ~25% faster than what epochs actually pay
+    model.feat_mat_anneal()
+    model.update_aug_adj(trainer.params)
     dt, loss = _time_steps(_one_step_fn(trainer, with_aux=True), n_steps)
     ex_s = n_steps * batch_size / dt
     _log(f"# dose_aug: {n_steps} steps in {dt:.3f}s | {ex_s:,.0f} ex/s | loss={loss:.4f}")
