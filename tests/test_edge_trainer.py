@@ -456,6 +456,37 @@ def test_edge_trainer_save_state_resume(ds, tmp_path):
     assert l_resumed == pytest.approx(l_ref, rel=1e-4), (l_resumed, l_ref)
 
 
+def test_edge_trainer_aug2_feature_ratio_resume_activates(ds, tmp_path):
+    """DOSE_aug2 at feature_ratio<1: the aug-feat layout activates after the
+    FIRST update_aug_adj (aug core maps selected then). A save_state after
+    activation must resume into a FRESH trainer — whose layout is inactive
+    at construction — with the maps restored from aux and the layout
+    activated on load, reproducing the saved run's next-epoch loss."""
+    mcfg = dict(_AUG2_MCFG, feature_ratio=0.8, dropout=0.0)
+    mesh = make_mesh(n_data=1, n_model=8)
+    t1 = get_trainer(
+        _tcfg("DOSEaugTrainer", n_epochs=3, **_AUG2_TKW),
+        ds, get_model(mcfg, ds), mesh=mesh, mesh_mode="edge",
+    )
+    assert not t1._aug_feat_active  # maps unknown until the first update
+    t1.train_one_epoch()
+    assert t1._aug_feat_active  # activated by _refresh_views
+    t1.epoch = 1
+    path = str(tmp_path / "aug2_resume.ckpt")
+    t1.save_state(path)
+    l_ref = t1.train_one_epoch()
+
+    t2 = get_trainer(
+        _tcfg("DOSEaugTrainer", n_epochs=3, **_AUG2_TKW),
+        ds, get_model(mcfg, ds), mesh=mesh, mesh_mode="edge",
+    )
+    assert not t2._aug_feat_active
+    t2.load_state(path)
+    assert t2._aug_feat_active  # maps restored from aux -> layout activated
+    l_resumed = t2.train_one_epoch()
+    assert l_resumed == pytest.approx(l_ref, rel=1e-4), (l_resumed, l_ref)
+
+
 def _grow_dataset(ds, n_new_users=5, n_new_items=4, seed=0):
     """ds + new users/items with edges into the old catalog, plus test data
     spanning old and new item ranges (for the six-slice protocol)."""
