@@ -5,6 +5,16 @@ embedding), loss, backward, and the optimizer update. Sharding is declared
 with ``with_sharding_constraint``; XLA turns the sharded-table gathers into
 all-to-all / all-gather collectives and the data-parallel gradient reduction
 into a psum — no hand-written communication.
+
+Every ``make_edge_sharded_*_step`` additionally supports HYBRID data x edge
+parallelism: on a (D, S) mesh — ``make_mesh(n_data=D, n_model=S)`` — the
+sampled batch is sharded over 'data' (:func:`_hybrid_batch_constrainer`)
+while the graph layouts, the table and the per-layer reduce-scatter /
+all-gather collectives stay inside each S-sized 'model' subgroup. One
+global batch per step, split D ways for the per-example work; scale the
+configured batch_size with D for data-parallel throughput scaling. Loss
+matches the single-device step on the same global batch for ANY (D, S)
+factorization (it is the same program under a different layout).
 """
 
 from __future__ import annotations
@@ -17,6 +27,32 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from inductive_recommendation_tpu.data.sampling import sample_bpr_batch
 from inductive_recommendation_tpu.train import losses as L
+
+
+def _hybrid_batch_constrainer(mesh, axis):
+    """Hybrid data x edge parallelism: shard each sampled batch vector over
+    the mesh's non-edge axes (the 'data' axis of a (D, S) hybrid mesh).
+
+    The per-example work — rep-row gathers, losses, batch-side gradients —
+    then splits D ways while the graph, the table and every propagation
+    collective stay inside each S-sized edge group ('model'-axis subgroups);
+    the SPMD partitioner inserts the one cross-group gradient all-reduce
+    over 'data' that stitches the groups together. Per-device memory remains
+    O((|E| + n·d)/S) — the composition BASELINE.md's scaling table needs to
+    keep >=0.8 efficiency at 8 chips where pure edge sharding (S=8) falls to
+    ~0.65 (the fixed O(n·d) collective volume of a strong-scaled step).
+
+    Identity when every non-edge axis has size 1 (the pure-edge meshes), so
+    single-axis programs trace exactly as before."""
+    extra = tuple(a for a in mesh.axis_names if a != axis and mesh.shape[a] > 1)
+    if not extra:
+        return lambda x: x
+
+    def constrain(x):
+        spec = P(extra, *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return constrain
 
 
 def _ensure_key(rng, base_seed):
@@ -95,6 +131,7 @@ def make_edge_sharded_bpr_step(
 
     spmm = _wrap(emat, mesh, axis, "scatter")
     row_sharding = NamedSharding(mesh, P(axis, None))
+    cb = _hybrid_batch_constrainer(mesh, axis)
 
     def propagate(fwd, bwd, x):
         """LightGCN layer-mean propagation — the ONE forward definition,
@@ -113,7 +150,7 @@ def make_edge_sharded_bpr_step(
 
     def step(params, opt_state, fwd, bwd, smp, rng):
         rng_s, _ = jax.random.split(_ensure_key(rng, base_seed))
-        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+        users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
 
         def loss_fn(p):
             x = p["embedding"]
@@ -203,6 +240,7 @@ def make_edge_sharded_igcn_step(
     adj_spmm = _wrap(adj_emat, mesh, axis, "scatter")
     p_drop = float(dropout)
     scale_sharding = NamedSharding(mesh, P(axis, None))
+    cb = _hybrid_batch_constrainer(mesh, axis)
 
     def main_rep(emb, ffwd, fbwd, afwd, abwd, anneal):
         """Annealed feat layer + adjacency layer-mean — the ONE IGCN forward
@@ -233,8 +271,8 @@ def make_edge_sharded_igcn_step(
 
     def step(params, opt_state, ffwd, fbwd, afwd, abwd, frow_st, rs, smp, aux_smp, rng, alpha):
         rng_s, rng_a, rng_d = jax.random.split(_ensure_key(rng, base_seed), 3)
-        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
-        a_users, a_pos, a_neg = sample_bpr_batch(aux_smp, rng_a, batch_size)
+        users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
+        a_users, a_pos, a_neg = map(cb, sample_bpr_batch(aux_smp, rng_a, batch_size))
 
         # per-shard [S, E_pad] scale in the layout's LOCAL edge space; the
         # sharding constraint keeps the compute (and the result) distributed
@@ -432,6 +470,7 @@ def make_edge_sharded_dose_step(
     view_spmm = _wrap(view_emat, mesh, axis, "scatter")
     scale_sharding = NamedSharding(mesh, P(axis, None))
     row_sharding = NamedSharding(mesh, P(axis, None))
+    cb = _hybrid_batch_constrainer(mesh, axis)
 
     @jax.jit
     def _prep(eid_map, base_scale):
@@ -592,8 +631,8 @@ def make_edge_sharded_dose_step(
                 _ensure_key(rng, base_seed), 4
             )
             rng_vd2 = rng_vd
-        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
-        a_users, a_pos, a_neg = sample_bpr_batch(aux_smp, rng_a, batch_size)
+        users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
+        a_users, a_pos, a_neg = map(cb, sample_bpr_batch(aux_smp, rng_a, batch_size))
 
         expo = (alpha - 1.0) / 2.0 - 0.5
         anneal = jnp.power(jnp.maximum(rs, 1e-12)[frow_st], expo)
@@ -822,6 +861,7 @@ def make_edge_sharded_sgl_step(
     view_spmm = _wrap(view_emat, mesh, axis, "scatter")
     scale_sharding = NamedSharding(mesh, P(axis, None))
     row_sharding = NamedSharding(mesh, P(axis, None))
+    cb = _hybrid_batch_constrainer(mesh, axis)
 
     @jax.jit
     def _prep(eid_map, base_scale):
@@ -847,7 +887,7 @@ def make_edge_sharded_sgl_step(
 
     def step(params, opt_state, afwd, abwd, vfwd, vbwd, vscale, vscale2, smp, rng):
         rng_s, _ = jax.random.split(_ensure_key(rng, base_seed))
-        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+        users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
 
         def loss_fn(p):
             x = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
@@ -948,6 +988,7 @@ def make_edge_sharded_ngcf_step(
     )
     spmm = _wrap(emat, mesh, axis, "scatter")
     row_sharding = NamedSharding(mesh, P(axis, None))
+    cb = _hybrid_batch_constrainer(mesh, axis)
     e_shape = tuple(emat.eid_map.shape)  # [S, E_pad]
 
     def forward(p, fwd, bwd, rng, training):
@@ -984,7 +1025,7 @@ def make_edge_sharded_ngcf_step(
 
     def step(params, opt_state, fwd, bwd, smp, rng):
         rng_s, rng_m = jax.random.split(_ensure_key(rng, base_seed))
-        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+        users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
 
         def loss_fn(p):
             rep = forward(p, fwd, bwd, rng_m, True)
@@ -1048,6 +1089,7 @@ def make_edge_sharded_imcgae_step(
     emat = build_edge_sharded_spmm(r, c, v, (n_nodes, n_nodes), mesh.shape[axis])
     spmm = _wrap(emat, mesh, axis, "scatter")
     row_sharding = NamedSharding(mesh, P(axis, None))
+    cb = _hybrid_batch_constrainer(mesh, axis)
     n_pad = emat.n_cols_pad
     # per-layer decayed rate clamped at 0 (models/imcgae.py documents the
     # negative-rate reference quirk)
@@ -1082,7 +1124,7 @@ def make_edge_sharded_imcgae_step(
 
     def step(params, opt_state, fwd, bwd, smp, rng):
         rng_s, rng_m = jax.random.split(_ensure_key(rng, base_seed))
-        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+        users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
 
         def loss_fn(p):
             rep = forward(p, fwd, bwd, rng_m, True)
@@ -1174,6 +1216,7 @@ def make_edge_sharded_idcf_step(
     feat_spmm = _wrap(feat_emat, mesh, axis, "scatter")
     adj_spmm = _wrap(adj_emat, mesh, axis, "scatter")
     row_sharding = NamedSharding(mesh, P(axis, None))
+    cb = _hybrid_batch_constrainer(mesh, axis)
     frozen_sh = shard_operand(
         np.asarray(model.buffers["frozen_embedding"]), feat_emat, mesh, axis
     )
@@ -1215,7 +1258,7 @@ def make_edge_sharded_idcf_step(
 
     def step(params, opt_state, ffwd, fbwd, afwd, abwd, frozen, smp, rng):
         rng_s, rng_m = jax.random.split(_ensure_key(rng, base_seed))
-        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
+        users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
 
         def loss_fn(p):
             reps0, (s_u, s_i) = representations(p, ffwd, fbwd, frozen, rng_m)
@@ -1357,6 +1400,7 @@ def make_edge_sharded_att_igcn_step(
     perm = attn_perm if attn_perm is not None else build_attention_perm(feat_emat)
     scale_sharding = NamedSharding(mesh, P(axis, None))
     row_sharding = NamedSharding(mesh, P(axis, None))
+    cb = _hybrid_batch_constrainer(mesh, axis)
 
     def main_rep(p, ffwd, fbwd, afwd, abwd, fperm, qscale):
         """Attention-weighted inductive layer + adjacency layer-mean — the
@@ -1407,8 +1451,8 @@ def make_edge_sharded_att_igcn_step(
         # 3-way split matching the single-device trainer steps (the third
         # key is the model-dropout slot — unused here, AttIGCN applies none)
         rng_s, rng_a, _ = jax.random.split(_ensure_key(rng, base_seed), 3)
-        users, pos, neg = sample_bpr_batch(smp, rng_s, batch_size)
-        a_users, a_pos, a_neg = sample_bpr_batch(aux_smp, rng_a, batch_size)
+        users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
+        a_users, a_pos, a_neg = map(cb, sample_bpr_batch(aux_smp, rng_a, batch_size))
 
         # alpha is fixed to 0 (att_igcn.py) -> feat weights row_sum^-1
         qscale = jax.lax.with_sharding_constraint(

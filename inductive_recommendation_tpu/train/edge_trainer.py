@@ -118,6 +118,16 @@ class EdgeShardedTrainer(BasicTrainer):
         self.n_shards = mesh.shape[self.axis]
         # BasicTrainer bookkeeping WITHOUT its data-parallel mesh plumbing
         super().__init__(cfg, dataset, model)
+        # …but eval/serving ARE mesh-aware (round-4): rebuild the evaluator
+        # around the edge mesh so `evaluate` shards each user batch across
+        # every device and `recommend` takes the item-sharded k-way-merge
+        # path (parallel/eval.py) with the edge rep — the catalog sizes edge
+        # mode targets are exactly where single-layout serving stops fitting
+        from inductive_recommendation_tpu.eval.evaluator import Evaluator
+
+        self.evaluator = Evaluator(
+            dataset, self.topks, cfg.get("test_batch_size", 512), mesh=mesh
+        )
         self._family, self._view_key = self._detect_family(model)
         self.l2_reg = cfg["l2_reg"]
         self.aux_reg = cfg.get("aux_reg", 0.0)
@@ -583,7 +593,10 @@ class EdgeShardedTrainer(BasicTrainer):
         self.steps_per_epoch = max(1, -(-len(dataset) // self.batch_size))
         self.sampler = build_sampler_state(dataset.train_data, dataset.n_items)
         self.evaluator = Evaluator(
-            dataset, self.topks, self.config.get("test_batch_size", 512)
+            dataset,
+            self.topks,
+            self.config.get("test_batch_size", 512),
+            mesh=self.edge_mesh,
         )
         # rebuilds every layout, the aux sampler, the per-epoch view state
         # and the eval scoring from the grown graph; params keep their
@@ -637,6 +650,18 @@ class EdgeShardedTrainer(BasicTrainer):
         with self.edge_mesh:
             return self.evaluator.inductive_eval(
                 self._scoring, self.params, n_old_users, n_old_items
+            )
+
+    def recommend(self, stage="test", banned_items=None):
+        """Serving from the edge-sharded rep: the scoring state is the
+        step's own forward over the sharded layouts, and the mesh evaluator
+        routes it through the item-sharded per-device-top-k + k-way merge
+        (parallel/eval.py) — results match the single-device trainer's
+        ``recommend`` on the same params."""
+        self._check_dataset_unchanged()
+        with self.edge_mesh:
+            return self.evaluator.recommend(
+                self._scoring, self.params, stage, banned_items=banned_items
             )
 
     # -- checkpointing -----------------------------------------------------------

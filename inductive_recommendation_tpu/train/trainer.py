@@ -336,6 +336,16 @@ class BasicTrainer:
             self.model, self.params, n_old_users, n_old_items
         )
 
+    def recommend(self, stage="test", banned_items=None):
+        """Serving surface: top-k_max items for every user ->
+        [n_users, k_max] global ids ('test' excludes train+val history,
+        'val' excludes train, anything else excludes nothing). Under a mesh
+        rep-matrix models take the item-sharded per-device-top-k + k-way
+        merge path (parallel/eval.py)."""
+        return self.evaluator.recommend(
+            self.model, self.params, stage, banned_items=banned_items
+        )
+
 
 class BPRTrainer(BasicTrainer):
     """Plain BPR + L2 (trainer.py:403-429); MF/LightGCN/NGCF/IMCGAE."""

@@ -485,3 +485,56 @@ def test_dose_aug2_step_collective_budget(S):
     assert stats.counts["reduce_scatter"] == 2 + 2 * L, stats.counts
     assert stats.counts["all_gather"] == 2 + 2 * L, stats.counts
     assert stats.counts["all_to_all"] == 0
+
+
+@pytest.mark.parametrize("nd,nm", [(2, 4), (4, 2)])
+def test_hybrid_step_collectives_stay_in_edge_groups(nd, nm):
+    """Hybrid data x edge mesh (D, S): the per-layer propagation
+    reduce-scatters/all-gathers run over the S-sized 'model' SUBGROUPS
+    (traced axis size S, not D·S) — collective ring cost shrinks with S —
+    while the shard_map backward's replication psums run over 'data' with
+    axis size D (the cross-group DP gradient reduction; size-1 and free on
+    pure-edge meshes). The batch-side gradient all-reduce the partitioner
+    adds on top is asserted structurally in
+    test_hybrid_mesh.py::test_hybrid_data_axis_carries_gradient_psum."""
+    import optax
+
+    from inductive_recommendation_tpu import get_dataset
+    from inductive_recommendation_tpu.data.sampling import build_sampler_state
+    from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
+    from inductive_recommendation_tpu.parallel import make_edge_sharded_bpr_step
+
+    ds = get_dataset(
+        {
+            "name": "SyntheticDataset",
+            "n_users": 48,
+            "n_items": 40,
+            "n_interactions": 650,
+            "seed": 11,
+            "split_ratio": [0.8, 0.1, 0.1],
+            "min_inter": 2,
+        }
+    )
+    n = ds.n_users + ds.n_items
+    sampler = build_sampler_state(ds.train_data, ds.n_items)
+    mesh = make_mesh(n_data=nd, n_model=nm)
+    r, c, v = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
+    emat = build_edge_sharded_spmm(r, c, v, (n, n), nm)
+    opt = optax.adam(1e-2)
+    L = 3
+    step = make_edge_sharded_bpr_step(
+        emat, mesh, opt, sampler, 32, 1e-4, ds.n_users, L
+    )
+    params = {"embedding": shard_operand(np.ones((n, 8), np.float32), emat, mesh)}
+    opt_state = opt.init(params)
+    with mesh:
+        stats = collective_stats(
+            lambda p, o: step(p, o, jax.random.key(1))[2], params, opt_state
+        )
+    assert stats.counts["reduce_scatter"] == L
+    assert stats.counts["all_gather"] == L
+    # every propagation collective rides the S-sized edge subgroup
+    assert stats.axis_sizes["reduce_scatter"] == [nm] * L
+    assert stats.axis_sizes["all_gather"] == [nm] * L
+    # shard_map replication psums cross the D-sized data groups
+    assert stats.axis_sizes["psum"] == [nd] * L

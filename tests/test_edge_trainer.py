@@ -655,3 +655,38 @@ def test_edge_trainer_dose_aug2_matches_single_device(
     with mesh:
         l2p = float(t2b._run_step(t2b._next_seed())[2])
     assert abs(l_post - l2p) < 2e-4, (l_post, l2p)
+
+
+def test_edge_trainer_recommend_matches_single_layout(ds):
+    """Round-4 serving gate: `EdgeShardedTrainer.recommend` routes through
+    the item-sharded per-device-top-k + k-way merge (the trainer's
+    evaluator now carries the edge mesh), and its output equals the
+    single-layout retrieval over the SAME edge rep — and the trainer-level
+    `recommend` surface exists on the single-device side too."""
+    from inductive_recommendation_tpu.eval.evaluator import Evaluator
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    mcfg = {"name": "IGCN", "embedding_size": 16, "n_layers": 2,
+            "dropout": 0.0, "feature_ratio": 1, "table_align": 1}
+    tkw = {"aux_reg": 0.01}
+    t2 = get_trainer(
+        _tcfg("IGCNTrainer", **tkw), ds, get_model(mcfg, ds),
+        mesh=mesh, mesh_mode="edge",
+    )
+    assert t2.evaluator.mesh is mesh  # the mesh=None construction is gone
+    r_mesh = t2.recommend("val")
+    # same edge rep, single-layout retrieval (mesh=None evaluator)
+    ev1 = Evaluator(ds, t2.topks, 16, mesh=None)
+    r_single = ev1.recommend(t2._scoring, t2.params, "val")
+    assert np.array_equal(r_mesh, r_single)
+    # eval metrics are unchanged by the mesh-aware evaluator
+    with t2.edge_mesh:
+        _, em = t2.evaluator.evaluate(t2._scoring, t2.params, "val")
+    _, sm = ev1.evaluate(t2._scoring, t2.params, "val")
+    for k in (5, 10):
+        assert em["NDCG"][k] == pytest.approx(sm["NDCG"][k], rel=1e-5), k
+
+    # the single-device trainer surface: same params -> same recommendations
+    t1 = get_trainer(_tcfg("IGCNTrainer", **tkw), ds, get_model(mcfg, ds))
+    r1 = t1.recommend("val")
+    assert r1.shape == r_mesh.shape
