@@ -690,3 +690,56 @@ def test_edge_trainer_recommend_matches_single_layout(ds):
     t1 = get_trainer(_tcfg("IGCNTrainer", **tkw), ds, get_model(mcfg, ds))
     r1 = t1.recommend("val")
     assert r1.shape == r_mesh.shape
+
+
+def test_reload_parity_skip_list_is_self_checking(ds):
+    """_RELOAD_PARITY_SKIP exempts variants from the reload eval-parity gate
+    on the grounds that they share the representative's eval path. Make the
+    rationale MACHINE-CHECKED: every skipped variant's trainer must (a)
+    score through _EdgeRepScoring over the SAME eval_rep code object as the
+    checked representative (DOSE_aug — one def inside
+    make_edge_sharded_dose_step), and (b) inherit EdgeShardedTrainer's
+    checkpoint methods unchanged. A future variant-specific eval path or
+    _save_model override changes the code object / method resolution and
+    fails here — un-skipping itself."""
+    from inductive_recommendation_tpu.train.edge_trainer import (
+        EdgeShardedTrainer,
+        _EdgeRepScoring,
+    )
+
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    tkw = {"aux_reg": 0.01, "contrastive_reg": 0.05}
+
+    def build(name, **mkw):
+        mcfg = dict(
+            {
+                "name": name,
+                "embedding_size": 8,
+                "n_layers": 1,
+                "dropout": 0.0,
+                "feature_ratio": 1.0,
+                "aug_num": 6,
+                "aug_rate": 0.5,
+                "table_align": 1,
+            },
+            **mkw,
+        )
+        return get_trainer(
+            _tcfg("DOSEdropTrainer", **tkw), ds, get_model(mcfg, ds),
+            mesh=mesh, mesh_mode="edge",
+        )
+
+    rep_trainer = build("DOSE_aug")
+    rep_code = rep_trainer._scoring._rep.__code__
+    per_variant_mkw = {"DOSE_aug_drop2": {"aug_ratio": 0.5}}
+    for name in sorted(_RELOAD_PARITY_SKIP):
+        t = build(name, **per_variant_mkw.get(name, {}))
+        assert isinstance(t._scoring, _EdgeRepScoring), name
+        assert t._scoring._rep.__code__ is rep_code, (
+            f"{name}'s eval path diverged from the representative's — "
+            f"remove it from _RELOAD_PARITY_SKIP"
+        )
+        for meth in ("_save_model", "_load_model", "_to_model_params"):
+            assert getattr(type(t), meth) is getattr(EdgeShardedTrainer, meth), (
+                name, meth,
+            )

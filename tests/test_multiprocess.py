@@ -69,8 +69,59 @@ with mesh:
     eparams, _, eloss = estep(eparams, optimizer.init(eparams), jax.random.key(3))
     eloss_val = float(eloss)
 
+# FLAGSHIP edge-sharded IGCN across the 2-process mesh: feat matrix +
+# adjacency + core table sharded over the global 'model' axis, annealed
+# feature weights entering as a pre-sharded per-edge scale — the
+# multi-controller array-construction path (jax.make_array_from_* under
+# device_put/shard_map) for the feat layouts
+from inductive_recommendation_tpu.graph import build_feat_matrix
+from inductive_recommendation_tpu.parallel import make_edge_sharded_igcn_step
+frow, fcol, fval, row_sum = build_feat_matrix(
+    ds.train_array, ds.n_users, ds.n_items, model.user_map, model.item_map)
+feat_emat = build_edge_sharded_spmm(
+    frow, fcol, fval, (n, model.feat_n_cols), 4)
+gemb = np.zeros((feat_emat.n_cols_pad, 16), np.float32)
+gemb[:model.feat_n_cols] = np.asarray(
+    model.init_params(jax.random.key(4))["embedding"])[:model.feat_n_cols]
+gparams = {"embedding": shard_operand(gemb, feat_emat, mesh),
+           "w": jnp.ones((16,), jnp.float32)}
+gstep = make_edge_sharded_igcn_step(
+    feat_emat, emat, frow, row_sum, mesh, optimizer, sampler, aux_sampler,
+    64, 1e-4, 0.01, ds.n_users, model.user_dim, 2, 0.0)
+with mesh:
+    gparams, _, gloss = gstep(
+        gparams, optimizer.init(gparams), jax.random.key(5), alpha=0.97)
+    gloss_val = float(gloss)
+
+# CONTRASTIVE flagship (DOSE_aug) across processes, INCLUDING one per-epoch
+# prepare_view refresh (the O(nnz/S) re-indexing runs per process on the
+# global sharded eid_map)
+from inductive_recommendation_tpu.parallel import make_edge_sharded_dose_step
+dmodel = get_model({"name": "DOSE_aug", "embedding_size": 16, "n_layers": 2,
+                    "dropout": 0.0, "feature_ratio": 1.0, "aug_num": 6,
+                    "aug_rate": 0.5, "table_align": 1}, ds)
+dstep, dprep, dshard = make_edge_sharded_dose_step(
+    dmodel, mesh, optimizer, sampler, aux_sampler, 64, 1e-4, 0.01, 0.05)
+dparams0 = dmodel.init_params(jax.random.key(6))
+dparams = dshard(dparams0)
+dopt = optimizer.init(dparams)
+with mesh:
+    dparams, dopt, dloss = dstep(
+        dparams, dopt, jax.random.key(7), dprep(dmodel.edge_views["aug_adj"]))
+    dloss_val = float(dloss)
+    # epoch end: regenerate the view from the DENSE params (deterministic on
+    # every process) and step again through the refreshed sharded view state
+    dmodel.feat_mat_anneal()
+    dmodel.update_aug_adj(dparams0)
+    dparams, dopt, dloss2 = dstep(
+        dparams, dopt, jax.random.key(8), dprep(dmodel.edge_views["aug_adj"]),
+        alpha=dmodel.alpha)
+    dloss2_val = float(dloss2)
+
 print("RESULT " + json.dumps({"pid": pid, "loss": loss_val,
                               "eloss": eloss_val,
+                              "gloss": gloss_val,
+                              "dloss": dloss_val, "dloss2": dloss2_val,
                               "rec0": np.asarray(rec)[0].tolist()}), flush=True)
 """
 
@@ -113,6 +164,9 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     assert abs(results[0]["loss"] - results[1]["loss"]) < 1e-6
     assert abs(results[0]["eloss"] - results[1]["eloss"]) < 1e-6
     assert np.isfinite(results[0]["eloss"])
+    for k in ("gloss", "dloss", "dloss2"):  # flagship edge steps
+        assert abs(results[0][k] - results[1][k]) < 1e-6, k
+        assert np.isfinite(results[0][k]), k
     assert results[0]["rec0"] == results[1]["rec0"]
 
     # single-process 8-device run must agree (same seeds, same mesh shape)
@@ -156,3 +210,70 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     with mesh:
         _, _, loss = step(params, opt_state, jax.random.key(1))
     assert abs(float(loss) - results[0]["loss"]) < 1e-5
+
+    # single-process EDGE-sharded IGCN and DOSE (same seeds, same 2x4 mesh —
+    # now a HYBRID mesh whose data groups SPAN the process boundary in the
+    # 2-process run): losses must match the multi-controller run
+    import jax.numpy as jnp
+    from inductive_recommendation_tpu.graph import build_feat_matrix
+    from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
+    from inductive_recommendation_tpu.parallel import (
+        build_edge_sharded_spmm,
+        make_edge_sharded_dose_step,
+        make_edge_sharded_igcn_step,
+    )
+    from inductive_recommendation_tpu.parallel.spmm import shard_operand
+
+    n = ds.n_users + ds.n_items
+    r_, c_, v_ = sym_normalized_adjacency(ds.train_array, ds.n_users, ds.n_items)
+    emat = build_edge_sharded_spmm(r_, c_, v_, (n, n), 4)
+    frow, fcol, fval, row_sum = build_feat_matrix(
+        ds.train_array, ds.n_users, ds.n_items, model.user_map, model.item_map
+    )
+    feat_emat = build_edge_sharded_spmm(frow, fcol, fval, (n, model.feat_n_cols), 4)
+    gemb = np.zeros((feat_emat.n_cols_pad, 16), np.float32)
+    gemb[: model.feat_n_cols] = np.asarray(
+        model.init_params(jax.random.key(4))["embedding"]
+    )[: model.feat_n_cols]
+    gparams = {
+        "embedding": shard_operand(gemb, feat_emat, mesh),
+        "w": jnp.ones((16,), jnp.float32),
+    }
+    gstep = make_edge_sharded_igcn_step(
+        feat_emat, emat, frow, row_sum, mesh, optimizer, sampler, aux_sampler,
+        64, 1e-4, 0.01, ds.n_users, model.user_dim, 2, 0.0,
+    )
+    with mesh:
+        _, _, gloss = gstep(
+            gparams, optimizer.init(gparams), jax.random.key(5), alpha=0.97
+        )
+    assert abs(float(gloss) - results[0]["gloss"]) < 1e-5
+
+    from inductive_recommendation_tpu.models import get_model as _gm
+
+    dmodel = _gm(
+        {
+            "name": "DOSE_aug", "embedding_size": 16, "n_layers": 2,
+            "dropout": 0.0, "feature_ratio": 1.0, "aug_num": 6,
+            "aug_rate": 0.5, "table_align": 1,
+        },
+        ds,
+    )
+    dstep, dprep, dshard = make_edge_sharded_dose_step(
+        dmodel, mesh, optimizer, sampler, aux_sampler, 64, 1e-4, 0.01, 0.05
+    )
+    dparams0 = dmodel.init_params(jax.random.key(6))
+    dparams = dshard(dparams0)
+    dopt = optimizer.init(dparams)
+    with mesh:
+        dparams, dopt, dloss = dstep(
+            dparams, dopt, jax.random.key(7), dprep(dmodel.edge_views["aug_adj"])
+        )
+        dmodel.feat_mat_anneal()
+        dmodel.update_aug_adj(dparams0)
+        dparams, dopt, dloss2 = dstep(
+            dparams, dopt, jax.random.key(8),
+            dprep(dmodel.edge_views["aug_adj"]), alpha=dmodel.alpha,
+        )
+    assert abs(float(dloss) - results[0]["dloss"]) < 1e-5
+    assert abs(float(dloss2) - results[0]["dloss2"]) < 1e-5
