@@ -235,10 +235,10 @@ def measure_att_igcn(ds, batch_size=2048, n_steps=30):
     return ex_s
 
 
-def measure_dose_aug(ds, batch_size=2048, n_steps=30):
+def measure_dose_aug(ds, batch_size=2048, n_steps=30, aug_num=500000):
     """DOSE_aug step throughput at the Gowalla grid's aug_num=500000 (BPR +
     aux + InfoNCE over the injected-view propagation — the contrastive
-    flagship)."""
+    flagship); ``--scale`` passes the Amazon grid's 800000."""
     from inductive_recommendation_tpu.models import get_model
     from inductive_recommendation_tpu.train.trainer import DOSEaugTrainer
 
@@ -249,7 +249,7 @@ def measure_dose_aug(ds, batch_size=2048, n_steps=30):
             "n_layers": 3,
             "dropout": 0.3,
             "feature_ratio": 1.0,
-            "aug_num": 500000,
+            "aug_num": aug_num,
             "aug_rate": 0.1,
         },
         ds,
@@ -321,6 +321,154 @@ def measure_edge_s1(ds, batch_size=2048, n_steps=30):
     return ex_s
 
 
+def measure_ngcf(ds, batch_size=2048, n_steps=30):
+    """NGCF step throughput (per-layer SpMM + gc/bi linears + leaky-relu +
+    L2 normalization; reference model.py:3986-4055, Gowalla grid params)."""
+    from inductive_recommendation_tpu.models import get_model
+    from inductive_recommendation_tpu.train.trainer import BPRTrainer
+
+    model = get_model(
+        {
+            "name": "NGCF",
+            "embedding_size": 64,
+            "layer_sizes": [64, 64, 64],
+            "dropout": 0.1,
+        },
+        ds,
+    )
+    trainer = BPRTrainer(_base_tcfg("BPRTrainer", batch_size), ds, model)
+    dt, loss = _time_steps(_one_step_fn(trainer, with_aux=False), n_steps)
+    ex_s = n_steps * batch_size / dt
+    _log(f"# ngcf: {n_steps} steps in {dt:.3f}s | {ex_s:,.0f} ex/s | loss={loss:.4f}")
+    return ex_s
+
+
+def measure_imcgae(ds, batch_size=2048, n_steps=30):
+    """IMCGAE step throughput (3d-wide personal+general+identical concat,
+    decayed node dropout, sum-combine; Gowalla grid params)."""
+    from inductive_recommendation_tpu.models import get_model
+    from inductive_recommendation_tpu.train.trainer import BPRTrainer
+
+    model = get_model(
+        {"name": "IMCGAE", "embedding_size": 64, "n_layers": 3, "dropout": 0.3},
+        ds,
+    )
+    trainer = BPRTrainer(_base_tcfg("BPRTrainer", batch_size), ds, model)
+    dt, loss = _time_steps(_one_step_fn(trainer, with_aux=False), n_steps)
+    ex_s = n_steps * batch_size / dt
+    _log(f"# imcgae: {n_steps} steps in {dt:.3f}s | {ex_s:,.0f} ex/s | loss={loss:.4f}")
+    return ex_s
+
+
+def measure_idcf(ds, batch_size=2048, n_steps=30):
+    """IDCF_LGCN step throughput (4-head attention over sampled key users /
+    items on the frozen table + 3-layer propagation + logsumexp contrastive;
+    Gowalla grid params, random frozen table standing in for lgcn.pth)."""
+    import numpy as np
+
+    from inductive_recommendation_tpu.models import get_model
+    from inductive_recommendation_tpu.train.trainer import IDCFTrainer
+
+    rng = np.random.default_rng(7)
+    frozen = rng.standard_normal((ds.n_users + ds.n_items, 64)).astype(np.float32)
+    model = get_model(
+        {
+            "name": "IDCF_LGCN",
+            "embedding_size": 64,
+            "n_layers": 3,
+            "n_headers": 4,
+            "pretrained_embedding": frozen,
+        },
+        ds,
+    )
+    trainer = IDCFTrainer(
+        _base_tcfg("IDCFTrainer", batch_size, contrastive_reg=1e-3), ds, model
+    )
+    dt, loss = _time_steps(_one_step_fn(trainer, with_aux=False), n_steps)
+    ex_s = n_steps * batch_size / dt
+    _log(f"# idcf: {n_steps} steps in {dt:.3f}s | {ex_s:,.0f} ex/s | loss={loss:.4f}")
+    return ex_s
+
+
+def measure_edge_s1_igcn(ds, batch_size=2048, n_steps=30):
+    """Edge-mode IGCN step at S=1: the sharding tax for the family with the
+    per-epoch annealed feat scale + aux sampler restructuring (the round-3
+    -1.4% headline came from BPR, the family with the LEAST restructuring)."""
+    from inductive_recommendation_tpu import get_model, get_trainer
+    from inductive_recommendation_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=1, n_model=1)
+    model = get_model(
+        {
+            "name": "IGCN",
+            "embedding_size": 64,
+            "n_layers": 3,
+            "dropout": 0.3,
+            "feature_ratio": 1.0,
+        },
+        ds,
+    )
+    trainer = get_trainer(
+        _base_tcfg("IGCNTrainer", batch_size, aux_reg=0.01),
+        ds, model, mesh=mesh, mesh_mode="edge",
+    )
+
+    def one_step():
+        with mesh:
+            trainer.params, trainer.opt_state, loss = trainer._run_step(
+                trainer._next_seed()
+            )
+        return loss
+
+    dt, loss = _time_steps(one_step, n_steps)
+    ex_s = n_steps * batch_size / dt
+    _log(f"# edge_s1_igcn: {n_steps} steps in {dt:.3f}s | {ex_s:,.0f} ex/s | loss={loss:.4f}")
+    return ex_s
+
+
+def measure_edge_s1_dose(ds, batch_size=2048, n_steps=30, aug_num=500000):
+    """Edge-mode DOSE_aug step at S=1, STEADY STATE (view regenerated once so
+    the injected-pair delta is real): the sharding tax for the family with
+    the MOST edge-mode restructuring (stacked scales, per-epoch prepare_view
+    re-indexing, delta COO outside the shard_map)."""
+    from inductive_recommendation_tpu import get_model, get_trainer
+    from inductive_recommendation_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=1, n_model=1)
+    model = get_model(
+        {
+            "name": "DOSE_aug",
+            "embedding_size": 64,
+            "n_layers": 3,
+            "dropout": 0.3,
+            "feature_ratio": 1.0,
+            "aug_num": aug_num,
+            "aug_rate": 0.1,
+        },
+        ds,
+    )
+    trainer = get_trainer(
+        _base_tcfg("DOSEaugTrainer", batch_size, aux_reg=0.01, contrastive_reg=0.01),
+        ds, model, mesh=mesh, mesh_mode="edge",
+    )
+    with mesh:
+        model.feat_mat_anneal()
+        model.update_aug_adj(trainer.params)
+        trainer._refresh_views()
+
+    def one_step():
+        with mesh:
+            trainer.params, trainer.opt_state, loss = trainer._run_step(
+                trainer._next_seed()
+            )
+        return loss
+
+    dt, loss = _time_steps(one_step, n_steps)
+    ex_s = n_steps * batch_size / dt
+    _log(f"# edge_s1_dose: {n_steps} steps in {dt:.3f}s | {ex_s:,.0f} ex/s | loss={loss:.4f}")
+    return ex_s
+
+
 def measure_eval(ds, model, params):
     """Full-catalog evaluation throughput (users/s, warm)."""
     from inductive_recommendation_tpu.eval.evaluator import Evaluator
@@ -363,8 +511,57 @@ def measure_spmm(model, d=64, n_iters=30):
     return rep
 
 
+def _make_amazon_dataset():
+    from inductive_recommendation_tpu.data.dataset import quick_synthetic_dataset
+
+    # Amazon-Books scale (reference data stats: 52.6k users, 91.6k items,
+    # ~3.0M interactions -> ~6M directed train nnz after the 80% split)
+    return quick_synthetic_dataset(52643, 91599, 4_800_000, seed=0)
+
+
+def run_scale(round_no):
+    """Amazon-scale tier (--scale): the graphs edge mode exists for.
+    Measures the flagship steps + the edge-mode S=1 memory-path tax at the
+    size where BASELINE.md's 'collectives are noise' claim applies; writes
+    BENCH_SCALE_r{N}.json."""
+    import numpy as np
+
+    ds = _make_amazon_dataset()
+    nnz = 2 * sum(len(t) for t in ds.train_data)
+    _log(f"# scale: {ds.n_users} x {ds.n_items}, {nnz/1e6:.2f}M directed train nnz")
+    bpr_ex_s, _, _ = measure_bpr(ds)
+    igcn_ex_s, _, _ = measure_igcn(ds)
+    # Amazon grid's DOSE_aug uses aug_num=800000 (configs/grids.py)
+    dose_ex_s = measure_dose_aug(ds, aug_num=800000)
+    edge_s1_ex_s = measure_edge_s1(ds)
+    payload = {
+        "scale": f"{ds.n_users}x{ds.n_items}",
+        "directed_train_nnz": int(nnz),
+        "bpr_train_examples_per_s_per_chip": round(bpr_ex_s, 1),
+        "igcn_train_examples_per_s_per_chip": round(igcn_ex_s, 1),
+        "dose_aug800k_train_examples_per_s_per_chip": round(dose_ex_s, 1),
+        "edge_mode_s1_bpr_examples_per_s_per_chip": round(edge_s1_ex_s, 1),
+        "edge_mode_s1_overhead_pct": round(
+            100.0 * (bpr_ex_s / max(edge_s1_ex_s, 1e-9) - 1.0), 1
+        ),
+    }
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_SCALE_r{round_no:02d}.json",
+    )
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    _log(f"# scale -> {out}: {json.dumps(payload)}")
+
+
 def main():
     detail = "--detail" in sys.argv
+    scale = "--scale" in sys.argv
+    round_no = _next_round()
+
+    if scale:
+        run_scale(round_no)
+        return
 
     ds = _make_dataset()
     bpr_ex_s, lgcn_model, lgcn_trainer = measure_bpr(ds)
@@ -376,17 +573,37 @@ def main():
         att_ex_s = measure_att_igcn(ds)
         dose_ex_s = measure_dose_aug(ds)
         sgl_ex_s = measure_sgl(ds)
+        ngcf_ex_s = measure_ngcf(ds)
+        imcgae_ex_s = measure_imcgae(ds)
+        idcf_ex_s = measure_idcf(ds)
         edge_s1_ex_s = measure_edge_s1(ds)
+        edge_s1_igcn_ex_s = measure_edge_s1_igcn(ds)
+        edge_s1_dose_ex_s = measure_edge_s1_dose(ds)
         payload = {
             "bpr_train_examples_per_s_per_chip": round(bpr_ex_s, 1),
             "igcn_train_examples_per_s_per_chip": round(igcn_ex_s, 1),
             "att_igcn_train_examples_per_s_per_chip": round(att_ex_s, 1),
             "dose_aug_train_examples_per_s_per_chip": round(dose_ex_s, 1),
             "sgl_train_examples_per_s_per_chip": round(sgl_ex_s, 1),
+            "ngcf_train_examples_per_s_per_chip": round(ngcf_ex_s, 1),
+            "imcgae_train_examples_per_s_per_chip": round(imcgae_ex_s, 1),
+            "idcf_train_examples_per_s_per_chip": round(idcf_ex_s, 1),
             "edge_mode_s1_bpr_examples_per_s_per_chip": round(edge_s1_ex_s, 1),
             # the single-chip sharding tax: edge-mode S=1 vs the plain step
             "edge_mode_s1_overhead_pct": round(
                 100.0 * (bpr_ex_s / max(edge_s1_ex_s, 1e-9) - 1.0), 1
+            ),
+            "edge_mode_s1_igcn_examples_per_s_per_chip": round(
+                edge_s1_igcn_ex_s, 1
+            ),
+            "edge_mode_s1_igcn_overhead_pct": round(
+                100.0 * (igcn_ex_s / max(edge_s1_igcn_ex_s, 1e-9) - 1.0), 1
+            ),
+            "edge_mode_s1_dose_examples_per_s_per_chip": round(
+                edge_s1_dose_ex_s, 1
+            ),
+            "edge_mode_s1_dose_overhead_pct": round(
+                100.0 * (dose_ex_s / max(edge_s1_dose_ex_s, 1e-9) - 1.0), 1
             ),
             "eval_users_per_s": round(eval_users_s, 1),
             "spmm_ms": round(spmm_rep["measured_ms"], 3),
@@ -397,7 +614,7 @@ def main():
         }
         out = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            f"BENCH_DETAIL_r{_next_round():02d}.json",
+            f"BENCH_DETAIL_r{round_no:02d}.json",
         )
         with open(out, "w") as f:
             json.dump(payload, f, indent=1)

@@ -64,7 +64,10 @@ class EdgeView:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["base", "d_row", "d_col", "d_val", "dt_row", "dt_col", "dt_val"],
+    data_fields=[
+        "base", "d_row", "d_col", "d_val", "dt_row", "dt_col", "dt_val",
+        "ck_fwd", "ck_bwd",
+    ],
     meta_fields=["n_nodes"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -75,7 +78,13 @@ class BakedView:
     The scale changes once per epoch; baking it then removes the per-step
     eid+scale gathers (~15 ms/side at 1.8M edges on v5e) from every view
     SpMM. idx/eid arrays are shared with the raw layout — only the value
-    arrays are new."""
+    arrays are new.
+
+    ``ck_fwd``/``ck_bwd``: per-epoch chunked-gather structures for the
+    delta (:func:`chunked_segment_structs`, both product directions) — the
+    per-step delta then runs scatter-free (:func:`chunked_delta_spmm`,
+    measured 6.6 ms vs segment_sum's 12.8 ms at 1M entries x d=64 on v5e);
+    ``None`` for drop-only views (delta_budget 0)."""
 
     base: object  # BucketedSpMM with baked values
     d_row: jnp.ndarray
@@ -84,6 +93,8 @@ class BakedView:
     dt_row: jnp.ndarray
     dt_col: jnp.ndarray
     dt_val: jnp.ndarray
+    ck_fwd: tuple | None
+    ck_bwd: tuple | None
     n_nodes: int
 
 
@@ -92,6 +103,16 @@ def bake_view(raw_base, view: EdgeView) -> BakedView:
     """EdgeView -> BakedView against the engine's raw train layout."""
     from inductive_recommendation_tpu.ops.bucketed_spmm import with_baked_edge_scale
 
+    if view.d_row.shape[0]:
+        ck_fwd = chunked_segment_structs(
+            view.d_row, view.d_col, view.d_val, view.n_nodes
+        )
+        # the transpose product's rows are the col-sorted copy's columns
+        ck_bwd = chunked_segment_structs(
+            view.dt_col, view.dt_row, view.dt_val, view.n_nodes
+        )
+    else:
+        ck_fwd = ck_bwd = None
     return BakedView(
         base=with_baked_edge_scale(raw_base, view.base_scale),
         d_row=view.d_row,
@@ -100,6 +121,8 @@ def bake_view(raw_base, view: EdgeView) -> BakedView:
         dt_row=view.dt_row,
         dt_col=view.dt_col,
         dt_val=view.dt_val,
+        ck_fwd=ck_fwd,
+        ck_bwd=ck_bwd,
         n_nodes=view.n_nodes,
     )
 
@@ -129,6 +152,87 @@ def _delta_bwd(delta, g):
 
 
 _delta_spmm.defvjp(_delta_fwd, _delta_bwd)
+
+
+def chunked_segment_structs(d_row, d_col, d_val, n_out: int, C: int = 8):
+    """Per-epoch gather structures for a scatter-free sorted segment-sum.
+
+    ``segment_sum(x[d_col]·d_val, d_row)`` with sorted ``d_row`` decomposes
+    EXACTLY into static-shape gathers + one small cumsum (out[r] =
+    Z(bounds[r+1]) − Z(bounds[r]) with Z split into chunk-prefix + in-chunk
+    tail): per-step cost is two bucket-style gather-reduces ([B/C, C] chunk
+    sums + [n_out+1, C] boundary tails) and a [B/C, d] cumsum — measured
+    6.6 ms vs jax.ops.segment_sum's 12.8 ms at B=1M, d=64 on v5e (1.92x;
+    scatter-add is ~4x the gather transaction floor there). Everything
+    data-dependent (boundaries via bincount+cumsum of d_row, tail gather
+    indices/values) lives HERE, once per epoch (~75 ms at 1M on v5e, noise
+    against a ~60 s epoch); the per-step path is pure gathers.
+
+    The last chunk zero-pads to a multiple of ``C`` with row ``n_out-1``
+    entries of value 0 (sortedness and row sums preserved). Numerics: the
+    cumsum-difference reconstruction loses low bits where a boundary's
+    prefix is much larger than the row's sum — measured max 8.7e-6 relative
+    at B=1M with zipf-concentrated rows (well inside the fp32 noise the
+    tests' 1e-4-class tolerances allow).
+
+    Returns ``(c_idx [M,C], c_val [M,C], t_idx [n_out+1,C],
+    t_val [n_out+1,C], pc [n_out+1])`` — plain arrays, jit-transparent.
+    """
+    B = d_row.shape[0]
+    M = -(-B // C)
+    pad = M * C - B
+    if pad:
+        d_row = jnp.concatenate(
+            [d_row, jnp.full((pad,), n_out - 1, d_row.dtype)]
+        )
+        d_col = jnp.concatenate([d_col, jnp.zeros((pad,), d_col.dtype)])
+        d_val = jnp.concatenate([d_val, jnp.zeros((pad,), d_val.dtype)])
+    Bp = M * C
+    cnt = jnp.bincount(d_row, length=n_out)
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt).astype(jnp.int32)]
+    )
+    pc = bounds // C
+    jj = pc[:, None] * C + jnp.arange(C, dtype=jnp.int32)[None, :]
+    jj_safe = jnp.minimum(jj, Bp - 1)
+    mask = jj < bounds[:, None]
+    t_idx = d_col[jj_safe]
+    t_val = jnp.where(mask, d_val[jj_safe], 0.0)
+    return (d_col.reshape(M, C), d_val.reshape(M, C), t_idx, t_val, pc)
+
+
+def _chunked_apply(struct, x):
+    c_idx, c_val, t_idx, t_val, pc = struct
+    chunk = jnp.einsum("rk,rkd->rd", c_val, jnp.take(x, c_idx, axis=0))
+    Zc = jnp.cumsum(chunk, axis=0)
+    tails = jnp.einsum("rk,rkd->rd", t_val, jnp.take(x, t_idx, axis=0))
+    Zc_pad = jnp.concatenate([jnp.zeros((1, x.shape[1]), x.dtype), Zc], axis=0)
+    Zb = jnp.take(Zc_pad, pc, axis=0) + tails
+    return Zb[1:] - Zb[:-1]
+
+
+@jax.custom_vjp
+def chunked_delta_spmm(fwd_struct, bwd_struct, x):
+    """Scatter-free delta SpMM: ``out = D @ x`` via the forward chunked
+    structure; the backward ``dx = D^T @ g`` rides ``bwd_struct`` (built
+    from the transpose-sorted copy) — gathers + cumsum on BOTH sides, no
+    XLA scatter anywhere (the no-scatter architecture invariant)."""
+    return _chunked_apply(fwd_struct, x)
+
+
+def _ck_fwd(fwd_struct, bwd_struct, x):
+    return chunked_delta_spmm(fwd_struct, bwd_struct, x), (fwd_struct, bwd_struct)
+
+
+def _ck_bwd(res, g):
+    fwd_struct, bwd_struct = res
+    dx = _chunked_apply(bwd_struct, g)
+    zf = jax.tree_util.tree_map(jnp.zeros_like, fwd_struct)
+    zb = jax.tree_util.tree_map(jnp.zeros_like, bwd_struct)
+    return (zf, zb, dx)
+
+
+chunked_delta_spmm.defvjp(_ck_fwd, _ck_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -697,13 +801,20 @@ def view_spmm(base, view, x):
     """A_view @ x = masked base (bucketed gather path) + delta COO.
 
     ``view`` is an EdgeView (scale gathered per call) or a BakedView (scale
-    already folded into its own base copy; ``base`` is ignored)."""
+    already folded into its own base copy; ``base`` is ignored). Baked
+    views apply the delta through the per-epoch chunked structures
+    (:func:`chunked_delta_spmm` — scatter-free, 1.92x over the segment-sum
+    at Gowalla-scale budgets); EdgeViews keep the segment-sum oracle."""
     if isinstance(view, BakedView):
         out = spmm_bucketed(view.base, x)
+        if view.d_row.shape[0] == 0:  # drop-only views (delta_budget 0)
+            return out
+        if view.ck_fwd is not None:
+            return out + chunked_delta_spmm(view.ck_fwd, view.ck_bwd, x)
     else:
         out = spmm_bucketed(base, x, edge_scale=view.base_scale)
-    if view.d_row.shape[0] == 0:  # drop-only views (delta_budget 0)
-        return out
+        if view.d_row.shape[0] == 0:
+            return out
     delta = (view.d_row, view.d_col, view.d_val, view.dt_row, view.dt_col, view.dt_val)
     return out + _delta_spmm(delta, x)
 

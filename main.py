@@ -55,7 +55,10 @@ def build_argparser():
         help="'data' (default): data-parallel batches + row-sharded tables. "
         "'edge': edge-block-shard the GRAPH and the table over the 'model' "
         "axis — per-device memory O((|E|+n*d)/S), the HBM scale-out path "
-        "(LightGCN / IGCN / single-view DOSE entries).",
+        "(every full-graph-propagation family). With '--mesh D,S' and D>1 "
+        "edge mode runs the HYBRID composition: batches additionally shard "
+        "over 'data' while collectives stay inside each S-sized edge group "
+        "(BASELINE.md's (D,S) scaling table).",
     )
     p.add_argument(
         "--preprocess",

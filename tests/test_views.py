@@ -213,3 +213,49 @@ def test_device_view_overlong_add_pairs_falls_back_to_host(tiny_graph, rng):
     assert d_host.keys() == d_dev.keys()
     for k in d_host:
         assert abs(d_host[k] - d_dev[k]) < 1e-5
+
+
+def test_chunked_delta_spmm_matches_segment_sum():
+    """The scatter-free chunked delta (per-epoch structures + gathers +
+    chunk cumsum) is numerically the segment-sum delta, forward AND grad,
+    across chunk-unaligned budgets, empty rows and a fully concentrated
+    row distribution (the top-cos worst case)."""
+    import jax
+    from inductive_recommendation_tpu.graph.views import (
+        _delta_spmm,
+        chunked_delta_spmm,
+        chunked_segment_structs,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 57, 9
+    for B, rows in [
+        (37, np.sort(rng.integers(0, n, 37))),          # B % C != 0
+        (64, np.sort(rng.integers(0, 5, 64))),          # few distinct rows
+        (48, np.full(48, 13)),                          # fully concentrated
+        (40, np.sort(rng.choice(n, 40, replace=False))),  # all distinct
+    ]:
+        d_row = rows.astype(np.int32)
+        d_col = rng.integers(0, n, B).astype(np.int32)
+        d_val = rng.standard_normal(B).astype(np.float32)
+        # transpose copy sorted by col (the EdgeView dt_* convention)
+        o = np.argsort(d_col, kind="stable")
+        dt_row, dt_col, dt_val = d_row[o], d_col[o], d_val[o]
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        delta = tuple(
+            jnp.asarray(a) for a in (d_row, d_col, d_val, dt_row, dt_col, dt_val)
+        )
+        fs = chunked_segment_structs(delta[0], delta[1], delta[2], n)
+        bs = chunked_segment_structs(delta[4], delta[3], delta[5], n)
+        ref = _delta_spmm(delta, jnp.asarray(x))
+        out = chunked_delta_spmm(fs, bs, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=1e-5)
+
+        w = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        g_ref = jax.grad(lambda x: jnp.sum(_delta_spmm(delta, x) * w))(jnp.asarray(x))
+        g_out = jax.grad(lambda x: jnp.sum(chunked_delta_spmm(fs, bs, x) * w))(
+            jnp.asarray(x)
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_out), np.asarray(g_ref), rtol=2e-4, atol=1e-5
+        )
