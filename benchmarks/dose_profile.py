@@ -199,10 +199,21 @@ def main():
         )
     )
     t_segsum = _timeit(seg, g, bv.d_row)
+    # the production scatter-free path (chunked structures baked per epoch)
+    from inductive_recommendation_tpu.graph.views import chunked_delta_spmm
+
+    ck = jax.jit(lambda f, b, x: chunked_delta_spmm(f, b, x))
+    t_ck_fwd = _timeit(ck, bv.ck_fwd, bv.ck_bwd, xn)
+    ckg = jax.jit(
+        jax.grad(lambda x: jnp.sum(chunked_delta_spmm(bv.ck_fwd, bv.ck_bwd, x)))
+    )
+    t_ck_fwdbwd = _timeit(ckg, xn)
     n_entries = int(bv.d_row.shape[0])
     print(
-        f"# delta fwd {t_delta_fwd:.2f} ms | fwd+bwd {t_delta_fwdbwd:.2f} ms | "
-        f"raw segsum {t_segsum:.2f} ms @ {n_entries} entries",
+        f"# delta segsum-oracle fwd {t_delta_fwd:.2f} ms | fwd+bwd "
+        f"{t_delta_fwdbwd:.2f} ms | raw segsum {t_segsum:.2f} ms | "
+        f"CHUNKED fwd {t_ck_fwd:.2f} ms | fwd+bwd {t_ck_fwdbwd:.2f} ms "
+        f"@ {n_entries} entries",
         file=sys.stderr,
     )
 
@@ -216,9 +227,11 @@ def main():
             "full_step": round(t_full, 2),
         },
         "kernel_ms": {
-            "delta_spmm_fwd": round(t_delta_fwd, 2),
-            "delta_spmm_fwd_bwd": round(t_delta_fwdbwd, 2),
+            "delta_spmm_segsum_oracle_fwd": round(t_delta_fwd, 2),
+            "delta_spmm_segsum_oracle_fwd_bwd": round(t_delta_fwdbwd, 2),
             "raw_sorted_segment_sum": round(t_segsum, 2),
+            "chunked_delta_fwd": round(t_ck_fwd, 2),
+            "chunked_delta_fwd_bwd": round(t_ck_fwdbwd, 2),
             "delta_entries": n_entries,
         },
         "n_view_delta_applications_per_step": int(model.n_layers),
