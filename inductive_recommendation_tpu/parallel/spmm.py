@@ -236,6 +236,57 @@ def _apply_stacked(side: _StackedSide, x: jnp.ndarray, edge_scale) -> jnp.ndarra
     return jnp.take(stacked, side.inv_perm[0], axis=0)
 
 
+def bake_stacked_scale(side: _StackedSide, scale_st, mesh=None, axis="model"):
+    """Fold a per-epoch [S, E_pad] LOCAL-edge-id scale into a copy of the
+    side's bucket VALUES (one eid gather per bucket, outside the hot step).
+
+    The sharded analog of ``ops.bucketed_spmm.with_baked_edge_scale``: for
+    scales that change once per EPOCH (IGCN's annealed feature weights,
+    DOSE/SGL view keep-masks x normalization), baking removes the per-STEP
+    eid+scale gather from every SpMM side — the gather that made the edge
+    steps' S=1 tax +85-89% for IGCN/DOSE in the pre-fix BENCH_DETAIL r04
+    measurement (BPR, which passes no scale, measured -2%). Call under jit
+    at epoch boundaries; idx/eid/inv_perm are shared with the raw layout,
+    only the value arrays are new (same shapes -> consuming steps never
+    retrace)."""
+    def bake_val(b: _StackedBucket):
+        v = b.val * jax.vmap(lambda sc, e: sc[e])(scale_st, b.eid)
+        if mesh is not None:
+            v = jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, P(axis, None, None))
+            )
+        return v
+
+    return _StackedSide(
+        buckets=tuple(
+            _StackedBucket(idx=b.idx, val=bake_val(b), eid=b.eid)
+            for b in side.buckets
+        ),
+        inv_perm=side.inv_perm,
+        n_rows=side.n_rows,
+    )
+
+
+def _apply_stacked_hashdrop(side: _StackedSide, x, key, p: float) -> jnp.ndarray:
+    """:func:`_apply_stacked` with in-layout edge dropout: the keep mask is
+    a counter-hash of the LOCAL edge id (``ops.bucketed_spmm._uniform_from_eid``
+    — same eid, same draw in the forward and transpose layouts of a shard,
+    the consistency dropout gradients require), so no per-step [E_pad]
+    scale vector is built or gathered."""
+    from inductive_recommendation_tpu.ops.bucketed_spmm import _uniform_from_eid
+
+    inv = 1.0 / (1.0 - p)
+    parts = []
+    for b in side.buckets:
+        keep = _uniform_from_eid(jax.random.key_data(key), b.eid[0]) >= p
+        v = b.val[0] * jnp.where(keep, inv, 0.0)
+        g = jnp.take(x, b.idx[0], axis=0)
+        parts.append(jnp.einsum("rk,rkd->rd", v, g))
+    parts.append(jnp.zeros((1, x.shape[-1]), x.dtype))
+    stacked = jnp.concatenate(parts, axis=0)
+    return jnp.take(stacked, side.inv_perm[0], axis=0)
+
+
 def _make_local_fn(axis: str, mode: str):
     """The per-device function with a gather-only custom VJP.
 
@@ -290,6 +341,62 @@ def _wrap(mat: EdgeShardedSpMM, mesh, axis: str, mode: str):
         # edge_scale is the stacked [S, E_pad] local-id form, sharded like
         # the layout leaves — each device holds only its own O(nnz/S) slice
         in_specs=(P(axis), P(axis), P(axis), P(axis, None)),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+
+
+def _make_local_fn_dropout(axis: str, mode: str, p: float):
+    """Per-device SpMM with IN-LAYOUT edge dropout (keep 1-p, rescale
+    1/(1-p)): the mask hashes (shard index, local eid) per step — shards
+    draw i.i.d. (the documented divergence from the single-device flat
+    hash; same keep/rescale algebra), and the forward/transpose sides of a
+    shard share draws per edge. ``key_data`` is a raw PRNG key-data array
+    (replicated); gather-only custom VJP as in :func:`_make_local_fn`."""
+
+    def _shard_key(key_data):
+        return jax.random.fold_in(
+            jax.random.wrap_key_data(key_data), jax.lax.axis_index(axis)
+        )
+
+    @jax.custom_vjp
+    def local_spmm(fwd, bwd, key_data, x):
+        part = _apply_stacked_hashdrop(fwd, x, _shard_key(key_data), p)
+        if mode == "scatter":
+            return jax.lax.psum_scatter(part, axis, scatter_dimension=0, tiled=True)
+        return jax.lax.psum(part, axis)
+
+    def fwd_rule(fwd, bwd, key_data, x):
+        return local_spmm(fwd, bwd, key_data, x), (fwd, bwd, key_data)
+
+    def bwd_rule(res, g):
+        fwd, bwd, key_data = res
+        if mode == "scatter":
+            g = jax.lax.all_gather(g, axis, axis=0, tiled=True)
+        else:
+            g = jax.lax.psum(g, axis)
+        dx = _apply_stacked_hashdrop(bwd, g, _shard_key(key_data), p)
+        zf = jax.tree_util.tree_map(jnp.zeros_like, fwd)
+        zb = jax.tree_util.tree_map(jnp.zeros_like, bwd)
+        return (zf, zb, jnp.zeros_like(key_data), dx)
+
+    local_spmm.defvjp(fwd_rule, bwd_rule)
+    return local_spmm
+
+
+def _wrap_dropout(mat: EdgeShardedSpMM, mesh, axis: str, mode: str, p: float):
+    """:func:`_wrap` with in-layout edge dropout at static rate ``p`` —
+    fn(fwd, bwd, key_data, x)."""
+    if mesh.shape[axis] != mat.n_shards:
+        raise ValueError(
+            f"mesh axis '{axis}' has size {mesh.shape[axis]}, layout was built "
+            f"for {mat.n_shards} shards"
+        )
+    out_spec = P(axis, None) if mode == "scatter" else P(None, None)
+    return jax.shard_map(
+        _make_local_fn_dropout(axis, mode, p),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(None), P(axis, None)),
         out_specs=out_spec,
         check_vma=False,
     )

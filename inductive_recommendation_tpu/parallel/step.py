@@ -215,14 +215,18 @@ def make_edge_sharded_igcn_step(
     IGCN semantics match the single-device model (models/igcn.py):
 
     - annealed feature weights ``row_sum^((alpha-1)/2 - 0.5)`` (reference
-      model.py:4127-4134) enter as a SHARDED per-edge scale: each device
-      computes its own [nnz/S] slice from a pre-sharded feat-row table (the
-      layout's local edge ids), so no O(|E|) vector is ever replicated and
-      annealing never retraces or rebuilds the layout;
-    - feature-matrix edge dropout (reference model.py:4189) folds into the
-      same sharded scale; both SpMM sides of a shard read the SAME local
-      vector, giving the forward/transpose mask consistency dropout
-      gradients require;
+      model.py:4127-4134) are BAKED into a per-epoch copy of the feat
+      layout's values (``bake_stacked_scale`` — cached on the float alpha,
+      which changes once per epoch): the per-STEP eid+scale gather this
+      replaces was the edge step's S=1 tax (+88.8% vs the plain IGCN step
+      in the pre-fix r04 measurement; the single-device path had learned
+      the same lesson at r2, CLAUDE.md). Alpha annealing never retraces —
+      the baked copies keep the layout's shapes;
+    - feature-matrix edge dropout (reference model.py:4189) is generated
+      IN the layout from a counter-hash of (shard, local eid)
+      (``_wrap_dropout``): both SpMM sides of a shard draw the same mask
+      per edge — the consistency dropout gradients require — with no
+      per-step [E_pad] scale vector anywhere;
     - aux BPR on the raw core embedding rows weighted by ``w``
       (reference trainer.py:542-549).
 
@@ -230,7 +234,11 @@ def make_edge_sharded_igcn_step(
     params = {"embedding": [feat_emat.n_cols_pad, d] sharded over ``axis``,
     "w": [d]}.
     """
-    from inductive_recommendation_tpu.parallel.spmm import _wrap
+    from inductive_recommendation_tpu.parallel.spmm import (
+        _wrap,
+        _wrap_dropout,
+        bake_stacked_scale,
+    )
 
     if feat_emat.n_rows_pad != adj_emat.n_cols_pad:
         raise ValueError(
@@ -239,13 +247,20 @@ def make_edge_sharded_igcn_step(
     feat_spmm = _wrap(feat_emat, mesh, axis, "scatter")
     adj_spmm = _wrap(adj_emat, mesh, axis, "scatter")
     p_drop = float(dropout)
+    feat_spmm_drop = (
+        _wrap_dropout(feat_emat, mesh, axis, "scatter", p_drop)
+        if p_drop > 0.0
+        else None
+    )
     scale_sharding = NamedSharding(mesh, P(axis, None))
     cb = _hybrid_batch_constrainer(mesh, axis)
 
-    def main_rep(emb, ffwd, fbwd, afwd, abwd, anneal):
-        """Annealed feat layer + adjacency layer-mean — the ONE IGCN forward
-        definition, shared by the training loss and the trainer's eval rep."""
-        x0 = feat_spmm(ffwd, fbwd, anneal, emb)
+    def propagate(x0, afwd, abwd):
+        """Adjacency layer-mean over the inductive layer-0 input — the ONE
+        IGCN propagation definition, shared by the training loss and the
+        trainer's eval rep (they differ only in how the annealed feat scale
+        enters layer 0: baked values in the hot step, a traced scale in the
+        cold eval path)."""
         acc, h = x0, x0
         for _ in range(n_layers):
             h = adj_spmm(afwd, abwd, None, h)
@@ -263,31 +278,28 @@ def make_edge_sharded_igcn_step(
             scale_sharding,
         )
         emb = jax.lax.with_sharding_constraint(params["embedding"], scale_sharding)
-        rep = main_rep(
-            emb, b["edge_feat_fwd"], b["edge_feat_bwd"],
-            b["edge_adj_fwd"], b["edge_adj_bwd"], anneal,
-        )
+        x0 = feat_spmm(b["edge_feat_fwd"], b["edge_feat_bwd"], anneal, emb)
+        rep = propagate(x0, b["edge_adj_fwd"], b["edge_adj_bwd"])
         return rep[: feat_emat.n_rows]
 
-    def step(params, opt_state, ffwd, fbwd, afwd, abwd, frow_st, rs, smp, aux_smp, rng, alpha):
+    def step(params, opt_state, ffwd, fbwd, afwd, abwd, smp, aux_smp, rng):
         rng_s, rng_a, rng_d = jax.random.split(_ensure_key(rng, base_seed), 3)
         users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
         a_users, a_pos, a_neg = map(cb, sample_bpr_batch(aux_smp, rng_a, batch_size))
-
-        # per-shard [S, E_pad] scale in the layout's LOCAL edge space; the
-        # sharding constraint keeps the compute (and the result) distributed
-        expo = (alpha - 1.0) / 2.0 - 0.5
-        anneal = jnp.power(jnp.maximum(rs, 1e-12)[frow_st], expo)
-        if p_drop > 0.0:
-            keep = jax.random.uniform(rng_d, anneal.shape) >= p_drop
-            anneal = anneal * jnp.where(keep, 1.0 / (1.0 - p_drop), 0.0)
-        anneal = jax.lax.with_sharding_constraint(anneal, scale_sharding)
 
         def loss_fn(p):
             emb = jax.lax.with_sharding_constraint(
                 p["embedding"], NamedSharding(mesh, P(axis, None))
             )
-            rep = main_rep(emb, ffwd, fbwd, afwd, abwd, anneal)
+            # annealed weights are already baked into ffwd/fbwd's values;
+            # feature dropout draws in-layout from (shard, local eid)
+            if p_drop > 0.0:
+                x0 = feat_spmm_drop(
+                    ffwd, fbwd, jax.random.key_data(rng_d), emb
+                )
+            else:
+                x0 = feat_spmm(ffwd, fbwd, None, emb)
+            rep = propagate(x0, afwd, abwd)
             u_r = rep[users]
             p_r = rep[n_users + pos]
             n_r = rep[n_users + neg[:, 0]]
@@ -314,20 +326,37 @@ def make_edge_sharded_igcn_step(
     )
     rs_dev = jnp.asarray(row_sum, dtype=jnp.float32)
 
+    @jax.jit
+    def _bake(ffwd, fbwd, rs, frow_st, alpha):
+        expo = (alpha - 1.0) / 2.0 - 0.5
+        anneal = jax.lax.with_sharding_constraint(
+            jnp.power(jnp.maximum(rs, 1e-12)[frow_st], expo), scale_sharding
+        )
+        return (
+            bake_stacked_scale(ffwd, anneal, mesh, axis),
+            bake_stacked_scale(fbwd, anneal, mesh, axis),
+        )
+
+    baked = {"alpha": None, "ffwd": None, "fbwd": None}
+
     def run(params, opt_state, rng, alpha=1.0):
+        a = float(alpha)
+        if baked["alpha"] != a:  # once per epoch (feat_mat_anneal)
+            baked["ffwd"], baked["fbwd"] = _bake(
+                feat_emat.fwd, feat_emat.bwd, rs_dev, frow_stacked,
+                jnp.float32(a),
+            )
+            baked["alpha"] = a
         return jitted(
             params,
             opt_state,
-            feat_emat.fwd,
-            feat_emat.bwd,
+            baked["ffwd"],
+            baked["fbwd"],
             adj_emat.fwd,
             adj_emat.bwd,
-            frow_stacked,
-            rs_dev,
             sampler,
             aux_sampler,
             rng,
-            jnp.asarray(alpha, jnp.float32),
         )
 
     run.eval_rep = eval_rep
@@ -380,20 +409,22 @@ def make_edge_sharded_dose_step(
     feat matrix. The aug matrix is static-shaped, like the single-device
     path (models/dose.py): one more edge-sharded layout over the TRAIN feat
     entries (built with the model's AUG core maps) whose per-edge annealed
-    weights enter as a per-epoch sharded scale, plus a fixed-budget
-    injected-entry delta COO (graph/views.py device_make_feat_delta) applied
-    outside the shard_map. Per-epoch regeneration (``prepare_aug_feat``,
-    attached to ``run``) writes new value arrays of fixed shapes — no
-    retrace. Feature dropout on the aug base draws i.i.d. per shard (same
-    divergence as the main branch); delta entries use the entry-hash dropout
+    weights are BAKED into per-epoch copies of the layout values
+    (bake_stacked_scale), plus a fixed-budget injected-entry delta COO
+    (graph/views.py device_make_feat_delta) applied outside the shard_map.
+    Per-epoch regeneration (``prepare_aug_feat``, attached to ``run``)
+    writes new value arrays of fixed shapes — no retrace. Feature dropout
+    on the aug base hashes (shard, local eid) per step (same divergence
+    class as the main branch); delta entries use the entry-hash dropout
     (delta_spmm_rect_dropout), identical to the single-device path.
 
     View layout: the raw train adjacency (both directions, ViewEngine's base
     edge order) is one more :class:`EdgeShardedSpMM`; a view enters the step
     as (a) the EdgeView's keep-mask x normalization ``base_scale`` re-indexed
-    ONCE PER EPOCH into each shard's local edge space via ``eid_map``
-    (:func:`prepare_view` — an O(nnz/S)-per-device gather, the sharded analog
-    of graph/views.py's baking), and (b) the fixed-budget injected-pair
+    AND BAKED once per epoch into per-view copies of the layout's values
+    (:func:`prepare_view` via ``bake_stacked_scale`` — the per-step
+    eid+scale gathers this replaces were the edge DOSE step's +84.9% S=1
+    tax, BENCH_DETAIL r04 pre-fix), and (b) the fixed-budget injected-pair
     delta as per-epoch CHUNKED structures applied outside the shard_map
     (O(aug_num) entries, scatter-free on both product directions —
     graph/views.py chunked_delta_spmm; XLA routes the cross-shard gathers).
@@ -401,10 +432,10 @@ def make_edge_sharded_dose_step(
     jitted step never retraces.
 
     Divergence from the single-device path (same as the IGCN step above):
-    feature dropout draws i.i.d. uniforms per shard instead of the
-    counter-hash of the flat layout — identical keep/rescale algebra,
-    different draws. The view branch re-draws its own dropout, as each
-    reference get_*_rep call re-applies it (model.py:488-501).
+    feature dropout hashes (shard index, local eid) instead of the flat
+    layout's global-eid hash — identical keep/rescale algebra, different
+    draws. The view branch re-draws its own dropout, as each reference
+    get_*_rep call re-applies it (model.py:488-501).
 
     -> (run, prepare_view, shard_model_params):
        run(params, opt_state, rng, view_state, alpha=1.0)
@@ -430,6 +461,8 @@ def make_edge_sharded_dose_step(
     )
     from inductive_recommendation_tpu.parallel.spmm import (
         _wrap,
+        _wrap_dropout,
+        bake_stacked_scale,
         build_edge_sharded_spmm,
     )
 
@@ -472,13 +505,26 @@ def make_edge_sharded_dose_step(
     feat_spmm = _wrap(feat_emat, mesh, axis, "scatter")
     adj_spmm = _wrap(adj_emat, mesh, axis, "scatter")
     view_spmm = _wrap(view_emat, mesh, axis, "scatter")
+    feat_spmm_drop = (
+        _wrap_dropout(feat_emat, mesh, axis, "scatter", p_drop)
+        if p_drop > 0.0
+        else None
+    )
     scale_sharding = NamedSharding(mesh, P(axis, None))
     row_sharding = NamedSharding(mesh, P(axis, None))
     cb = _hybrid_batch_constrainer(mesh, axis)
 
     @jax.jit
-    def _prep(eid_map, base_scale):
-        return jax.lax.with_sharding_constraint(base_scale[eid_map], scale_sharding)
+    def _prep(vfwd, vbwd, eid_map, base_scale):
+        # the view's keep-mask x normalization is BAKED into per-epoch copies
+        # of the view layout's values (the sharded analog of graph/views.py's
+        # baking) — the per-STEP eid+scale gather it replaces was the edge
+        # DOSE step's dominant S=1 tax (+84.9% pre-fix, BENCH_DETAIL r04)
+        sc = jax.lax.with_sharding_constraint(base_scale[eid_map], scale_sharding)
+        return (
+            bake_stacked_scale(vfwd, sc, mesh, axis),
+            bake_stacked_scale(vbwd, sc, mesh, axis),
+        )
 
     @jax.jit
     def _prep_ck(d_row, d_col, d_val, dt_row, dt_col, dt_val):
@@ -491,7 +537,7 @@ def make_edge_sharded_dose_step(
         )
 
     def prepare_view(view):
-        """EdgeView -> (stacked local base scales, chunked delta structs)
+        """EdgeView -> (baked view layout sides, chunked delta structs)
         for ``run`` (once per epoch)."""
         if has_delta:
             delta = _prep_ck(
@@ -503,10 +549,13 @@ def make_edge_sharded_dose_step(
                 view.d_row, view.d_col, view.d_val,
                 view.dt_row, view.dt_col, view.dt_val,
             )
-        return _prep(view_emat.eid_map, view.base_scale), delta
+        baked = _prep(
+            view_emat.fwd, view_emat.bwd, view_emat.eid_map, view.base_scale
+        )
+        return baked, delta
 
     # -- DOSE_aug2: edge-sharded AUG feature matrix (see docstring) ----------
-    aug_feat_spmm = prepare_aug_feat = None
+    aug_feat_spmm = aug_spmm_drop = prepare_aug_feat = None
     feat_n_cols = int(model.feat_n_cols)
     if aug_feat:
         aug_user_map, aug_item_map = model._aug_core_maps()
@@ -519,6 +568,8 @@ def make_edge_sharded_dose_step(
         if aug_emat.n_cols_pad != feat_emat.n_cols_pad:
             raise ValueError("aug feat and feat operand columns must pad identically")
         aug_feat_spmm = _wrap(aug_emat, mesh, axis, "scatter")
+        if p_drop > 0.0:
+            aug_spmm_drop = _wrap_dropout(aug_emat, mesh, axis, "scatter", p_drop)
         # per-LOCAL-edge feat row ids, pre-sharded (each device O(nnz/S))
         arow_st = jax.device_put(
             np.asarray(arow, np.int32)[np.asarray(aug_emat.eid_map)],
@@ -534,20 +585,23 @@ def make_edge_sharded_dose_step(
         im_dev = jnp.asarray(aug_item_map, jnp.int32)
 
         @jax.jit
-        def _aug_scale(row_sum_view, alpha):
-            # annealed base weights in each shard's LOCAL edge space; the
-            # delta values come out of device_make_feat_delta pre-annealed
+        def _aug_bake(agfwd, agbwd, arow_st, row_sum_view, alpha):
+            # annealed base weights BAKED into per-epoch copies of the aug
+            # layout's values (the delta values come out of
+            # device_make_feat_delta pre-annealed)
             expo = (alpha - 1.0) / 2.0 - 0.5
             w = jnp.power(jnp.maximum(row_sum_view, 1e-12), expo)
-            return jax.lax.with_sharding_constraint(
-                w[arow_st], NamedSharding(mesh, P(axis, None))
+            sc = jax.lax.with_sharding_constraint(w[arow_st], scale_sharding)
+            return (
+                bake_stacked_scale(agfwd, sc, mesh, axis),
+                bake_stacked_scale(agbwd, sc, mesh, axis),
             )
 
         def prepare_aug_feat(aug_pairs, alpha):
             """(selected aug pairs [k, 2] on device, current alpha) ->
-            (sharded base scale, annealed delta COO). Once per epoch, right
-            after update_aug_adj (alpha is already annealed then, matching
-            the single-device bake order, models/dose.py)."""
+            (baked aug layout sides, annealed delta COO). Once per epoch,
+            right after update_aug_adj (alpha is already annealed then,
+            matching the single-device bake order, models/dose.py)."""
             alpha = jnp.asarray(alpha, jnp.float32)
             if keys_fit_i32:
                 row_sum_view, *delta = device_make_feat_delta(
@@ -575,7 +629,11 @@ def make_edge_sharded_dose_step(
                     n_items=n_items,
                     user_dim=user_dim,
                 )
-            return _aug_scale(jnp.asarray(row_sum_view), alpha), tuple(delta)
+            baked = _aug_bake(
+                aug_emat.fwd, aug_emat.bwd, arow_st,
+                jnp.asarray(row_sum_view), alpha,
+            )
+            return baked, tuple(delta)
 
     has_delta = eng.delta_budget > 0
 
@@ -623,20 +681,16 @@ def make_edge_sharded_dose_step(
         abwd,
         vfwd,
         vbwd,
-        vscale,
         delta,
-        vscale2,
+        vfwd2,
+        vbwd2,
         delta2,
         agfwd,
         agbwd,
-        agscale,
         agdelta,
-        frow_st,
-        rs,
         smp,
         aux_smp,
         rng,
-        alpha,
     ):
         # "single"/"mean" keep the historical 4-way split (test parity);
         # the two-draw modes take one extra key for the second view's dropout
@@ -652,29 +706,17 @@ def make_edge_sharded_dose_step(
         users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
         a_users, a_pos, a_neg = map(cb, sample_bpr_batch(aux_smp, rng_a, batch_size))
 
-        expo = (alpha - 1.0) / 2.0 - 0.5
-        anneal = jnp.power(jnp.maximum(rs, 1e-12)[frow_st], expo)
-
-        def dropped(a, key):
-            if p_drop <= 0.0:
-                return a
-            keep = jax.random.uniform(key, a.shape) >= p_drop
-            return a * jnp.where(keep, 1.0 / (1.0 - p_drop), 0.0)
-
-        def constrain_scale(a):
-            return jax.lax.with_sharding_constraint(a, scale_sharding)
-
-        anneal_main = constrain_scale(dropped(anneal, rng_d))
-
-        def anneal_view(key):
-            return anneal_main if p_drop <= 0.0 else constrain_scale(
-                dropped(anneal, key)
-            )
+        def feat_x0(emb, key):
+            """Layer-0 inductive rep over the annealed-BAKED feat layout;
+            feature dropout draws in-layout from (shard, local eid)."""
+            if p_drop > 0.0:
+                return feat_spmm_drop(ffwd, fbwd, jax.random.key_data(key), emb)
+            return feat_spmm(ffwd, fbwd, None, emb)
 
         def loss_fn(p):
             emb = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
-            # main branch: annealed+dropped feat -> adjacency propagation
-            x0 = feat_spmm(ffwd, fbwd, anneal_main, emb)
+            # main branch: annealed(baked)+dropped feat -> adjacency prop
+            x0 = feat_x0(emb, rng_d)
             rep = propagate(adj_spmm, afwd, abwd, None, x0, None)
             u_r = rep[users]
             p_r = rep[n_users + pos]
@@ -686,17 +728,15 @@ def make_edge_sharded_dose_step(
             )
 
             # view branch(es): re-drawn feat dropout -> view-graph propagation
-            def view_users(vs, dlt, key):
-                if aug_feat and agscale is not None:
+            # (the view's keep-mask x normalization is baked into vf/vb)
+            def view_users(vf, vb, dlt, key):
+                if aug_feat and agfwd is not None:
                     # DOSE_aug2: layer 0 reads the AUG feature matrix
-                    # (annealed scale baked per epoch; dropout re-drawn here)
-                    sc = (
-                        agscale
-                        if p_drop <= 0.0
-                        else constrain_scale(dropped(agscale, key))
-                    )
-                    x0v = aug_feat_spmm(agfwd, agbwd, sc, emb)
+                    # (annealed weights baked per epoch; dropout drawn here)
                     if p_drop > 0.0:
+                        x0v = aug_spmm_drop(
+                            agfwd, agbwd, jax.random.key_data(key), emb
+                        )
                         dx = delta_spmm_rect_dropout(
                             n_pad,
                             feat_n_cols,
@@ -706,28 +746,29 @@ def make_edge_sharded_dose_step(
                             emb,
                         )
                     else:
+                        x0v = aug_feat_spmm(agfwd, agbwd, None, emb)
                         dx = delta_spmm_rect(n_pad, agdelta, emb)
                     x0v = x0v + jax.lax.with_sharding_constraint(dx, row_sharding)
                 else:
-                    x0v = feat_spmm(ffwd, fbwd, anneal_view(key), emb)
+                    x0v = feat_x0(emb, key)
                 vrep = propagate(
-                    view_spmm, vfwd, vbwd, vs, x0v, dlt if has_delta else None
+                    view_spmm, vf, vb, None, x0v, dlt if has_delta else None
                 )
                 return vrep[users]
 
             if contrastive == "single":
-                v = view_users(vscale, delta, rng_vd)
+                v = view_users(vfwd, vbwd, delta, rng_vd)
                 closs = L.info_nce(u_r, v, v).mean()
             elif contrastive == "double_same":
-                v1 = view_users(vscale, delta, rng_vd)
-                v2 = view_users(vscale, delta, rng_vd2)
+                v1 = view_users(vfwd, vbwd, delta, rng_vd)
+                v2 = view_users(vfwd, vbwd, delta, rng_vd2)
                 closs = (L.info_nce(u_r, v1, v1) + L.info_nce(u_r, v2, v2)).mean()
             elif contrastive == "cross":
-                v1 = view_users(vscale, delta, rng_vd)
-                v2 = view_users(vscale2, delta2, rng_vd2)
+                v1 = view_users(vfwd, vbwd, delta, rng_vd)
+                v2 = view_users(vfwd2, vbwd2, delta2, rng_vd2)
                 closs = L.info_nce(v1, v2, v2).mean()
             else:  # "mean": DOSE_test's literal contrastive slot
-                closs = view_users(vscale, delta, rng_vd).mean()
+                closs = view_users(vfwd, vbwd, delta, rng_vd).mean()
             return (
                 bpr
                 + l2_reg * l2.mean()
@@ -747,42 +788,58 @@ def make_edge_sharded_dose_step(
     )
     rs_dev = jnp.asarray(row_sum, dtype=jnp.float32)
 
+    @jax.jit
+    def _bake_feat(ffwd, fbwd, rs, frow_st, alpha):
+        expo = (alpha - 1.0) / 2.0 - 0.5
+        anneal = jax.lax.with_sharding_constraint(
+            jnp.power(jnp.maximum(rs, 1e-12)[frow_st], expo), scale_sharding
+        )
+        return (
+            bake_stacked_scale(ffwd, anneal, mesh, axis),
+            bake_stacked_scale(fbwd, anneal, mesh, axis),
+        )
+
+    baked_feat = {"alpha": None, "ffwd": None, "fbwd": None}
+
     def run(params, opt_state, rng, view_state, alpha=1.0, aug_state=None):
-        # "cross" takes (state1, state2); a single state is (vscale, delta)
-        # where vscale is an ARRAY — disambiguate on the leading element
-        if isinstance(view_state[0], tuple):
-            (vscale, delta), (vscale2, delta2) = view_state
+        # "cross" takes (state1, state2); a single state is
+        # ((vfwd, vbwd), delta) — its leading element's leading element is a
+        # _StackedSide, a cross state's is the (vfwd, vbwd) tuple
+        if isinstance(view_state[0][0], tuple):
+            ((vfwd, vbwd), delta), ((vfwd2, vbwd2), delta2) = view_state
         else:
-            vscale, delta = view_state
-            vscale2, delta2 = vscale, delta
+            (vfwd, vbwd), delta = view_state
+            vfwd2, vbwd2, delta2 = vfwd, vbwd, delta
         if aug_state is not None:
-            agscale, agdelta = aug_state
-            agfwd, agbwd = aug_emat.fwd, aug_emat.bwd
+            (agfwd, agbwd), agdelta = aug_state
         else:
-            agscale = agdelta = agfwd = agbwd = None
+            agdelta = agfwd = agbwd = None
+        a = float(alpha)
+        if baked_feat["alpha"] != a:  # once per epoch (feat_mat_anneal)
+            baked_feat["ffwd"], baked_feat["fbwd"] = _bake_feat(
+                feat_emat.fwd, feat_emat.bwd, rs_dev, frow_stacked,
+                jnp.float32(a),
+            )
+            baked_feat["alpha"] = a
         return jitted(
             params,
             opt_state,
-            feat_emat.fwd,
-            feat_emat.bwd,
+            baked_feat["ffwd"],
+            baked_feat["fbwd"],
             adj_emat.fwd,
             adj_emat.bwd,
-            view_emat.fwd,
-            view_emat.bwd,
-            vscale,
+            vfwd,
+            vbwd,
             delta,
-            vscale2,
+            vfwd2,
+            vbwd2,
             delta2,
             agfwd,
             agbwd,
-            agscale,
             agdelta,
-            frow_stacked,
-            rs_dev,
             sampler,
             aux_sampler,
             rng,
-            jnp.asarray(alpha, jnp.float32),
         )
 
     def shard_model_params(params):
@@ -832,26 +889,29 @@ def make_edge_sharded_sgl_step(
     The LightGCN base has no feature matrix, aux loss or edge dropout, so
     this is the DOSE step minus that machinery: the raw train adjacency
     (ViewEngine base edge order) is one :class:`EdgeShardedSpMM`, and a
-    per-epoch drop view enters as its keep-mask x normalization scale
-    re-indexed once per epoch into each shard's local edge space
-    (``prepare_view``). SGL views are drop-only (``delta_budget=0``), so
-    there is no injected-pair delta path. Per-epoch view regeneration
-    changes only array VALUES — the jitted step never retraces.
+    per-epoch drop view enters with its keep-mask x normalization scale
+    re-indexed AND BAKED once per epoch into per-view copies of the
+    layout's values (``prepare_view`` via ``bake_stacked_scale`` — no
+    per-step eid+scale gathers). SGL views are drop-only
+    (``delta_budget=0``), so there is no injected-pair delta path.
+    Per-epoch view regeneration changes only array VALUES — the jitted
+    step never retraces.
 
     -> (run, prepare_view):
        run(params, opt_state, rng, view_state) -> (params, opt_state, loss),
            params = {"embedding": [n_cols_pad, d] sharded over ``axis``};
            ``view_state`` is one prepare_view output ("cross" mode: a
            (state1, state2) tuple);
-       prepare_view(EdgeView) -> per-shard local scale array (call once per
-           epoch with the model's stashed ``edge_views[...]`` after
-           ``update_aug_adj``).
+       prepare_view(EdgeView) -> baked (fwd, bwd) view layout sides (call
+           once per epoch with the model's stashed ``edge_views[...]``
+           after ``update_aug_adj``).
     """
     if contrastive not in ("single", "cross"):
         raise ValueError(f"unknown contrastive mode {contrastive!r}")
     from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
     from inductive_recommendation_tpu.parallel.spmm import (
         _wrap,
+        bake_stacked_scale,
         build_edge_sharded_spmm,
     )
 
@@ -882,12 +942,18 @@ def make_edge_sharded_sgl_step(
     cb = _hybrid_batch_constrainer(mesh, axis)
 
     @jax.jit
-    def _prep(eid_map, base_scale):
-        return jax.lax.with_sharding_constraint(base_scale[eid_map], scale_sharding)
+    def _prep(vfwd, vbwd, eid_map, base_scale):
+        sc = jax.lax.with_sharding_constraint(base_scale[eid_map], scale_sharding)
+        return (
+            bake_stacked_scale(vfwd, sc, mesh, axis),
+            bake_stacked_scale(vbwd, sc, mesh, axis),
+        )
 
     def prepare_view(view):
-        """EdgeView -> the shards' local base scales for ``run``."""
-        return _prep(view_emat.eid_map, view.base_scale)
+        """EdgeView -> baked (fwd, bwd) view layout sides for ``run``."""
+        return _prep(
+            view_emat.fwd, view_emat.bwd, view_emat.eid_map, view.base_scale
+        )
 
     def propagate(spmm, fwd, bwd, scale, x0):
         acc, h = x0, x0
@@ -903,7 +969,7 @@ def make_edge_sharded_sgl_step(
         x = jax.lax.with_sharding_constraint(params["embedding"], row_sharding)
         return propagate(adj_spmm, b["edge_fwd"], b["edge_bwd"], None, x)[:n_nodes]
 
-    def step(params, opt_state, afwd, abwd, vfwd, vbwd, vscale, vscale2, smp, rng):
+    def step(params, opt_state, afwd, abwd, vfwd, vbwd, vfwd2, vbwd2, smp, rng):
         rng_s, _ = jax.random.split(_ensure_key(rng, base_seed))
         users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
 
@@ -914,9 +980,9 @@ def make_edge_sharded_sgl_step(
             p_r = rep[n_users + pos]
             n_r = rep[n_users + neg[:, 0]]
             l2 = jnp.sum(u_r**2, 1) + jnp.sum(p_r**2, 1) + jnp.sum(n_r**2, 1)
-            v1 = propagate(view_spmm, vfwd, vbwd, vscale, x)[users]
+            v1 = propagate(view_spmm, vfwd, vbwd, None, x)[users]
             if contrastive == "cross":
-                v2 = propagate(view_spmm, vfwd, vbwd, vscale2, x)[users]
+                v2 = propagate(view_spmm, vfwd2, vbwd2, None, x)[users]
                 closs = L.info_nce(v1, v2, v2)
             else:
                 closs = L.info_nce(u_r, v1, v1)
@@ -934,20 +1000,22 @@ def make_edge_sharded_sgl_step(
     jitted = jax.jit(step, donate_argnums=(0, 1))
 
     def run(params, opt_state, rng, view_state):
-        # "cross" takes (state1, state2); a single state is a bare ARRAY
-        if isinstance(view_state, tuple):
-            vscale, vscale2 = view_state
+        # "cross" takes (state1, state2); a single state is ONE baked
+        # (fwd, bwd) side pair — its leading element is a _StackedSide
+        if isinstance(view_state[0], tuple):
+            (vfwd, vbwd), (vfwd2, vbwd2) = view_state
         else:
-            vscale = vscale2 = view_state
+            vfwd, vbwd = view_state
+            vfwd2, vbwd2 = vfwd, vbwd
         return jitted(
             params,
             opt_state,
             adj_emat.fwd,
             adj_emat.bwd,
-            view_emat.fwd,
-            view_emat.bwd,
-            vscale,
-            vscale2,
+            vfwd,
+            vbwd,
+            vfwd2,
+            vbwd2,
             sampler,
             rng,
         )
@@ -980,11 +1048,12 @@ def make_edge_sharded_ngcf_step(
 
     Training-time edge dropout on the adjacency is ONE mask per step shared
     across layers (the reference drops the matrix once per forward),
-    entering as a per-shard i.i.d. [S, E_pad] edge scale — identical
-    keep/rescale algebra to the single-device in-layout hash, different
-    draws; the feature dropout draws over the padded row space (same
-    divergence class). Loss parity with the single-device BPRTrainer step
-    is exact at dropout=0.
+    generated IN the layout from a counter-hash of (shard, local eid) with
+    one per-step key reused across layers — identical keep/rescale algebra
+    to the single-device in-layout hash, different draws, and no per-step
+    [S, E_pad] scale vector or eid gathers; the feature dropout draws over
+    the padded row space (same divergence class). Loss parity with the
+    single-device BPRTrainer step is exact at dropout=0.
 
     -> run(params, opt_state, rng) with NGCF's init_params layout,
     "embedding" re-laid to the sharded [n_cols_pad, d].
@@ -993,6 +1062,7 @@ def make_edge_sharded_ngcf_step(
     from inductive_recommendation_tpu.models.ngcf import selfloop_l1_coo
     from inductive_recommendation_tpu.parallel.spmm import (
         _wrap,
+        _wrap_dropout,
         build_edge_sharded_spmm,
     )
 
@@ -1005,24 +1075,30 @@ def make_edge_sharded_ngcf_step(
         row, col, val, (n_nodes, n_nodes), mesh.shape[axis]
     )
     spmm = _wrap(emat, mesh, axis, "scatter")
+    spmm_drop = (
+        _wrap_dropout(emat, mesh, axis, "scatter", p_drop)
+        if p_drop > 0.0
+        else None
+    )
     row_sharding = NamedSharding(mesh, P(axis, None))
     cb = _hybrid_batch_constrainer(mesh, axis)
-    e_shape = tuple(emat.eid_map.shape)  # [S, E_pad]
 
     def forward(p, fwd, bwd, rng, training):
         """The ONE NGCF forward definition (training loss + eval rep)."""
         h = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
         layers = [h]
-        edge_scale = None
+        drop_key = None
         rng_feat = rng
         if training and rng is not None and p_drop > 0.0:
             rng_edge, rng_feat = jax.random.split(rng)
-            keep = jax.random.uniform(rng_edge, e_shape) >= p_drop
-            edge_scale = jax.lax.with_sharding_constraint(
-                jnp.where(keep, 1.0 / (1.0 - p_drop), 0.0), row_sharding
-            )
+            drop_key = jax.random.key_data(rng_edge)
         for i in range(n_layers):
-            m0 = spmm(fwd, bwd, edge_scale, h)
+            # the SAME drop_key every layer == one dropped matrix per step
+            m0 = (
+                spmm_drop(fwd, bwd, drop_key, h)
+                if drop_key is not None
+                else spmm(fwd, bwd, None, h)
+            )
             m1 = h * m0
             m0 = apply_linear(p["gc_layers"][i], m0)
             m1 = apply_linear(p["bi_layers"][i], m1)
@@ -1420,7 +1496,7 @@ def make_edge_sharded_att_igcn_step(
     row_sharding = NamedSharding(mesh, P(axis, None))
     cb = _hybrid_batch_constrainer(mesh, axis)
 
-    def main_rep(p, ffwd, fbwd, afwd, abwd, fperm, qscale):
+    def main_rep(p, ffwd_q, fbwd_q, qscale, ffwd, afwd, abwd, fperm):
         """Attention-weighted inductive layer + adjacency layer-mean — the
         ONE AttIGCN forward definition, shared by the training loss and the
         trainer's eval rep. Returns (rep, emb) — the loss also needs the raw
@@ -1428,10 +1504,15 @@ def make_edge_sharded_att_igcn_step(
         models/att_igcn.py (a no-op under eval's forward-only use); the key
         table is FOLDED into the query side (qk = q @ Wk^T per head, the
         measured 2.4x form — ops/attention_spmm.py attention_spmm_fused_kv;
-        the key-side value detach happens inside parallel/attention.py)."""
+        the key-side value detach happens inside parallel/attention.py).
+        ``ffwd_q/fbwd_q`` feed the query-side SpMM (the hot step passes the
+        qscale-BAKED copies with qscale=None — alpha is pinned at 0, so the
+        bake is one-time; eval passes the raw sides + a traced qscale);
+        ``ffwd`` is always the RAW layout for the attention's value gathers
+        and nonzero masks."""
         emb = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
         emb_sg = jax.lax.stop_gradient(emb)
-        x_q = feat_spmm(ffwd, fbwd, qscale, emb_sg)
+        x_q = feat_spmm(ffwd_q, fbwd_q, qscale, emb_sg)
         q = x_q @ p["weight_q"]["w"] + p["weight_q"]["b"]
         q = jax.lax.with_sharding_constraint(
             q, NamedSharding(mesh, P(axis, None))
@@ -1458,13 +1539,14 @@ def make_edge_sharded_att_igcn_step(
             1.0 / jnp.maximum(b["edge_rs"], 1e-12)[b["edge_frow"]], scale_sharding
         )
         rep, _ = main_rep(
-            params, b["edge_feat_fwd"], b["edge_feat_bwd"],
-            b["edge_adj_fwd"], b["edge_adj_bwd"], b["edge_attn_perm"], qscale,
+            params, b["edge_feat_fwd"], b["edge_feat_bwd"], qscale,
+            b["edge_feat_fwd"],
+            b["edge_adj_fwd"], b["edge_adj_bwd"], b["edge_attn_perm"],
         )
         return rep[:n_nodes]
 
     def step(
-        params, opt_state, ffwd, fbwd, afwd, abwd, fperm, frow_st, rs, smp, aux_smp, rng
+        params, opt_state, ffwd_q, fbwd_q, ffwd, afwd, abwd, fperm, smp, aux_smp, rng
     ):
         # 3-way split matching the single-device trainer steps (the third
         # key is the model-dropout slot — unused here, AttIGCN applies none)
@@ -1472,13 +1554,10 @@ def make_edge_sharded_att_igcn_step(
         users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
         a_users, a_pos, a_neg = map(cb, sample_bpr_batch(aux_smp, rng_a, batch_size))
 
-        # alpha is fixed to 0 (att_igcn.py) -> feat weights row_sum^-1
-        qscale = jax.lax.with_sharding_constraint(
-            1.0 / jnp.maximum(rs, 1e-12)[frow_st], scale_sharding
-        )
-
         def loss_fn(p):
-            rep, emb = main_rep(p, ffwd, fbwd, afwd, abwd, fperm, qscale)
+            # alpha is fixed to 0 (att_igcn.py) -> feat weights row_sum^-1,
+            # baked ONCE into ffwd_q/fbwd_q at build time
+            rep, emb = main_rep(p, ffwd_q, fbwd_q, None, ffwd, afwd, abwd, fperm)
             u_r = rep[users]
             p_r = rep[n_users + pos]
             n_r = rep[n_users + neg[:, 0]]
@@ -1502,17 +1581,32 @@ def make_edge_sharded_att_igcn_step(
     )
     rs_dev = jnp.asarray(row_sum, dtype=jnp.float32)
 
+    from inductive_recommendation_tpu.parallel.spmm import bake_stacked_scale
+
+    @jax.jit
+    def _bake_q(ffwd, fbwd, rs, frow_st):
+        qscale = jax.lax.with_sharding_constraint(
+            1.0 / jnp.maximum(rs, 1e-12)[frow_st], scale_sharding
+        )
+        return (
+            bake_stacked_scale(ffwd, qscale, mesh, axis),
+            bake_stacked_scale(fbwd, qscale, mesh, axis),
+        )
+
+    # one-time: AttIGCN pins alpha=0, so the query-side feat weights never
+    # change — bake them at build instead of gathering a scale per step
+    ffwd_q, fbwd_q = _bake_q(feat_emat.fwd, feat_emat.bwd, rs_dev, frow_stacked)
+
     def run(params, opt_state, rng):
         return jitted(
             params,
             opt_state,
+            ffwd_q,
+            fbwd_q,
             feat_emat.fwd,
-            feat_emat.bwd,
             adj_emat.fwd,
             adj_emat.bwd,
             perm,
-            frow_stacked,
-            rs_dev,
             sampler,
             aux_sampler,
             rng,
