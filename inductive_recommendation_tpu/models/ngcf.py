@@ -99,7 +99,17 @@ class NGCF(BasicModel):
                 rng_feat, sub = jax.random.split(rng_feat)
                 keep = jax.random.uniform(sub, h.shape) >= self.dropout
                 h = jnp.where(keep, h / (1.0 - self.dropout), 0.0)
-            norm = jnp.maximum(jnp.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+            # clamp INSIDE the sqrt: clamping the norm outside still lets
+            # norm's VJP compute h/norm = 0/0 for an exactly-zero row before
+            # the clamp's zero cotangent arrives (0 * nan = nan). Zero rows
+            # are REAL here: an isolated node (self-loop only — zero-degree
+            # items exist at catalog scale) whose self-loop is edge-dropped
+            # has m0 = m1 = 0 -> h = 0; the nan reached the params through
+            # the backward on the first Gowalla-scale step (found via the
+            # r04 bench's loss=nan + jax_debug_nans).
+            norm = jnp.sqrt(
+                jnp.maximum(jnp.sum(h * h, axis=1, keepdims=True), 1e-24)
+            )
             all_layers.append(h / norm)
         return jnp.concatenate(all_layers, axis=1)
 

@@ -1109,8 +1109,13 @@ def make_edge_sharded_ngcf_step(
                 h = jnp.where(keepf, h / (1.0 - p_drop), 0.0)
             h = jax.lax.with_sharding_constraint(h, row_sharding)
             # the CONCATENATED copy is L2-normalized; the value fed to the
-            # next layer is NOT (models/ngcf.py — reference model.py:4042)
-            norm = jnp.maximum(jnp.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+            # next layer is NOT (models/ngcf.py — reference model.py:4042).
+            # Clamp INSIDE the sqrt: see models/ngcf.py — a clamped-outside
+            # norm still nan's the backward for exactly-zero rows (dropped
+            # self-loops of isolated nodes).
+            norm = jnp.sqrt(
+                jnp.maximum(jnp.sum(h * h, axis=1, keepdims=True), 1e-24)
+            )
             layers.append(h / norm)
         return jnp.concatenate(layers, axis=1)
 

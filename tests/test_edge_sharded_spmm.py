@@ -657,3 +657,68 @@ def test_edge_sharded_sgl_step_matches_single_device(model_name, mode):
         )
         assert not params["embedding"].sharding.is_fully_replicated
         model.update_aug_adj()
+
+
+def test_edge_sharded_hashdrop_consistent_and_unbiased(rng):
+    """_wrap_dropout: (a) the forward/transpose sides of a shard draw the
+    SAME mask per edge — grad of sum == the dropped matrix's column sums
+    (the consistency dropout gradients require); (b) the kept pattern
+    matches an explicit reconstruction from the layout's local eids; (c)
+    bake_stacked_scale at scale==1 is the identity layout."""
+    import jax
+
+    from inductive_recommendation_tpu.ops.bucketed_spmm import _uniform_from_eid
+    from inductive_recommendation_tpu.parallel.spmm import (
+        _wrap,
+        _wrap_dropout,
+        bake_stacked_scale,
+    )
+
+    n, S, p = 48, 4, 0.5
+    row, col, val = _random_coo(rng, n, n, 500)
+    mesh = make_mesh(n_data=1, n_model=S, devices=jax.devices()[:S])
+    mat = build_edge_sharded_spmm(row, col, val, (n, n), S)
+    x = shard_operand(rng.standard_normal((n, 8)).astype(np.float32), mat, mesh)
+    key = jax.random.key(7)
+    kd = jax.random.key_data(key)
+
+    fdrop = _wrap_dropout(mat, mesh, "model", "scatter", p)
+    with mesh:
+        out = jax.jit(fdrop)(mat.fwd, mat.bwd, kd, x)
+
+    # explicit reconstruction: dense dropped matrix from per-shard eids
+    dense = np.zeros((mat.n_rows_pad, mat.n_cols_pad), np.float32)
+    blk = mat.block
+    for s in range(S):
+        shard_key = jax.random.fold_in(key, s)
+        m = (col >= s * blk) & (col < (s + 1) * blk)
+        rs_, cs_, vs_ = row[m], col[m], val[m]
+        local_eid = np.arange(len(rs_))
+        u = np.asarray(
+            _uniform_from_eid(jax.random.key_data(shard_key), jnp.asarray(local_eid))
+        )
+        keep = u >= p
+        dense[rs_, cs_] = np.where(keep, vs_ / (1 - p), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(out), dense @ np.asarray(x), rtol=2e-4, atol=2e-5
+    )
+
+    # backward: same mask through the transpose side
+    with mesh:
+        g = jax.jit(
+            jax.grad(lambda x: jnp.sum(fdrop(mat.fwd, mat.bwd, kd, x)))
+        )(x)
+    np.testing.assert_allclose(
+        np.asarray(g), dense.sum(axis=0)[:, None].repeat(8, 1), rtol=2e-4, atol=2e-5
+    )
+
+    # bake at scale 1 == plain layout
+    ones = jnp.ones(mat.eid_map.shape, jnp.float32)
+    baked_fwd = jax.jit(lambda s, sc: bake_stacked_scale(s, sc, mesh, "model"))(
+        mat.fwd, ones
+    )
+    plain = _wrap(mat, mesh, "model", "scatter")
+    with mesh:
+        o1 = jax.jit(plain)(mat.fwd, mat.bwd, None, x)
+        o2 = jax.jit(plain)(baked_fwd, mat.bwd, None, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6)

@@ -200,3 +200,48 @@ def test_evaluator_tracks_neumf_arch_phase(ds):
     model.arch = "gmf"
     _, m_gmf2 = ev.evaluate(model, params, "val")
     assert m_gmf2["NDCG"][10] == m_gmf["NDCG"][10]
+
+
+def test_ngcf_isolated_node_dropped_selfloop_grads_finite():
+    """Regression (r04 bench loss=nan): an isolated node's row of A+I is
+    just its self-loop; edge dropout can zero the whole row, making h
+    exactly 0 — and a norm clamped OUTSIDE the sqrt still nan's the
+    backward there (norm's VJP computes h/norm = 0/0 before the clamp's
+    zero cotangent kills it). Zero-degree items are real at catalog scale.
+    The normalization must clamp INSIDE the sqrt."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from inductive_recommendation_tpu.models import get_model
+    from inductive_recommendation_tpu.train import losses as L
+
+    # items 3 and 4 have NO interactions -> isolated nodes (self-loop only)
+    train = np.array([[0, 0], [0, 1], [1, 0], [1, 2], [2, 1], [2, 2]])
+    ds = types.SimpleNamespace(n_users=3, n_items=5, train_array=train)
+    model = get_model(
+        {"name": "NGCF", "embedding_size": 8, "layer_sizes": [8, 8],
+         "dropout": 0.95, "table_align": 1},
+        ds,
+    )
+    params = model.init_params(jax.random.key(0))
+
+    def loss(p, rng):
+        u, pr, nr, l2 = model.bpr_forward(
+            p,
+            jnp.array([0, 1]), jnp.array([0, 1]), jnp.array([2, 0]),
+            rng=rng, training=True,
+        )
+        return L.bpr_loss(u, pr, nr) + 1e-3 * l2.mean()
+
+    # p=0.95: over a few keys the isolated self-loops WILL be dropped
+    for seed in range(6):
+        val, grads = jax.jit(jax.value_and_grad(loss))(
+            params, jax.random.key(seed)
+        )
+        assert np.isfinite(float(val)), seed
+        assert all(
+            np.isfinite(np.asarray(g)).all()
+            for g in jax.tree_util.tree_leaves(grads)
+        ), seed
