@@ -537,11 +537,26 @@ class DOSE_aug2(DOSE_aug):
         )
         # annealed weights baked at rebuild time (the rebuild happens right
         # after feat_mat_anneal each epoch, so alpha is current); per-step
-        # dropout is in-layout (spmm_bucketed_dropout / the delta entry hash)
+        # dropout is in-layout (spmm_bucketed_dropout / the delta entry
+        # hash). The delta's per-epoch CHUNKED structures make the per-step
+        # application scatter-free (graph/views.py chunked_* — 1.9x over
+        # the segment-sum at 1M entries); the raw tuple stays as the oracle.
+        from inductive_recommendation_tpu.graph.views import rect_chunk_pair
+
+        if not hasattr(self, "_rect_ck_jit"):
+            self._rect_ck_jit = jax.jit(
+                rect_chunk_pair, static_argnames=("n_out", "n_in", "n_cols")
+            )
         self.buffers = dict(
             self.buffers,
             aug_feat=self._anneal_jit(self._aug_feat_base, row_sum_view, self.alpha),
             aug_feat_delta=tuple(delta),
+            aug_feat_delta_ck=self._rect_ck_jit(
+                tuple(delta),
+                n_out=self.n_users + self.n_items,
+                n_in=self.feat_n_cols,
+                n_cols=self.feat_n_cols,
+            ),
         )
 
     def _update_aug_feat_host(self, aug_user_map, aug_item_map):
@@ -584,10 +599,25 @@ class DOSE_aug2(DOSE_aug):
 
         emb = params["embedding"][: self.feat_n_cols]
         delta = buffers.get("aug_feat_delta")
+        ck = buffers.get("aug_feat_delta_ck")
         n_nodes = self.n_users + self.n_items
         if training and self.dropout > 0.0:
             x0 = spmm_bucketed_dropout(buffers["aug_feat"], emb, rng, self.dropout)
-            if delta is not None:
+            if ck is not None:
+                # scatter-free chunked delta with the SAME entry-key hash
+                # masks as delta_spmm_rect_dropout (graph/views.py)
+                from inductive_recommendation_tpu.graph.views import (
+                    chunked_rect_delta_spmm_dropout,
+                )
+
+                x0 = x0 + chunked_rect_delta_spmm_dropout(
+                    ck[0],
+                    ck[1],
+                    jax.random.key_data(rng),
+                    jnp.asarray(self.dropout, jnp.float32),
+                    emb,
+                )
+            elif delta is not None:  # segment-sum oracle fallback
                 x0 = x0 + delta_spmm_rect_dropout(
                     n_nodes,
                     self.feat_n_cols,
@@ -598,7 +628,13 @@ class DOSE_aug2(DOSE_aug):
                 )
         else:
             x0 = spmm_bucketed(buffers["aug_feat"], emb)
-            if delta is not None:
+            if ck is not None:
+                from inductive_recommendation_tpu.graph.views import (
+                    chunked_delta_spmm,
+                )
+
+                x0 = x0 + chunked_delta_spmm(ck[0], ck[1], emb)
+            elif delta is not None:
                 x0 = x0 + delta_spmm_rect(n_nodes, delta, emb)
         return x0
 

@@ -453,11 +453,11 @@ def make_edge_sharded_dose_step(
     from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
     from inductive_recommendation_tpu.graph.views import (
         chunked_delta_spmm,
+        chunked_rect_delta_spmm_dropout,
         chunked_segment_structs,
-        delta_spmm_rect,
-        delta_spmm_rect_dropout,
         device_make_feat_delta,
         feat_delta_host,
+        rect_chunk_pair,
     )
     from inductive_recommendation_tpu.parallel.spmm import (
         _wrap,
@@ -633,7 +633,20 @@ def make_edge_sharded_dose_step(
                 aug_emat.fwd, aug_emat.bwd, arow_st,
                 jnp.asarray(row_sum_view), alpha,
             )
-            return baked, tuple(delta)
+            # scatter-free chunked structures for the injected entries;
+            # n_cols for the dropout keys must match the single-device hash
+            # (feat_n_cols, NOT the padded width) for cross-path mask parity
+            ck = _rect_ck(
+                tuple(jnp.asarray(d) for d in delta),
+                n_out=n_pad,
+                n_in=feat_emat.n_cols_pad,
+                n_cols=feat_n_cols,
+            )
+            return baked, ck
+
+        _rect_ck = jax.jit(
+            rect_chunk_pair, static_argnames=("n_out", "n_in", "n_cols")
+        )
 
     has_delta = eng.delta_budget > 0
 
@@ -732,22 +745,23 @@ def make_edge_sharded_dose_step(
             def view_users(vf, vb, dlt, key):
                 if aug_feat and agfwd is not None:
                     # DOSE_aug2: layer 0 reads the AUG feature matrix
-                    # (annealed weights baked per epoch; dropout drawn here)
+                    # (annealed weights baked per epoch; dropout drawn here;
+                    # the injected-entry delta is scatter-free chunked with
+                    # the single-device entry-key hash masks)
                     if p_drop > 0.0:
                         x0v = aug_spmm_drop(
                             agfwd, agbwd, jax.random.key_data(key), emb
                         )
-                        dx = delta_spmm_rect_dropout(
-                            n_pad,
-                            feat_n_cols,
-                            agdelta,
+                        dx = chunked_rect_delta_spmm_dropout(
+                            agdelta[0],
+                            agdelta[1],
                             jax.random.key_data(key),
                             jnp.asarray(p_drop, jnp.float32),
                             emb,
                         )
                     else:
                         x0v = aug_feat_spmm(agfwd, agbwd, None, emb)
-                        dx = delta_spmm_rect(n_pad, agdelta, emb)
+                        dx = chunked_delta_spmm(agdelta[0], agdelta[1], emb)
                     x0v = x0v + jax.lax.with_sharding_constraint(dx, row_sharding)
                 else:
                     x0v = feat_x0(emb, key)

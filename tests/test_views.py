@@ -259,3 +259,54 @@ def test_chunked_delta_spmm_matches_segment_sum():
         np.testing.assert_allclose(
             np.asarray(g_out), np.asarray(g_ref), rtol=2e-4, atol=1e-5
         )
+
+
+def test_chunked_rect_dropout_matches_segment_sum_oracle():
+    """chunked_rect_delta_spmm_dropout draws the SAME entry-key hash masks
+    as delta_spmm_rect_dropout (forward and grad match it exactly), and the
+    no-dropout rect pair matches delta_spmm_rect."""
+    import jax
+    from inductive_recommendation_tpu.graph.views import (
+        chunked_delta_spmm,
+        chunked_rect_delta_spmm_dropout,
+        delta_spmm_rect,
+        delta_spmm_rect_dropout,
+        rect_chunk_pair,
+    )
+
+    rng = np.random.default_rng(5)
+    n_out, n_in, n_cols, B, d = 41, 23, 23, 53, 7
+    d_row = np.sort(rng.integers(0, n_out, B)).astype(np.int32)
+    d_col = rng.integers(0, n_cols, B).astype(np.int32)
+    d_val = rng.standard_normal(B).astype(np.float32)
+    o = np.argsort(d_col, kind="stable")
+    delta = tuple(
+        jnp.asarray(a)
+        for a in (d_row, d_col, d_val, d_row[o], d_col[o], d_val[o])
+    )
+    x = jnp.asarray(rng.standard_normal((n_in, d)).astype(np.float32))
+    fs, bs = rect_chunk_pair(delta, n_out, n_in, n_cols)
+
+    # no dropout: == delta_spmm_rect
+    np.testing.assert_allclose(
+        np.asarray(chunked_delta_spmm(fs, bs, x)),
+        np.asarray(delta_spmm_rect(n_out, delta, x)),
+        rtol=2e-4, atol=1e-5,
+    )
+
+    kd = jax.random.key_data(jax.random.key(11))
+    p = jnp.float32(0.4)
+    ref = delta_spmm_rect_dropout(n_out, n_cols, delta, kd, p, x)
+    out = chunked_rect_delta_spmm_dropout(fs, bs, kd, p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=1e-5)
+
+    w = jnp.asarray(rng.standard_normal((n_out, d)).astype(np.float32))
+    g_ref = jax.grad(
+        lambda x: jnp.sum(delta_spmm_rect_dropout(n_out, n_cols, delta, kd, p, x) * w)
+    )(x)
+    g_out = jax.grad(
+        lambda x: jnp.sum(chunked_rect_delta_spmm_dropout(fs, bs, kd, p, x) * w)
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g_out), np.asarray(g_ref), rtol=2e-4, atol=1e-5
+    )
