@@ -273,6 +273,40 @@ def measure_dose_aug(ds, batch_size=2048, n_steps=30, aug_num=500000):
     return ex_s
 
 
+def measure_dose_aug2(ds, batch_size=2048, n_steps=30, aug_num=500000):
+    """DOSE_aug2 step throughput (the aug-FEATURE-matrix variant: the view
+    branch reads a per-epoch rebuilt aug feat base + the chunked
+    injected-entry delta), steady state."""
+    from inductive_recommendation_tpu.models import get_model
+    from inductive_recommendation_tpu.train.trainer import DOSEaugTrainer
+
+    model = get_model(
+        {
+            "name": "DOSE_aug2",
+            "embedding_size": 64,
+            "n_layers": 3,
+            "dropout": 0.3,
+            "feature_ratio": 1.0,
+            "aug_num": aug_num,
+            "aug_rate": 0.1,
+        },
+        ds,
+    )
+    trainer = DOSEaugTrainer(
+        _base_tcfg(
+            "DOSEaugTrainer", batch_size, aux_reg=0.01, contrastive_reg=0.01
+        ),
+        ds,
+        model,
+    )
+    model.feat_mat_anneal()
+    model.update_aug_adj(trainer.params)
+    dt, loss = _time_steps(_one_step_fn(trainer, with_aux=True), n_steps)
+    ex_s = n_steps * batch_size / dt
+    _log(f"# dose_aug2: {n_steps} steps in {dt:.3f}s | {ex_s:,.0f} ex/s | loss={loss:.4f}")
+    return ex_s
+
+
 def measure_sgl(ds, batch_size=2048, n_steps=30):
     """SGL step throughput (two drop-view propagations + InfoNCE)."""
     from inductive_recommendation_tpu.models import get_model
@@ -604,6 +638,7 @@ def main():
         igcn_ex_s, _, _ = measure_igcn(ds)
         att_ex_s = measure_att_igcn(ds)
         dose_ex_s = measure_dose_aug(ds)
+        dose2_ex_s = measure_dose_aug2(ds)
         sgl_ex_s = measure_sgl(ds)
         ngcf_ex_s = measure_ngcf(ds)
         imcgae_ex_s = measure_imcgae(ds)
@@ -616,6 +651,7 @@ def main():
             "igcn_train_examples_per_s_per_chip": round(igcn_ex_s, 1),
             "att_igcn_train_examples_per_s_per_chip": round(att_ex_s, 1),
             "dose_aug_train_examples_per_s_per_chip": round(dose_ex_s, 1),
+            "dose_aug2_train_examples_per_s_per_chip": round(dose2_ex_s, 1),
             "sgl_train_examples_per_s_per_chip": round(sgl_ex_s, 1),
             "ngcf_train_examples_per_s_per_chip": round(ngcf_ex_s, 1),
             "imcgae_train_examples_per_s_per_chip": round(imcgae_ex_s, 1),
