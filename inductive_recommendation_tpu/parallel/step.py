@@ -1179,13 +1179,17 @@ def make_edge_sharded_imcgae_step(
 
     Edge-layout params: {"embedding": [n_cols_pad, d] PERSONAL rows sharded,
     "special": [3, d] replicated} — the three shared rows (identical,
-    general-user, general-item; model.py:4314-4327) are O(d) and broadcast
-    per shard via a row-index select, so the concat to 3d width is local.
-    Per layer: node dropout at the decayed rate max(dropout - 0.1·i, 0) (a
-    row scale — shard-local), propagation, sum-combine with 1/(i+2) scaling
-    (model.py:4331-4339). Node dropout draws over the padded row space
-    (different draws than single-device, same algebra); loss parity is exact
-    at dropout=0.
+    general-user, general-item; model.py:4314-4327) are O(d). Like the
+    single-device model (models/imcgae.py _rep_compact), the propagation
+    runs at width d+3 — [personal | u_mask | i_mask | 1] — instead of the
+    3d concat: the shared blocks stay rank-<=2 under the (linear) masked
+    propagation, so only their coefficient vectors propagate, and the hot
+    gathers move one 128-lane row instead of a two-vreg 3d row. Batch rows
+    expand back to 3d only at the loss. Per layer: node dropout at the
+    decayed rate max(dropout - 0.1·i, 0) (a row scale — shard-local),
+    propagation, sum-combine with 1/(i+2) scaling (model.py:4331-4339).
+    Node dropout draws over the padded row space (different draws than
+    single-device, same algebra); loss parity is exact at dropout=0.
     """
     from inductive_recommendation_tpu.graph.build import sym_normalized_adjacency
     from inductive_recommendation_tpu.parallel.spmm import (
@@ -1208,15 +1212,17 @@ def make_edge_sharded_imcgae_step(
     # negative-rate reference quirk)
     rates = [max(p_drop - 0.1 * i, 0.0) for i in range(n_layers)]
 
-    def forward(p, fwd, bwd, rng, training):
-        """The ONE IMCGAE forward definition (training loss + eval rep)."""
+    def forward_compact(p, fwd, bwd, rng, training):
+        """The ONE IMCGAE forward definition (training loss + eval rep):
+        propagate [personal | u_mask | i_mask | 1] at width d+3; shared
+        rows enter only at row expansion (``expand``)."""
         emb = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
-        sp = p["special"]  # [identical, general_user, general_item]
-        is_user = (jnp.arange(n_pad) < n_users)[:, None]
-        general = jnp.where(is_user, sp[1], sp[2])
+        u_mask = (jnp.arange(n_pad) < n_users).astype(emb.dtype)
         h = jax.lax.with_sharding_constraint(
             jnp.concatenate(
-                [emb, general, jnp.broadcast_to(sp[0], emb.shape)], axis=1
+                [emb, u_mask[:, None], (1.0 - u_mask)[:, None],
+                 jnp.ones((n_pad, 1), emb.dtype)],
+                axis=1,
             ),
             row_sharding,
         )
@@ -1232,18 +1238,31 @@ def make_edge_sharded_imcgae_step(
             final = final + h * (1.0 / (i + 2))
         return final
 
+    def expand(rows, sp):
+        """[*, d+3] -> [*, 3d]; sp = [identical, general_user, general_item]."""
+        return jnp.concatenate(
+            [
+                rows[..., :-3],
+                rows[..., -3:-2] * sp[1] + rows[..., -2:-1] * sp[2],
+                rows[..., -1:] * sp[0],
+            ],
+            axis=-1,
+        )
+
     def eval_rep(params, b):
-        return forward(params, b["edge_fwd"], b["edge_bwd"], None, False)[:n_nodes]
+        compact = forward_compact(params, b["edge_fwd"], b["edge_bwd"], None, False)
+        return expand(compact[:n_nodes], params["special"])
 
     def step(params, opt_state, fwd, bwd, smp, rng):
         rng_s, rng_m = jax.random.split(_ensure_key(rng, base_seed))
         users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
 
         def loss_fn(p):
-            rep = forward(p, fwd, bwd, rng_m, True)
-            u_r = rep[users]
-            p_r = rep[n_users + pos]
-            n_r = rep[n_users + neg[:, 0]]
+            compact = forward_compact(p, fwd, bwd, rng_m, True)
+            sp = p["special"]
+            u_r = expand(compact[users], sp)
+            p_r = expand(compact[n_users + pos], sp)
+            n_r = expand(compact[n_users + neg[:, 0]], sp)
             l2 = jnp.sum(u_r**2, 1) + jnp.sum(p_r**2, 1) + jnp.sum(n_r**2, 1)
             return L.bpr_loss(u_r, p_r, n_r) + l2_reg * l2.mean()
 
