@@ -37,18 +37,20 @@ D = 64
 ICI_GBPS = 45.0  # v5e per-link unidirectional
 N_CHIPS = 8
 
-# measured single-chip step seconds (BENCH_DETAIL_r03.json / BASELINE.md)
+# measured single-chip EDGE-MODE S=1 step seconds (BENCH_DETAIL_r04.json —
+# the honest t1 for edge scaling: the S=1 tax is negative for every family
+# after the round-4 bake fix, so these match the plain steps to noise)
 STEPS = {
     # name: (t1_seconds, n_reduce_scatter + n_all_gather per step)
     # collective counts asserted in tests/test_comms_model.py:
     #   LightGCN BPR: L rs + L ag (L=3)
     #   IGCN:        (1+L) rs + (1+L) ag
-    #   DOSE:        (2+2L) rs + (2+2L) ag
-    "LightGCN BPR (edge-sharded)": (0.0345, 6),
-    "IGCN (edge-sharded)": (0.0473, 8),
-    "DOSE_aug (edge-sharded)": (0.080, 16),
+    #   DOSE:        (2+2L) rs + (2+2L) ag (the chunked delta adds none)
+    "LightGCN BPR (edge-sharded)": (0.0340, 6),
+    "IGCN (edge-sharded)": (0.0456, 8),
+    "DOSE_aug (edge-sharded)": (0.1184, 16),
     # data-parallel trainer path: gradient psum = 2(S-1)/S x table bytes
-    "LightGCN BPR (data-parallel)": (0.0345, "dp"),
+    "LightGCN BPR (data-parallel)": (0.0349, "dp"),
 }
 
 
