@@ -11,10 +11,10 @@ mode; a minimal one-level DMA-gather variant compiles and runs on v5e) but
 inherently orders of magnitude below XLA's hardware gather, and the nested
 per-slot DMA loop exceeds the remote Mosaic compiler's budget at real
 sizes. The production SpMM is the bucketed gather path in
-``ops/bucketed_spmm.py``, which measures 77.6% of the calibrated
+``ops/bucketed_spmm.py``, which measures 80.6% of the calibrated
 random-gather TRANSACTION ceiling on v5e (the one SoL constant,
 ``ops/sol.py::RANDOM_GATHER_ROWS_PER_S``; the remaining gap is the bucket
-layout's padded slots — BENCH_DETAIL_r03, benchmarks/spmm_bench.py). (A fused Pallas attention tile
+layout's padded slots — BENCH_DETAIL_r04, benchmarks/spmm_bench.py). (A fused Pallas attention tile
 kernel was also built and TPU-verified, then REMOVED after measuring 1.54x
 slower than the jnp composition at Gowalla scale — evidence trail in the
 ops/attention_spmm.py docstring; do not rebuild without a different layout
