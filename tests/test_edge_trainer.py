@@ -248,9 +248,12 @@ _RELOAD_PARITY_SKIP = {
 #: a 1-epoch train() is a FULL loop (train -> epoch-end regen -> eval ->
 #: checkpoint -> reload); training ON regenerated views is covered exactly
 #: by the dedicated post-update parity tests (aug2 above;
-#: test_edge_sharded_spmm's initial-AND-post-update DOSE/SGL cases) — one
-#: representative (DOSE_aug) keeps a 2-epoch loop as the integration proof
-_TWO_EPOCH = {"DOSE_aug"}
+#: test_edge_sharded_spmm's initial-AND-post-update DOSE/SGL cases) — the
+#: epoch->regen->epoch integration proof runs 2-epoch for one
+#: representative of each DISTINCT regeneration path: DOSE_aug (view
+#: re-bake + chunked delta), DOSE_aug2 (plus the aug-feat re-bake/delta
+#: refresh) and SGL (random drop views, no param read)
+_TWO_EPOCH = {"DOSE_aug", "DOSE_aug2", "SGL"}
 
 
 @pytest.mark.parametrize(
