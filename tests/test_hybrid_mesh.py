@@ -307,3 +307,124 @@ def test_hybrid_edge_trainer_product_surface():
     assert np.isfinite(metrics["NDCG"][10])
     rec = t2.recommend("val")
     assert rec.shape[0] == ds.n_users and (rec < ds.n_items).all()
+
+
+# -- hybrid two-step parity for every remaining edge family -------------------
+#
+# test_edge_trainer.py anchors each family's FIRST-step loss to the
+# single-device oracle (NGCF/IMCGAE/IDCF/DOSE_aug2 include a (2,4)
+# factorization); the tests above run BPR/IGCN/DOSE_aug two steps on every
+# factorization. What that leaves unchecked is the SECOND hybrid step of the
+# other families — the first step whose params went through the data-axis
+# gradient psum. A wrong cross-group reduction (summed instead of averaged,
+# or a missed psum on a family-specific param like NGCF's gc/bi linears,
+# IMCGAE's special rows, IDCF's attention heads, AttIGCN's q/k weights)
+# leaves step 1 exact and shows up precisely at step 2.
+
+
+def _hybrid_tcfg(name, **kw):
+    cfg = {
+        "name": name, "optimizer": "Adam", "lr": 1e-2, "l2_reg": 1e-4,
+        "n_epochs": 1, "batch_size": 64, "test_batch_size": 16,
+        "topks": [5, 10], "seed": 0, "max_patience": 50,
+    }
+    cfg.update(kw)
+    return cfg
+
+
+def _family_cfg(ds, family):
+    """(model_cfg, trainer_name, trainer_kwargs) per edge family."""
+    if family == "SGL":
+        return (
+            {"name": "SGL", "embedding_size": 16, "n_layers": 2,
+             "aug_rate": 0.5, "table_align": 1},
+            "SGLTrainer", {"contrastive_reg": 0.05},
+        )
+    if family == "AttIGCN":
+        return (
+            {"name": "AttIGCN", "embedding_size": 16, "n_layers": 2,
+             "dropout": 0.0, "n_heads": 2, "table_align": 1},
+            "IGCNTrainer", {"aux_reg": 0.01},
+        )
+    if family == "TEST":
+        return (
+            {"name": "TEST", "embedding_size": 16, "n_layers": 2,
+             "dropout": 0.0, "feature_ratio": 1.0, "aug_num": 10,
+             "aug_rate": 0.5, "table_align": 1},
+            "DOSEdropTrainer", {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        )
+    if family == "NGCF":
+        return (
+            {"name": "NGCF", "embedding_size": 16, "layer_sizes": [16, 16],
+             "dropout": 0.0, "table_align": 1},
+            "BPRTrainer", {},
+        )
+    if family == "IMCGAE":
+        return (
+            {"name": "IMCGAE", "embedding_size": 16, "n_layers": 2,
+             "dropout": 0.0, "table_align": 1},
+            "BPRTrainer", {},
+        )
+    if family == "IDCF_LGCN":
+        frozen = (
+            np.random.default_rng(7).standard_normal(
+                (ds.n_users + ds.n_items, 16), dtype=np.float32
+            )
+            * 0.1
+        )
+        return (
+            {"name": "IDCF_LGCN", "embedding_size": 16, "n_layers": 2,
+             "n_headers": 2, "n_samples": 10,
+             "pretrained_embedding": frozen, "table_align": 1},
+            "IDCFTrainer", {"contrastive_reg": 1e-3},
+        )
+    if family == "DOSE_aug2":
+        return (
+            {"name": "DOSE_aug2", "embedding_size": 16, "n_layers": 2,
+             "dropout": 0.0, "feature_ratio": 1.0, "aug_num": 8,
+             "aug_rate": 0.5, "table_align": 1},
+            "DOSEaugTrainer", {"aux_reg": 0.01, "contrastive_reg": 0.05},
+        )
+    raise AssertionError(family)
+
+
+def _single_two_step_losses(ds, mcfg, tname, tkw):
+    from inductive_recommendation_tpu import get_trainer
+
+    m = get_model(dict(mcfg), ds)
+    t = get_trainer(_hybrid_tcfg(tname, **tkw), ds, m)
+    losses = []
+    for _ in range(2):
+        args = [t.params, t.opt_state, m.buffers, t.sampler]
+        if hasattr(t, "aux_sampler"):
+            args.append(t.aux_sampler)
+        t.params, t.opt_state, loss = t._step(*args, t._next_seed())
+        losses.append(float(loss))
+    return losses
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "family",
+    ["SGL", "AttIGCN", "TEST", "NGCF", "IMCGAE", "IDCF_LGCN", "DOSE_aug2"],
+)
+def test_hybrid_two_step_parity_remaining_families(family):
+    """Two optimizer steps on the (2, 4) HYBRID mesh == two single-device
+    steps, for every edge family not already two-step-checked above."""
+    from inductive_recommendation_tpu import get_trainer
+
+    ds = _ds()
+    mcfg, tname, tkw = _family_cfg(ds, family)
+    ref = _single_two_step_losses(ds, mcfg, tname, tkw)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    t = get_trainer(
+        _hybrid_tcfg(tname, **tkw), ds, get_model(dict(mcfg), ds),
+        mesh=mesh, mesh_mode="edge",
+    )
+    got = []
+    with mesh:
+        for _ in range(2):
+            t.params, t.opt_state, loss = t._run_step(t._next_seed())
+            got.append(float(loss))
+    assert np.allclose(got, ref, atol=3e-4), (family, got, ref)
