@@ -589,7 +589,18 @@ def run_scale(round_no):
             _log(f"# {name}: FAILED ({type(e).__name__}: {str(e)[:120]})")
             return None
 
-    bpr_ex_s = guarded("bpr", lambda: measure_bpr(ds)[0])
+    bpr_res = guarded("bpr", lambda: measure_bpr(ds))
+    bpr_ex_s = bpr_res[0] if bpr_res else None
+    # full-catalog serving throughput at THIS catalog size (91.6k items:
+    # the -inf exclusion buckets + top-k merge at the scale they exist for)
+    eval_users_s = (
+        guarded(
+            "eval", lambda: measure_eval(ds, bpr_res[1], bpr_res[2].params)
+        )
+        if bpr_res
+        else None
+    )
+    bpr_res = None  # drop the model/trainer before the next tier's build
     igcn_ex_s = guarded("igcn", lambda: measure_igcn(ds)[0])
     # Amazon grid's DOSE_aug uses aug_num=800000 (configs/grids.py)
     dose_ex_s = guarded("dose", lambda: measure_dose_aug(ds, aug_num=800000))
@@ -602,6 +613,7 @@ def run_scale(round_no):
         "scale": f"{ds.n_users}x{ds.n_items}",
         "directed_train_nnz": int(nnz),
         "bpr_train_examples_per_s_per_chip": rnd(bpr_ex_s),
+        "eval_users_per_s": rnd(eval_users_s),
         "igcn_train_examples_per_s_per_chip": rnd(igcn_ex_s),
         "dose_aug800k_train_examples_per_s_per_chip": rnd(dose_ex_s),
         "edge_mode_s1_bpr_examples_per_s_per_chip": rnd(edge_s1_ex_s),
