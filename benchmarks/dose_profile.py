@@ -217,6 +217,106 @@ def main():
         file=sys.stderr,
     )
 
+    # ---- DOSE_aug2: the aug-FEATURE-matrix tax on top of DOSE_aug --------
+    # The view branch swaps the train feat base for the per-epoch aug-feat
+    # base (same entry count + annealing — a wash) and ADDS the injected-
+    # entry rect delta (2*aug_num entries through the chunked structs, one
+    # application per step). Isolate it by timing the full aug2 step with
+    # and without the aug_feat_delta buffers (different trace, same shapes
+    # otherwise).
+    model2 = get_model(
+        {
+            "name": "DOSE_aug2",
+            "embedding_size": 64,
+            "n_layers": 3,
+            "dropout": 0.3,
+            "feature_ratio": 1.0,
+            "aug_num": 500_000,
+            "aug_rate": 0.1,
+        },
+        ds,
+    )
+    params2 = model2.init_params(jax.random.key(0))
+    opt_state2 = optimizer.init(params2)
+    model2.feat_mat_anneal()
+    model2.update_aug_adj(params2)
+    buffers2 = model2.buffers
+    aux2 = AuxiliaryDataset(ds, model2.user_map, model2.item_map)
+    aux2_sampler = build_sampler_state(aux2.train_data, aux2.n_items)
+    user_dim2 = model2.user_dim
+
+    def make_aug2_step():
+        def step(params, opt_state, b, smp, aux_smp, seed):
+            rng = jax.random.fold_in(jax.random.key(0), seed)
+            rng_s, rng_a, rng_m = jax.random.split(rng, 3)
+            users, pos, neg = sample_bpr_batch(smp, rng_s, batch)
+            a_users, a_pos, a_neg = sample_bpr_batch(aux_smp, rng_a, batch)
+
+            def loss_fn(p):
+                u_r, p_r, n_r, l2, closs = model2.bpr_forward(
+                    p, users, pos, neg[:, 0], rng=rng_m, training=True,
+                    buffers=b,
+                )
+                total = (
+                    L.bpr_loss(u_r, p_r, n_r)
+                    + l2_reg * l2.mean()
+                    + aux_reg * L.aux_bpr_w(
+                        p["embedding"], p["w"], a_users, a_pos, a_neg[:, 0],
+                        user_dim2,
+                    )
+                )
+                return total + c_reg * closs.mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return jax.jit(step)
+
+    def run2(b, tag):
+        step = make_aug2_step()
+        ms = _timeit(
+            lambda: step(params2, opt_state2, b, sampler, aux2_sampler, 1)
+        )
+        print(f"# {tag:22s} {ms:8.2f} ms", file=sys.stderr)
+        return ms
+
+    t2_full = run2(buffers2, "aug2 full")
+    b2_nod = dict(buffers2)
+    b2_nod.pop("aug_feat_delta", None)
+    b2_nod.pop("aug_feat_delta_ck", None)
+    t2_noafd = run2(b2_nod, "aug2 (no aug-feat delta)")
+
+    # kernel: the chunked rect delta alone (training path hashes dropout
+    # masks from the entry keys) at the real entry count
+    from inductive_recommendation_tpu.graph.views import (
+        chunked_delta_spmm,
+        chunked_rect_delta_spmm_dropout,
+    )
+
+    ck2 = buffers2["aug_feat_delta_ck"]
+    emb2 = params2["embedding"][: model2.feat_n_cols]
+    kd = jax.random.key_data(jax.random.key(3))
+    p_drop = jnp.asarray(0.3, jnp.float32)
+    rect_drop = jax.jit(
+        lambda f, b, k, p, x: chunked_rect_delta_spmm_dropout(f, b, k, p, x)
+    )
+    t_rect_fwd = _timeit(rect_drop, ck2[0], ck2[1], kd, p_drop, emb2)
+    rect_g = jax.jit(
+        jax.grad(
+            lambda x: jnp.sum(
+                chunked_rect_delta_spmm_dropout(ck2[0], ck2[1], kd, p_drop, x)
+            )
+        )
+    )
+    t_rect_fwdbwd = _timeit(rect_g, emb2)
+    n_rect = int(buffers2["aug_feat_delta"][0].shape[0])
+    print(
+        f"# aug-feat CHUNKED rect delta (dropout) fwd {t_rect_fwd:.2f} ms | "
+        f"fwd+bwd {t_rect_fwdbwd:.2f} ms @ {n_rect} entries",
+        file=sys.stderr,
+    )
+
     payload = {
         "config": "DOSE_aug Gowalla-scale d=64 L=3 batch=2048 aug_num=500000, steady-state view",
         "phase_ms": {
@@ -235,6 +335,20 @@ def main():
             "delta_entries": n_entries,
         },
         "n_view_delta_applications_per_step": int(model.n_layers),
+        "aug2": {
+            "config": "DOSE_aug2 same shape, steady-state aug feat + view",
+            "phase_ms": {
+                "full_step": round(t2_full, 2),
+                "full_step_no_aug_feat_delta": round(t2_noafd, 2),
+                "aug_feat_delta_tax": round(t2_full - t2_noafd, 2),
+            },
+            "kernel_ms": {
+                "chunked_rect_delta_dropout_fwd": round(t_rect_fwd, 2),
+                "chunked_rect_delta_dropout_fwd_bwd": round(t_rect_fwdbwd, 2),
+                "rect_delta_entries": n_rect,
+            },
+            "n_aug_feat_delta_applications_per_step": 1,
+        },
     }
     print(json.dumps(payload, indent=1), file=sys.stderr)
     if out_json:
