@@ -553,6 +553,14 @@ def _make_amazon_dataset():
     return quick_synthetic_dataset(52643, 91599, 4_800_000, seed=0)
 
 
+def _make_yelp_dataset():
+    from inductive_recommendation_tpu.data.dataset import quick_synthetic_dataset
+
+    # Yelp2018 scale (31.7k users, 38.0k items, ~2.95M directed train nnz —
+    # raw count tuned by the Amazon tier's directed/raw ratio ~1.49)
+    return quick_synthetic_dataset(31668, 38048, 1_980_000, seed=0)
+
+
 def _release_device_memory():
     """Drop everything the previous measure pinned on the chip: python refs
     (trainers/models/layouts) via gc, then every compiled executable + its
@@ -568,16 +576,17 @@ def _release_device_memory():
     gc.collect()
 
 
-def run_scale(round_no):
-    """Amazon-scale tier (--scale): the graphs edge mode exists for.
-    Measures the flagship steps + the edge-mode S=1 memory-path tax at the
-    size where BASELINE.md's 'collectives are noise' claim applies; writes
-    BENCH_SCALE_r{N}.json. Each row runs with a clean device (see
-    _release_device_memory); a row that still exhausts the pool records
-    null + the reason instead of killing the artifact."""
+def run_scale(round_no, tier="amazon"):
+    """Graph-size tiers beyond Gowalla. ``--scale`` = Amazon (the graphs
+    edge mode exists for), ``--scale-yelp`` = Yelp2018 (the mid tier).
+    Measures the flagship steps, full-catalog eval and the edge-mode S=1
+    memory-path tax; writes BENCH_SCALE[_YELP]_r{N}.json. Each row runs
+    with a clean device (see _release_device_memory); a row that still
+    exhausts the pool records null + the reason instead of killing the
+    artifact."""
     import numpy as np
 
-    ds = _make_amazon_dataset()
+    ds = _make_yelp_dataset() if tier == "yelp" else _make_amazon_dataset()
     nnz = 2 * sum(len(t) for t in ds.train_data)
     _log(f"# scale: {ds.n_users} x {ds.n_items}, {nnz/1e6:.2f}M directed train nnz")
 
@@ -623,9 +632,10 @@ def run_scale(round_no):
             else None
         ),
     }
+    stem = "BENCH_SCALE_YELP" if tier == "yelp" else "BENCH_SCALE"
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_SCALE_r{round_no:02d}.json",
+        f"{stem}_r{round_no:02d}.json",
     )
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
@@ -635,8 +645,12 @@ def run_scale(round_no):
 def main():
     detail = "--detail" in sys.argv
     scale = "--scale" in sys.argv
+    scale_yelp = "--scale-yelp" in sys.argv
     round_no = _next_round()
 
+    if scale_yelp:
+        run_scale(round_no, tier="yelp")
+        return
     if scale:
         run_scale(round_no)
         return
