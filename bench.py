@@ -600,8 +600,8 @@ def run_scale(round_no, tier="amazon"):
 
     bpr_res = guarded("bpr", lambda: measure_bpr(ds))
     bpr_ex_s = bpr_res[0] if bpr_res else None
-    # full-catalog serving throughput at THIS catalog size (91.6k items:
-    # the -inf exclusion buckets + top-k merge at the scale they exist for)
+    # full-catalog serving throughput at THIS tier's catalog size (the
+    # -inf exclusion buckets + top-k merge at the scale they exist for)
     eval_users_s = (
         guarded(
             "eval", lambda: measure_eval(ds, bpr_res[1], bpr_res[2].params)
@@ -611,7 +611,8 @@ def run_scale(round_no, tier="amazon"):
     )
     bpr_res = None  # drop the model/trainer before the next tier's build
     igcn_ex_s = guarded("igcn", lambda: measure_igcn(ds)[0])
-    # Amazon grid's DOSE_aug uses aug_num=800000 (configs/grids.py)
+    # 800k = the Yelp grid's DOSE_aug flagship (configs/grids.py); kept for
+    # every scale tier for cross-tier comparability (Amazon's own grid says 1M)
     dose_ex_s = guarded("dose", lambda: measure_dose_aug(ds, aug_num=800000))
     edge_s1_ex_s = guarded("edge_s1", lambda: measure_edge_s1(ds))
 

@@ -290,7 +290,6 @@ def main():
     # kernel: the chunked rect delta alone (training path hashes dropout
     # masks from the entry keys) at the real entry count
     from inductive_recommendation_tpu.graph.views import (
-        chunked_delta_spmm,
         chunked_rect_delta_spmm_dropout,
     )
 

@@ -13,10 +13,15 @@ Reproduces the semantics of reference dataset.py:
 Host-side data prep is numpy; the per-batch sampling path lives in
 ``data/sampling.py`` and runs jitted on device.
 
-Known reference quirk reproduced intentionally: in ``generate_data`` a user
-whose ``int(n_inter * split_ratio[2]) == 0`` gets their *entire* interaction
-list as test data (python ``lst[-0:]`` is the whole list, dataset.py:111).
-With the usual min_inter k-core this path is rare; we mirror it for parity.
+Known reference quirks reproduced intentionally: in ``generate_data`` a
+user whose ``int(n_inter * split_ratio[2]) == 0`` gets their *entire*
+interaction list as test data (python ``lst[-0:]`` is the whole list,
+dataset.py:111) AND an *empty* val split (``lst[n_train:-0]`` is
+``lst[n_train:0]`` == ``[]``, dataset.py:110). With the usual min_inter
+k-core this path is rare, but short-history users are exactly the inductive
+cold-start population, so both quirks are mirrored byte-exactly and covered
+by the direct reference-source oracle (tests/test_reference_oracles.py
+feeds users that hit the branch).
 """
 
 from __future__ import annotations
@@ -199,11 +204,12 @@ class BasicDataset:
             n_test_items = int(n_inter_items * self.split_ratio[2])
             lst = self.user_inter_lists[user]
             self.train_data[user] += [it[0] for it in lst[:n_train_items]]
-            self.val_data[user] += [
-                it[0] for it in lst[n_train_items : len(lst) - n_test_items]
-            ]
-            # reference slices lst[-n_test_items:]; for n_test_items == 0
-            # that is the whole list (quirk reproduced, see module docstring)
+            # reference slices lst[n_train:-n_test] / lst[-n_test:]
+            # (dataset.py:110-111); for n_test_items == 0 those are python
+            # lst[n:0] == [] and lst[-0:] == the whole list, so a
+            # short-history user gets an EMPTY val split and their entire
+            # list as test (quirks reproduced, see module docstring)
+            self.val_data[user] += [it[0] for it in lst[n_train_items:-n_test_items]]
             self.test_data[user] += [it[0] for it in lst[-n_test_items:]]
         for user in range(self.n_users):
             self.train_array.extend([[user, item] for item in self.train_data[user]])

@@ -44,8 +44,9 @@ class IMCGAE(BasicModel):
         propagation operand is therefore [P | u_mask | i_mask | 1]
         ([n, d+3]): at d=64 that is one 128-lane gather row instead of the
         3d=192-wide (two-vreg) row — the SpMMs are transaction-bound
-        (CLAUDE.md), and the measured step halved: 82.2 -> 40.9 ms on v5e
-        at Gowalla scale (24,937 -> 50,132 ex/s, identical loss). Returns
+        (CLAUDE.md), and the measured step halved — 2.28x on v5e at
+        Gowalla scale (24,937 -> 56,781 ex/s, ~36 ms, identical loss;
+        committed artifact BENCH_DETAIL_r04.json). Returns
         ((compact [n, d+3]), (gu, gi, id)) — reconstruct rows on demand via
         :meth:`_expand_rows`. Exact up to fp reassociation
         ((A u_mask)·gu vs A·(u_mask gu^T))."""

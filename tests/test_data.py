@@ -54,9 +54,11 @@ def test_chronological_split_and_quirk():
     assert ds.train_data[0] == [int(i) for i in order0[:16]]
     assert ds.val_data[0] == [int(i) for i in order0[16:18]]
     assert ds.test_data[0] == [int(i) for i in order0[18:]]
-    # user 1: int(5*0.1)=0 test items -> reference quirk: whole list as test
+    # user 1: int(5*0.1)=0 test items -> reference quirks (dataset.py:110-111):
+    # val slice lst[4:-0] == lst[4:0] == [] (EMPTY, not the remainder) and
+    # test slice lst[-0:] == the whole list
     assert ds.train_data[1] == [0, 1, 2, 3]
-    assert ds.val_data[1] == [4]
+    assert ds.val_data[1] == []
     assert ds.test_data[1] == [0, 1, 2, 3, 4]
     # train_array covers train_data
     assert len(ds.train_array) == 16 + 4

@@ -70,6 +70,14 @@ def _gowalla_lines(rng, n_users=25, n_items=20, n_events=400):
         hour = int(rng.integers(0, 24))
         t = f"2010-{1 + int(rng.integers(0, 12)):02d}-{day:02d}T{hour:02d}:00:00Z"
         lines.append(f"{u}\t{t}\t0.0\t0.0\t{i}")
+    # short-history users that survive the k-core but hit the reference's
+    # n_test_items == 0 branch (dataset.py:110-111: EMPTY val via lst[n:-0],
+    # whole list as test via lst[-0:]): 3-5 distinct popular items each at
+    # a 0.15 test ratio gives int(n * 0.15) == 0
+    for k, n_short in enumerate((3, 4, 5)):
+        u = n_users + k
+        for j in range(n_short):
+            lines.append(f"{u}\t2010-06-{10 + j:02d}T12:00:00Z\t0.0\t0.0\t{j}")
     return lines
 
 
@@ -126,6 +134,17 @@ def test_gowalla_pipeline_matches_reference_source(both_gowalla):
     assert ref_ds.train_data == [list(x) for x in ours.train_data]
     assert ref_ds.val_data == [list(x) for x in ours.val_data]
     assert ref_ds.test_data == [list(x) for x in ours.test_data]
+    # guard that the fixture really exercises the n_test_items == 0 branch
+    # (dataset.py:110-111): such a user has an EMPTY val split and their
+    # whole interaction list (train items included) as test
+    quirk_users = [
+        u
+        for u in range(ref_ds.n_users)
+        if not ref_ds.val_data[u]
+        and ref_ds.test_data[u]
+        and set(ref_ds.train_data[u]) <= set(ref_ds.test_data[u])
+    ]
+    assert quirk_users, "fixture lost its short-history (n_test==0) users"
     # the reference's RAW datasets leave train_array unfilled (only
     # ProcessedDataset builds it); ours fills it for raw too — check it
     # against the reference's definition over the ref-produced train_data
