@@ -12,6 +12,9 @@ writes them to ``BENCH_DETAIL_r{N}.json`` so round-over-round deltas are
 machine-checkable (run manually on the real chip; the default driver run
 stays single-metric and bounded).
 
+``--scale`` / ``--scale-yelp`` / ``--scale-alibaba`` / ``--scale-ml`` run
+the graph-size tiers (see SCALE_TIERS) and write BENCH_SCALE*_r{N}.json.
+
 The reference publishes no numbers (BASELINE.md: "published: {}"), so
 ``vs_baseline`` is reported against this framework's own first recorded
 round figure (the earliest BENCH_r*.json in the repo); until one exists, 1.0.
@@ -689,9 +692,11 @@ def measure_spmm(model, d=64, n_iters=30):
 def _make_amazon_dataset():
     from inductive_recommendation_tpu.data.dataset import quick_synthetic_dataset
 
-    # Amazon-Books scale (reference data stats: 52.6k users, 91.6k items,
-    # ~3.0M interactions -> ~6M directed train nnz after the 80% split)
-    return quick_synthetic_dataset(52643, 91599, 4_800_000, seed=0)
+    # Amazon-Books scale, DENSITY-MATCHED since r5: raw count tuned so the
+    # directed train nnz lands on the reference's ~5.98M (the r1-r4 runs
+    # used 4.8M raw -> 7.14M directed, ~19% denser than the real dataset;
+    # BENCH_SCALE_r04 and earlier describe that denser graph)
+    return quick_synthetic_dataset(52643, 91599, 4_000_000, seed=0)
 
 
 def _make_yelp_dataset():
@@ -700,6 +705,25 @@ def _make_yelp_dataset():
     # Yelp2018 scale (31.7k users, 38.0k items, ~2.95M directed train nnz —
     # raw count tuned by the Amazon tier's directed/raw ratio ~1.49)
     return quick_synthetic_dataset(31668, 38048, 1_980_000, seed=0)
+
+
+def _make_alibaba_dataset():
+    from inductive_recommendation_tpu.data.dataset import quick_synthetic_dataset
+
+    # Alibaba-iFashion public-subset scale (300k users, 81.6k items, ~1.61M
+    # interactions — the reference repo records no stats for its
+    # data/alibaba/time path; this is the subset the public literature
+    # uses). A node-heavy/edge-light regime: 381.6k nodes but only ~2.4M
+    # directed train nnz (avg degree ~6)
+    return quick_synthetic_dataset(300_000, 81_614, 1_630_000, seed=0)
+
+
+def _make_ml_dataset():
+    from inductive_recommendation_tpu.data.dataset import quick_synthetic_dataset
+
+    # MovieLens-1M scale (6040 users, 3706 items, ~1.0M ratings; raw tuned
+    # to ~1.02M unique pairs). The smallest grid tier: 4.5% dense
+    return quick_synthetic_dataset(6040, 3706, 1_400_000, seed=0)
 
 
 def _release_device_memory():
@@ -717,17 +741,31 @@ def _release_device_memory():
     gc.collect()
 
 
+# tier -> (dataset factory, DOSE aug_num, artifact stem). aug_num follows
+# each tier's grid flagship: 800k (Yelp grid; kept for Amazon too for
+# cross-tier comparability), 500k (the Gowalla-style grid Alibaba uses),
+# 100k for the small ML-1M catalog
+SCALE_TIERS = {
+    "amazon": (_make_amazon_dataset, 800_000, "BENCH_SCALE"),
+    "yelp": (_make_yelp_dataset, 800_000, "BENCH_SCALE_YELP"),
+    "alibaba": (_make_alibaba_dataset, 500_000, "BENCH_SCALE_ALIBABA"),
+    "ml": (_make_ml_dataset, 100_000, "BENCH_SCALE_ML"),
+}
+
+
 def run_scale(round_no, tier="amazon"):
-    """Graph-size tiers beyond Gowalla. ``--scale`` = Amazon (the graphs
-    edge mode exists for), ``--scale-yelp`` = Yelp2018 (the mid tier).
+    """Graph-size tiers beyond Gowalla: ``--scale`` = Amazon
+    (density-matched to the reference's ~5.98M directed nnz since r5),
+    ``--scale-yelp`` = Yelp2018, ``--scale-alibaba`` = Alibaba-iFashion
+    (node-heavy regime), ``--scale-ml`` = MovieLens-1M.
     Measures the flagship steps, full-catalog eval and the edge-mode S=1
-    memory-path tax; writes BENCH_SCALE[_YELP]_r{N}.json. Each row runs
-    with a clean device (see _release_device_memory); a row that still
-    exhausts the pool records null + the reason instead of killing the
-    artifact."""
+    memory-path tax; writes {stem}_r{N}.json. Each row runs with a clean
+    device (see _release_device_memory); a row that still exhausts the pool
+    records null + the reason instead of killing the artifact."""
     import numpy as np
 
-    ds = _make_yelp_dataset() if tier == "yelp" else _make_amazon_dataset()
+    make_ds, dose_aug, stem = SCALE_TIERS[tier]
+    ds = make_ds()
     nnz = 2 * sum(len(t) for t in ds.train_data)
     _log(f"# scale: {ds.n_users} x {ds.n_items}, {nnz/1e6:.2f}M directed train nnz")
 
@@ -752,9 +790,7 @@ def run_scale(round_no, tier="amazon"):
     )
     bpr_res = None  # drop the model/trainer before the next tier's build
     igcn_ex_s = guarded("igcn", lambda: measure_igcn(ds)[0])
-    # 800k = the Yelp grid's DOSE_aug flagship (configs/grids.py); kept for
-    # every scale tier for cross-tier comparability (Amazon's own grid says 1M)
-    dose_ex_s = guarded("dose", lambda: measure_dose_aug(ds, aug_num=800000))
+    dose_ex_s = guarded("dose", lambda: measure_dose_aug(ds, aug_num=dose_aug))
     edge_s1_ex_s = guarded("edge_s1", lambda: measure_edge_s1(ds))
 
     def rnd(v):
@@ -766,7 +802,9 @@ def run_scale(round_no, tier="amazon"):
         "bpr_train_examples_per_s_per_chip": rnd(bpr_ex_s),
         "eval_users_per_s": rnd(eval_users_s),
         "igcn_train_examples_per_s_per_chip": rnd(igcn_ex_s),
-        "dose_aug800k_train_examples_per_s_per_chip": rnd(dose_ex_s),
+        f"dose_aug{dose_aug // 1000}k_train_examples_per_s_per_chip": rnd(
+            dose_ex_s
+        ),
         "edge_mode_s1_bpr_examples_per_s_per_chip": rnd(edge_s1_ex_s),
         "edge_mode_s1_overhead_pct": (
             round(100.0 * (bpr_ex_s / edge_s1_ex_s - 1.0), 1)
@@ -774,7 +812,6 @@ def run_scale(round_no, tier="amazon"):
             else None
         ),
     }
-    stem = "BENCH_SCALE_YELP" if tier == "yelp" else "BENCH_SCALE"
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"{stem}_r{round_no:02d}.json",
@@ -786,16 +823,17 @@ def run_scale(round_no, tier="amazon"):
 
 def main():
     detail = "--detail" in sys.argv
-    scale = "--scale" in sys.argv
-    scale_yelp = "--scale-yelp" in sys.argv
     round_no = _next_round()
 
-    if scale_yelp:
-        run_scale(round_no, tier="yelp")
-        return
-    if scale:
-        run_scale(round_no)
-        return
+    for flag, tier in (
+        ("--scale-yelp", "yelp"),
+        ("--scale-alibaba", "alibaba"),
+        ("--scale-ml", "ml"),
+        ("--scale", "amazon"),
+    ):
+        if flag in sys.argv:
+            run_scale(round_no, tier=tier)
+            return
 
     ds = _make_dataset()
     bpr_ex_s, lgcn_model, lgcn_trainer = measure_bpr(ds)
