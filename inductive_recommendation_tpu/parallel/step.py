@@ -101,6 +101,77 @@ def make_sharded_bpr_step(model, optimizer, sampler, batch_size, l2_reg, mesh):
     return run
 
 
+def _make_fused_bpr_loss(emat, mesh, axis, n_users, n_layers, l2_reg, batch_size):
+    """The WHOLE BPR loss — L-layer propagation, batch-row extraction, ego
+    L2, softplus — as ONE shard_map body with fully-manual collectives.
+
+    Why: with the per-layer SpMM and the batch gathers auto-partitioned (the
+    r4 structure), the SPMD partitioner reduces the operand cotangent over
+    'data' once PER shard_map call and the batch-cotangent scatters at
+    table-shard size — (L+6) [n_pad/S, d]-sized data-axis all-reduces per
+    step (measured by the compiled-HLO audit, parallel/comms.py). Because
+    the backward is LINEAR in the cotangents, those reductions commute to a
+    single final one: one shard_map around the whole loss means autodiff's
+    replication reduction over 'data' fires ONCE for the chain. Batch rows
+    are extracted with a masked local gather + a batch-sized psum over the
+    edge axis, so their cotangents stay batch-sized on the wire. Audited
+    data-axis traffic drops (L+6)x -> 1x shard bytes (the closed form in
+    tests/test_comms_model.py).
+
+    Loss value is identical to the unfused form: (sum softplus + l2_reg *
+    sum l2) / batch == bpr_loss(...) + l2_reg * l2.mean()."""
+    from inductive_recommendation_tpu.parallel.spmm import _make_local_fn
+
+    local = _make_local_fn(axis, "scatter")
+    block = emat.block
+    extra = tuple(a for a in mesh.axis_names if a != axis and mesh.shape[a] > 1)
+
+    def body(fwd, bwd, x, users, pos, neg):
+        acc, h = x, x
+        for _ in range(n_layers):
+            h = local(fwd, bwd, None, h)
+            acc = acc + h
+        rep = acc / (n_layers + 1)
+
+        def take(tbl, ids):
+            lid = ids - jax.lax.axis_index(axis) * block
+            ok = (lid >= 0) & (lid < block)
+            rows = jnp.where(
+                ok[:, None], jnp.take(tbl, jnp.clip(lid, 0, block - 1), axis=0), 0.0
+            )
+            return jax.lax.psum(rows, axis)
+
+        iu, ip, ineg = users, n_users + pos, n_users + neg
+        u_r, p_r, n_r = take(rep, iu), take(rep, ip), take(rep, ineg)
+        xu, xp, xn = take(x, iu), take(x, ip), take(x, ineg)
+        l2 = (
+            jnp.sum(xu**2, axis=1) + jnp.sum(xp**2, axis=1) + jnp.sum(xn**2, axis=1)
+        )
+        softp = jax.nn.softplus(
+            jnp.sum(u_r * n_r, axis=1) - jnp.sum(u_r * p_r, axis=1)
+        )
+        total = jnp.sum(softp) + l2_reg * jnp.sum(l2)
+        for a in extra:
+            total = jax.lax.psum(total, a)
+        return total / batch_size
+
+    batch_spec = P(extra) if extra else P()
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(axis),
+            P(axis),
+            P(axis, None),
+            batch_spec,
+            batch_spec,
+            batch_spec,
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
 def make_edge_sharded_bpr_step(
     emat,
     mesh,
@@ -112,6 +183,7 @@ def make_edge_sharded_bpr_step(
     n_layers,
     axis="model",
     base_seed=0,
+    fused=True,
 ):
     """LightGCN BPR step where NEITHER the graph NOR the embedding table ever
     materializes on one device.
@@ -148,24 +220,38 @@ def make_edge_sharded_bpr_step(
         x = jax.lax.with_sharding_constraint(params["embedding"], row_sharding)
         return propagate(b["edge_fwd"], b["edge_bwd"], x)[: emat.n_rows]
 
+    fused_loss = (
+        _make_fused_bpr_loss(emat, mesh, axis, n_users, n_layers, l2_reg, batch_size)
+        if fused
+        else None
+    )
+
     def step(params, opt_state, fwd, bwd, smp, rng):
         rng_s, _ = jax.random.split(_ensure_key(rng, base_seed))
         users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
 
-        def loss_fn(p):
-            x = p["embedding"]
-            x = jax.lax.with_sharding_constraint(x, row_sharding)
-            rep = propagate(fwd, bwd, x)
-            u_r = rep[users]
-            p_r = rep[n_users + pos]
-            n_r = rep[n_users + neg[:, 0]]
-            # L2 on the ego embeddings (model.py:114-117)
-            l2 = (
-                jnp.sum(x[users] ** 2, 1)
-                + jnp.sum(x[n_users + pos] ** 2, 1)
-                + jnp.sum(x[n_users + neg[:, 0]] ** 2, 1)
-            )
-            return L.bpr_loss(u_r, p_r, n_r) + l2_reg * l2.mean()
+        if fused:
+
+            def loss_fn(p):
+                x = jax.lax.with_sharding_constraint(p["embedding"], row_sharding)
+                return fused_loss(fwd, bwd, x, users, pos, neg[:, 0])
+
+        else:
+
+            def loss_fn(p):
+                x = p["embedding"]
+                x = jax.lax.with_sharding_constraint(x, row_sharding)
+                rep = propagate(fwd, bwd, x)
+                u_r = rep[users]
+                p_r = rep[n_users + pos]
+                n_r = rep[n_users + neg[:, 0]]
+                # L2 on the ego embeddings (model.py:114-117)
+                l2 = (
+                    jnp.sum(x[users] ** 2, 1)
+                    + jnp.sum(x[n_users + pos] ** 2, 1)
+                    + jnp.sum(x[n_users + neg[:, 0]] ** 2, 1)
+                )
+                return L.bpr_loss(u_r, p_r, n_r) + l2_reg * l2.mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -179,6 +265,119 @@ def make_edge_sharded_bpr_step(
 
     run.eval_rep = eval_rep
     return run
+
+
+def _masked_take(tbl, ids, block, axis):
+    """Distributed row extraction inside a manual shard_map body: each
+    shard contributes the rows it owns (masked local gather), summed with a
+    BATCH-sized psum over the edge ring — so the rows' cotangents stay
+    batch-sized on the wire instead of the table-shard-sized scatter
+    reductions the auto-partitioned gather costs (compiled-HLO audit,
+    parallel/comms.py)."""
+    lid = ids - jax.lax.axis_index(axis) * block
+    ok = (lid >= 0) & (lid < block)
+    rows = jnp.where(
+        ok[:, None], jnp.take(tbl, jnp.clip(lid, 0, block - 1), axis=0), 0.0
+    )
+    return jax.lax.psum(rows, axis)
+
+
+def _make_fused_igcn_loss(
+    feat_emat,
+    adj_emat,
+    mesh,
+    axis,
+    n_users,
+    user_dim,
+    n_layers,
+    l2_reg,
+    aux_reg,
+    batch_size,
+    p_drop,
+):
+    """The IGCN loss — inductive feat SpMM (baked annealed values, optional
+    in-layout dropout), adjacency chain, batch extraction, aux BPR — as ONE
+    shard_map body, for the same reason as :func:`_make_fused_bpr_loss`:
+    autodiff's replication reduction over 'data' fires ONCE for the whole
+    chain instead of per shard_map call + per batch-gather scatter.
+
+    Loss value identical to the unfused form: (sum softplus_main + l2_reg *
+    sum l2 + aux_reg * sum softplus_aux) / batch."""
+    from inductive_recommendation_tpu.parallel.spmm import (
+        _make_local_fn,
+        _make_local_fn_dropout,
+    )
+
+    local_feat = (
+        _make_local_fn_dropout(axis, "scatter", p_drop)
+        if p_drop > 0.0
+        else _make_local_fn(axis, "scatter")
+    )
+    local_adj = _make_local_fn(axis, "scatter")
+    emb_block = feat_emat.block
+    rep_block = feat_emat.n_rows_pad // feat_emat.n_shards
+    extra = tuple(a for a in mesh.axis_names if a != axis and mesh.shape[a] > 1)
+
+    def body(ffwd, fbwd, afwd, abwd, key_data, emb, w, users, pos, neg, au, ap, an):
+        if p_drop > 0.0:
+            x0 = local_feat(ffwd, fbwd, key_data, emb)
+        else:
+            x0 = local_feat(ffwd, fbwd, None, emb)
+        acc, h = x0, x0
+        for _ in range(n_layers):
+            h = local_adj(afwd, abwd, None, h)
+            acc = acc + h
+        rep = acc / (n_layers + 1)
+        u_r = _masked_take(rep, users, rep_block, axis)
+        p_r = _masked_take(rep, n_users + pos, rep_block, axis)
+        n_r = _masked_take(rep, n_users + neg, rep_block, axis)
+        l2 = (
+            jnp.sum(u_r**2, axis=1)
+            + jnp.sum(p_r**2, axis=1)
+            + jnp.sum(n_r**2, axis=1)
+        )
+        softp = jax.nn.softplus(
+            jnp.sum(u_r * n_r, axis=1) - jnp.sum(u_r * p_r, axis=1)
+        )
+        # aux BPR on raw core embedding rows weighted by w (L.aux_bpr_w)
+        a_u = _masked_take(emb, au, emb_block, axis)
+        a_p = _masked_take(emb, user_dim + ap, emb_block, axis)
+        a_n = _masked_take(emb, user_dim + an, emb_block, axis)
+        aux_softp = jax.nn.softplus(
+            jnp.sum(a_u * a_n * w[None, :], axis=1)
+            - jnp.sum(a_u * a_p * w[None, :], axis=1)
+        )
+        total = (
+            jnp.sum(softp)
+            + l2_reg * jnp.sum(l2)
+            + aux_reg * jnp.sum(aux_softp)
+        )
+        for a in extra:
+            total = jax.lax.psum(total, a)
+        return total / batch_size
+
+    batch_spec = P(extra) if extra else P()
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(axis),
+            P(axis),
+            P(axis),
+            P(axis),
+            P(None),
+            P(axis, None),
+            P(None),
+            batch_spec,
+            batch_spec,
+            batch_spec,
+            batch_spec,
+            batch_spec,
+            batch_spec,
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
 
 
 def make_edge_sharded_igcn_step(
@@ -199,6 +398,7 @@ def make_edge_sharded_igcn_step(
     dropout,
     axis="model",
     base_seed=0,
+    fused=True,
 ):
     """IGCN training step where the feature matrix, the adjacency AND the
     core embedding table are all sharded — the flagship model with no
@@ -282,35 +482,57 @@ def make_edge_sharded_igcn_step(
         rep = propagate(x0, b["edge_adj_fwd"], b["edge_adj_bwd"])
         return rep[: feat_emat.n_rows]
 
+    fused_loss = (
+        _make_fused_igcn_loss(
+            feat_emat, adj_emat, mesh, axis, n_users, user_dim, n_layers,
+            l2_reg, aux_reg, batch_size, p_drop,
+        )
+        if fused
+        else None
+    )
+
     def step(params, opt_state, ffwd, fbwd, afwd, abwd, smp, aux_smp, rng):
         rng_s, rng_a, rng_d = jax.random.split(_ensure_key(rng, base_seed), 3)
         users, pos, neg = map(cb, sample_bpr_batch(smp, rng_s, batch_size))
         a_users, a_pos, a_neg = map(cb, sample_bpr_batch(aux_smp, rng_a, batch_size))
 
-        def loss_fn(p):
-            emb = jax.lax.with_sharding_constraint(
-                p["embedding"], NamedSharding(mesh, P(axis, None))
-            )
-            # annealed weights are already baked into ffwd/fbwd's values;
-            # feature dropout draws in-layout from (shard, local eid)
-            if p_drop > 0.0:
-                x0 = feat_spmm_drop(
-                    ffwd, fbwd, jax.random.key_data(rng_d), emb
+        if fused:
+
+            def loss_fn(p):
+                emb = jax.lax.with_sharding_constraint(
+                    p["embedding"], NamedSharding(mesh, P(axis, None))
                 )
-            else:
-                x0 = feat_spmm(ffwd, fbwd, None, emb)
-            rep = propagate(x0, afwd, abwd)
-            u_r = rep[users]
-            p_r = rep[n_users + pos]
-            n_r = rep[n_users + neg[:, 0]]
-            # per-sample sum of squared norms on the REP embeddings, exactly
-            # models/base.py::l2_sq_rows as used by IGCN.bpr_forward
-            l2 = jnp.sum(u_r**2, 1) + jnp.sum(p_r**2, 1) + jnp.sum(n_r**2, 1)
-            bpr = L.bpr_loss(u_r, p_r, n_r)
-            aux_loss = L.aux_bpr_w(
-                emb, p["w"], a_users, a_pos, a_neg[:, 0], user_dim
-            )
-            return bpr + l2_reg * l2.mean() + aux_reg * aux_loss
+                return fused_loss(
+                    ffwd, fbwd, afwd, abwd, jax.random.key_data(rng_d), emb,
+                    p["w"], users, pos, neg[:, 0], a_users, a_pos, a_neg[:, 0],
+                )
+
+        else:
+
+            def loss_fn(p):
+                emb = jax.lax.with_sharding_constraint(
+                    p["embedding"], NamedSharding(mesh, P(axis, None))
+                )
+                # annealed weights are already baked into ffwd/fbwd's values;
+                # feature dropout draws in-layout from (shard, local eid)
+                if p_drop > 0.0:
+                    x0 = feat_spmm_drop(
+                        ffwd, fbwd, jax.random.key_data(rng_d), emb
+                    )
+                else:
+                    x0 = feat_spmm(ffwd, fbwd, None, emb)
+                rep = propagate(x0, afwd, abwd)
+                u_r = rep[users]
+                p_r = rep[n_users + pos]
+                n_r = rep[n_users + neg[:, 0]]
+                # per-sample sum of squared norms on the REP embeddings,
+                # exactly models/base.py::l2_sq_rows as IGCN.bpr_forward
+                l2 = jnp.sum(u_r**2, 1) + jnp.sum(p_r**2, 1) + jnp.sum(n_r**2, 1)
+                bpr = L.bpr_loss(u_r, p_r, n_r)
+                aux_loss = L.aux_bpr_w(
+                    emb, p["w"], a_users, a_pos, a_neg[:, 0], user_dim
+                )
+                return bpr + l2_reg * l2.mean() + aux_reg * aux_loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

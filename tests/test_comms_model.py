@@ -489,14 +489,15 @@ def test_dose_aug2_step_collective_budget(S):
 
 @pytest.mark.parametrize("nd,nm", [(2, 4), (4, 2)])
 def test_hybrid_step_collectives_stay_in_edge_groups(nd, nm):
-    """Hybrid data x edge mesh (D, S): the per-layer propagation
-    reduce-scatters/all-gathers run over the S-sized 'model' SUBGROUPS
-    (traced axis size S, not D·S) — collective ring cost shrinks with S —
-    while the shard_map backward's replication psums run over 'data' with
-    axis size D (the cross-group DP gradient reduction; size-1 and free on
-    pure-edge meshes). The batch-side gradient all-reduce the partitioner
-    adds on top is asserted structurally in
-    test_hybrid_mesh.py::test_hybrid_data_axis_carries_gradient_psum."""
+    """Hybrid data x edge mesh (D, S) with the r5 FUSED BPR loss (one
+    shard_map around propagation + batch extraction + loss): the per-layer
+    propagation reduce-scatters/all-gathers run over the S-sized 'model'
+    SUBGROUPS (traced axis size S, not D·S); the six masked batch-row
+    gathers psum BATCH-sized rows over 'model' (fwd + transpose = 12); and
+    the 'data' axis carries only the scalar loss reduction + ONE operand-
+    cotangent psum for the whole chain — the (L+6)x table-shard data
+    traffic of the auto-partitioned form is gone (byte-level assertion in
+    test_bpr_compiled_bytes_match_closed_form)."""
     import optax
 
     from inductive_recommendation_tpu import get_dataset
@@ -536,8 +537,14 @@ def test_hybrid_step_collectives_stay_in_edge_groups(nd, nm):
     # every propagation collective rides the S-sized edge subgroup
     assert stats.axis_sizes["reduce_scatter"] == [nm] * L
     assert stats.axis_sizes["all_gather"] == [nm] * L
-    # shard_map replication psums cross the D-sized data groups
-    assert stats.axis_sizes["psum"] == [nd] * L
+    # 12 batch-sized psums over 'model' (6 masked gathers, fwd + transpose)
+    psum_sizes = stats.axis_sizes["psum"]
+    assert sum(1 for s in psum_sizes if s == nm) == 12
+    # the 'data' groups carry only the scalar loss psum (fwd + transpose)
+    # plus ONE chain-level operand-cotangent psum
+    data_psums = [s for s in psum_sizes if s != nm]
+    assert len(data_psums) == (3 if nd > 1 else 1)
+    assert all(s in (nd, 1) for s in data_psums)
 
 
 # ---------------------------------------------------------------------------
@@ -580,15 +587,19 @@ def tiny_audit_ds(comms_model):
 def test_bpr_compiled_bytes_match_closed_form(comms_model, tiny_audit_ds, nd, nm):
     """The audited per-device wire bytes of the compiled hybrid BPR step
     equal the analytic ring volumes EXACTLY (zero tolerance on the
-    table/batch terms):
+    table/batch terms). With the r5 FUSED loss (step.py::
+    _make_fused_bpr_loss — one shard_map around propagation + batch
+    extraction + loss):
 
     - table-shaped: 2L(S-1) x shard (L reduce-scatters + L all-gathers of
-      the [n_pad, d] operand over the S-ring) + 2(D-1)/D x (L+6) x shard
-      data-axis all-reduces — L propagation psums plus SIX batch-cotangent
-      scatters (u/p/n at the final rep AND at the raw-embedding L2 term)
-      that the partitioner reduces over 'data' at table-shard size,
-    - batch-shaped: 2(S-1)/S x 6 x (B/D x d x 4) model-axis all-reduces of
-      the u/p/n gathered reps + their partial l2 sums.
+      the [n_pad, d] operand over the S-ring) + 2(D-1)/D x 1 x shard — ONE
+      data-axis all-reduce of the operand cotangent for the whole chain.
+      (The r4 auto-partitioned form paid (L+6)x here: per-layer replication
+      psums plus six table-shard-sized batch-cotangent scatter reductions —
+      the audit that exposed it is why the fused form exists.)
+    - batch-shaped: 2(S-1)/S x 12 x (B/D x d x 4) — the six masked-gather
+      psums of u/p/n rep + ego rows over the edge ring, forward and
+      transpose.
 
     This is the machine check that the comms model's bytes term cannot
     silently misprice (r4 verdict weak-item 5): the same audited numbers
@@ -598,8 +609,8 @@ def test_bpr_compiled_bytes_match_closed_form(comms_model, tiny_audit_ds, nd, nm
     dims = aud["dims"]
     shard = dims["n_pad"] // nm * dims["d"] * 4
     bloc = dims["B"] // nd * dims["d"] * 4
-    expect_table = (2 * L * (nm - 1) + 2 * (nd - 1) / nd * (L + 6)) * shard
-    expect_batch = 2 * (nm - 1) / nm * 6 * bloc
+    expect_table = (2 * L * (nm - 1) + 2 * (nd - 1) / nd * 1) * shard
+    expect_batch = 2 * (nm - 1) / nm * 12 * bloc
     assert aud["table"] == pytest.approx(expect_table, rel=0, abs=0.5)
     assert aud["batch"] == pytest.approx(expect_batch, rel=0, abs=0.5)
     # scalars (loss + aux reductions) must stay negligible vs the table term
@@ -611,9 +622,12 @@ def test_bpr_compiled_bytes_match_closed_form(comms_model, tiny_audit_ds, nd, nm
 # Regenerate with benchmarks/comms_model.py if a step restructuring
 # legitimately changes traffic — an UNNOTICED change is what must fail here.
 _PINNED = {
-    ("igcn", 1, 8): (55.000, 10.500),
-    ("igcn", 2, 4): (33.730, 9.250),
-    ("igcn", 4, 2): (22.923, 6.750),
+    # igcn: the r5 fused loss (one shard_map; single data-axis operand
+    # psum + batch-sized extraction psums) — was 33.730/22.923 table units
+    # at (2,4)/(4,2) under the auto-partitioned form
+    ("igcn", 1, 8): (55.000, 21.109),
+    ("igcn", 2, 4): (24.784, 18.219),
+    ("igcn", 4, 2): (9.464, 12.438),
     ("dose", 1, 8): (144.375, 27.625),
     ("dose", 2, 4): (119.396, 38.000),
     ("dose", 4, 2): (91.337, 42.250),
