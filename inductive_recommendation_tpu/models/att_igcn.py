@@ -31,7 +31,10 @@ from inductive_recommendation_tpu.models.base import (
 )
 from inductive_recommendation_tpu.models.igcn import IGCN
 from inductive_recommendation_tpu.ops import spmm_bucketed
-from inductive_recommendation_tpu.ops.attention_spmm import attention_spmm_fused_kv
+from inductive_recommendation_tpu.ops.attention_spmm import (
+    attention_spmm_fused_kv,
+    build_dv_slot_tables,
+)
 
 
 class AttIGCN(IGCN):
@@ -47,7 +50,23 @@ class AttIGCN(IGCN):
             alpha=jnp.asarray(0.0, dtype=jnp.float32),
             feat=self._anneal_jit(self._feat_base, self._feat_row_sum, 0.0),
         )
+        # gather-only bilinear aggregation backward (r5): layout-static
+        # transpose-slot tables so d(emb) runs as a transpose gather
+        # instead of the autodiff scatter (benchmarks/attn_dv_probe.py)
+        self.buffers["feat_dv_slots"] = build_dv_slot_tables(
+            self.buffers["feat"]
+        )
         self.temperature = float(np.sqrt(self.embedding_size) * 10.0)
+
+    def _build_graph_buffers(self, dataset):
+        # restore_aux/attach_dataset rebuild buffers wholesale (IGCN) — the
+        # alpha-0 rebake happens there via the stored alpha; re-derive the
+        # slot tables for the rebuilt feat layout too
+        super()._build_graph_buffers(dataset)
+        if hasattr(self, "n_heads"):  # not yet set during IGCN.__init__
+            self.buffers["feat_dv_slots"] = build_dv_slot_tables(
+                self.buffers["feat"]
+            )
 
     def init_params(self, rng):
         r_emb, r_q, r_k = jax.random.split(rng, 3)
@@ -79,6 +98,7 @@ class AttIGCN(IGCN):
         return attention_spmm_fused_kv(
             buffers["feat"], q, params["weight_k"]["w"], params["weight_k"]["b"],
             emb, self.temperature,
+            dv_slots=buffers.get("feat_dv_slots"),
         )
 
     def bpr_forward(

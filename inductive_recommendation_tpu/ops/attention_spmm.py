@@ -97,7 +97,82 @@ def _attention_forward(mat, q, k_table, v_table, temperature):
     return _assemble_rows(side, parts, v_table.shape[-1], v_table.dtype)
 
 
-def _attention_forward_qk(mat, qk, qb, v_table, temperature):
+def build_dv_slot_tables(mat: BucketedSpMM):
+    """Layout-static fwd-slot index per TRANSPOSE-layout slot (host, once).
+
+    The attention aggregation is bilinear in (attn, v), so its v-cotangent
+    is a transpose-layout application with the ATTENTION as edge values.
+    These tables let the backward read each transpose slot's attention
+    weight from the forward layout's packed [sum m_b * k_b] vector with one
+    flat GATHER — the scatter-free form measured 23.8 ms vs 31.4 ms for
+    the XLA autodiff scatter at Gowalla scale (benchmarks/attn_dv_probe.py,
+    recorded in ATT_BREAKDOWN_r05.json)."""
+    import numpy as np
+
+    total = sum(int(np.prod(b.eid.shape)) for b in mat.fwd.buckets)
+    slot_of_eid = np.zeros(mat.nnz + 1, np.int64)
+    off = 0
+    for b in mat.fwd.buckets:
+        e = np.asarray(b.eid).reshape(-1)
+        m = np.asarray(b.val).reshape(-1) != 0
+        slot_of_eid[e[m]] = off + np.nonzero(m)[0]
+        off += e.size
+    assert off == total
+    return tuple(
+        jnp.asarray(slot_of_eid[np.asarray(b.eid)].astype(np.int32))
+        for b in mat.bwd.buckets
+    )
+
+
+@jax.custom_vjp
+def _bilinear_aggregate(fwd_side, bwd_side, slots, attns, v_table):
+    """sum_s attn[r, s] * v[idx[r, s]] with a gather-only custom VJP.
+
+    d(v) runs as the transpose-layout application with the attention as
+    edge values (see :func:`build_dv_slot_tables`); d(attn) recomputes the
+    value gather (cheaper than saving the [m, k, d] residual). The score
+    chain (softmax -> q/Wk) stays on XLA autodiff — the r2 lesson that a
+    FULL custom backward loses still holds (module docstring); only the
+    bilinear core's scatter is replaced."""
+    parts = []
+    for b, a in zip(fwd_side.buckets, attns):
+        vals = jnp.take(v_table, b.idx, axis=0)
+        parts.append(jnp.einsum("mk,mkd->md", a, vals))
+    return _assemble_rows(fwd_side, parts, v_table.shape[-1], v_table.dtype)
+
+
+def _bilinear_fwd(fwd_side, bwd_side, slots, attns, v_table):
+    out = _bilinear_aggregate(fwd_side, bwd_side, slots, attns, v_table)
+    return out, (fwd_side, bwd_side, slots, attns, v_table)
+
+
+def _bilinear_bwd(res, g):
+    fwd_side, bwd_side, slots, attns, v_table = res
+    d_attns = []
+    for b, rows in _iter_buckets(fwd_side):
+        vals = jnp.take(v_table, b.idx, axis=0)
+        d_attns.append(
+            jnp.einsum("md,mkd->mk", jnp.take(g, rows, axis=0), vals)
+            * (b.val != 0)
+        )
+    flat = jnp.concatenate([a.reshape(-1) for a in attns])
+    parts = []
+    for b, s in zip(bwd_side.buckets, slots):
+        a_b = jnp.take(flat, s, axis=0) * (b.val != 0)
+        parts.append(
+            jnp.einsum("mk,mkd->md", a_b, jnp.take(g, b.idx, axis=0))
+        )
+    d_v = _assemble_rows(bwd_side, parts, v_table.shape[-1], v_table.dtype)
+    zf = jax.tree_util.tree_map(jnp.zeros_like, fwd_side)
+    zb = jax.tree_util.tree_map(jnp.zeros_like, bwd_side)
+    zs = jax.tree_util.tree_map(jnp.zeros_like, slots)
+    return (zf, zb, zs, tuple(d_attns), d_v)
+
+
+_bilinear_aggregate.defvjp(_bilinear_fwd, _bilinear_bwd)
+
+
+def _attention_forward_qk(mat, qk, qb, v_table, temperature, dv_slots=None):
     """Fused-key attention forward: scores from the VALUE gather.
 
     When the key table is a linear map of the value table (AttIGCN:
@@ -115,6 +190,7 @@ def _attention_forward_qk(mat, qk, qb, v_table, temperature):
     ``v_table`` gradients flow only through the output aggregation."""
     side = mat.fwd
     parts = []
+    attns = []
     dv = v_table.shape[-1]
     for b, rows in _iter_buckets(side):
         m, k_slots = b.idx.shape
@@ -132,11 +208,19 @@ def _attention_forward_qk(mat, qk, qb, v_table, temperature):
         ex = ex * mask[:, :, None]
         denom = jnp.sum(ex, axis=1, keepdims=True)
         attn = (ex / jnp.maximum(denom, 1e-12)).mean(axis=-1)  # head mean
-        parts.append(jnp.einsum("mk,mkd->md", attn, vals))
-    return _assemble_rows(side, parts, dv, v_table.dtype)
+        if dv_slots is None:
+            parts.append(jnp.einsum("mk,mkd->md", attn, vals))
+        else:
+            attns.append(attn)
+    if dv_slots is None:
+        return _assemble_rows(side, parts, dv, v_table.dtype)
+    # scatter-free bilinear core: d(v) via the transpose-layout gather (the
+    # measured 1.3x over the autodiff scatter, benchmarks/attn_dv_probe.py);
+    # the forward's internal value gather CSEs with the score path's
+    return _bilinear_aggregate(side, mat.bwd, dv_slots, tuple(attns), v_table)
 
 
-def attention_spmm_fused_kv(mat, q, w_k, b_k, v_table, temperature):
+def attention_spmm_fused_kv(mat, q, w_k, b_k, v_table, temperature, dv_slots=None):
     """out[r] = sum_{c in N(r)} softmax_c(q[r]·(sg(v[c]) @ Wk + bk) / T) v[c].
 
     The AttIGCN attention with the key table fused into the query side (see
@@ -144,13 +228,19 @@ def attention_spmm_fused_kv(mat, q, w_k, b_k, v_table, temperature):
     [dv, h*dh]; ``b_k`` [h*dh]; ``v_table`` [n_cols, dv]. Numerically equal
     to ``attention_spmm(mat, q, sg(v) @ Wk + bk, v, T)`` up to fp
     reassociation (the per-row q·bk term is softmax-shift-invariant either
-    way; it is kept so intermediate scores match too)."""
+    way; it is kept so intermediate scores match too).
+
+    ``dv_slots`` (optional, :func:`build_dv_slot_tables`): route the
+    bilinear aggregation through the gather-only custom VJP — d(v) as a
+    transpose-layout application instead of the autodiff scatter."""
     h, dh = q.shape[1], q.shape[2]
     dv = v_table.shape[-1]
     wk = w_k.reshape(dv, h, dh)
     qk = jnp.einsum("nhd,vhd->nhv", q, wk)  # [n_rows, h, dv] — dense MXU
     qb = jnp.einsum("nhd,hd->nh", q, b_k.reshape(h, dh))
-    return _attention_forward_qk(mat, qk, qb, v_table, float(temperature))
+    return _attention_forward_qk(
+        mat, qk, qb, v_table, float(temperature), dv_slots=dv_slots
+    )
 
 
 def attention_spmm(

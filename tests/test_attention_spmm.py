@@ -208,3 +208,48 @@ def test_attention_grads_match_dense_oracle(tiny_graph, rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=name
         )
+
+
+def test_fused_kv_bilinear_dv_slots_matches_autodiff(tiny_graph, rng):
+    """The gather-only bilinear core (dv_slots route: d(v) as a transpose-
+    layout application with the attention as edge values, d(attn) by
+    re-gathering the value rows — benchmarks/attn_dv_probe.py's measured
+    1.3x form) must agree with the XLA-autodiff aggregation on values AND
+    every gradient."""
+    from inductive_recommendation_tpu.ops.attention_spmm import (
+        attention_spmm_fused_kv,
+        build_dv_slot_tables,
+    )
+
+    train_array, n_users, n_items = tiny_graph
+    row, col, val = sym_normalized_adjacency(train_array, n_users, n_items)
+    n = n_users + n_items
+    mat = build_bucketed_spmm(row, col, val, (n, n), symmetric=False)
+    slots = build_dv_slot_tables(mat)
+    h, dh = 2, 8
+    q = jnp.asarray(rng.standard_normal((n, h, dh)).astype(np.float32))
+    wk = jnp.asarray(rng.standard_normal((dh, h * dh)).astype(np.float32))
+    bk = jnp.asarray(rng.standard_normal((h * dh,)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, dh)).astype(np.float32))
+    T = 5.0
+
+    def auto(q_, wk_, v_):
+        return attention_spmm_fused_kv(mat, q_, wk_, bk, v_, T)
+
+    def bilin(q_, wk_, v_):
+        return attention_spmm_fused_kv(mat, q_, wk_, bk, v_, T, dv_slots=slots)
+
+    np.testing.assert_allclose(
+        np.asarray(bilin(q, wk, v)), np.asarray(auto(q, wk, v)),
+        rtol=1e-5, atol=1e-6,
+    )
+    g1 = jax.grad(lambda *a: jnp.sum(jnp.sin(auto(*a))), argnums=(0, 1, 2))(
+        q, wk, v
+    )
+    g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(bilin(*a))), argnums=(0, 1, 2))(
+        q, wk, v
+    )
+    for name, a, b in zip(("dq", "dwk", "dv"), g2, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+        )
