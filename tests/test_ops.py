@@ -152,3 +152,47 @@ def test_sparse_dropout_stats():
     # eval mode: identity
     out_eval = sparse_dropout(val, jax.random.key(0), 0.3, training=False)
     np.testing.assert_allclose(np.asarray(out_eval), 1.0)
+
+
+def test_blockwise_cosine_topk_two_stage_exact(rng):
+    """The r5 two-stage path (per-row top-cap + one merge): exact vs brute
+    force when rows contribute few survivors, AND when one row owns far
+    more than row_cap of the global top-k (the in-jit truncation check must
+    fire and rerun the exact flat form)."""
+    n_u, n_i, d, k = 64, 300, 8, 40
+    users = rng.standard_normal((n_u, d)).astype(np.float32)
+    items = rng.standard_normal((n_i, d)).astype(np.float32)
+
+    def oracle(u, i, kk):
+        un = u / np.linalg.norm(u, axis=1, keepdims=True)
+        itn = i / np.linalg.norm(i, axis=1, keepdims=True)
+        return np.sort((un @ itn.T).reshape(-1))[::-1][:kk]
+
+    # generic case: two-stage active (k*4 < n_u*n_i, cap=8 < n_i)
+    vals, uid, iid = blockwise_cosine_topk(
+        jnp.asarray(users), jnp.asarray(items), k, block_rows=16, row_cap=8
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(vals))[::-1], oracle(users, items, k), rtol=1e-4
+    )
+
+    # adversarial case: items 0..19 cluster around one direction and user 3
+    # sits ON it, so ~20 > cap of row 3's entries belong in the global
+    # top-k — only the truncation-check fallback is exact here
+    users_adv = users.copy()
+    items_adv = items.copy()
+    direction = rng.standard_normal(d).astype(np.float32)
+    direction /= np.linalg.norm(direction)
+    items_adv[:20] = direction[None, :] + 0.01 * items_adv[:20]
+    users_adv[3] = direction
+    vals_a, uid_a, iid_a = blockwise_cosine_topk(
+        jnp.asarray(users_adv), jnp.asarray(items_adv), k,
+        block_rows=16, row_cap=8,
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(vals_a))[::-1],
+        oracle(users_adv, items_adv, k),
+        rtol=1e-4,
+    )
+    # and user 3 indeed supplies more than row_cap of the winners
+    assert int((np.asarray(uid_a) == 3).sum()) > 8
