@@ -55,13 +55,16 @@ def _baseline_value():
 
 
 def _next_round():
+    # the CURRENT round number: the driver writes BENCH_r{N}.json at round
+    # END, so now = last driver round + 1. Only driver files count — the
+    # manual DETAIL/SCALE artifacts carry the round number themselves, and
+    # counting them made a second same-round invocation jump a round
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = [0]
-    for pat in ("BENCH_r*.json", "BENCH_DETAIL_r*.json"):
-        for path in glob.glob(os.path.join(here, pat)):
-            m = re.search(r"_r(\d+)\.json$", path)
-            if m:
-                rounds.append(int(m.group(1)))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append(int(m.group(1)))
     return max(rounds) + 1
 
 
