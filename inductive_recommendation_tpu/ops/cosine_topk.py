@@ -6,18 +6,21 @@ matrix on the CPU with sklearn. Here similarity blocks are streamed on
 device inside one jitted scan (the framework's analog of blockwise/ring-
 attention memory behavior).
 
-Two-stage exact top-k (r5): the EPOCH_BOUNDARY profile showed the old
-flat form — ``lax.top_k`` with k=aug_num over every [block x n_items]
-similarity panel — dominates the DOSE epoch boundary (4.4 s of a 4.7 s
-boundary at Gowalla scale; the matmuls are ~6 ms total). The global
-top-k rarely takes more than a few entries per user row, so stage 1 keeps
-only each row's top ``row_cap`` (a cheap per-row top-k along the item
-axis), and stage 2 merges the [n_users x row_cap] survivors with ONE
-large top-k. Exactness is machine-checked in-jit: if any row's row_cap-th
-kept value ties or beats the merged k-th value, that row may have been
-truncated — a ``lax.cond`` then reruns the exact flat form (both paths
-compile; the fallback executes only when the check fires). Measured v5e,
-Gowalla scale, k=500k: 4.40 s -> see EPOCH_BOUNDARY_r05.json.
+Selection cost notes (r5, measured on v5e — EPOCH_BOUNDARY_r05.json):
+the flat form (``lax.top_k`` with k=aug_num over every [block x n_items]
+panel) dominates the DOSE epoch boundary: 4.4 s at Gowalla scale, 18.1 s
+at Amazon, while the similarity matmuls total ~6 ms. ``lax.top_k`` over a
+21M panel measures ~69 ms REGARDLESS of k (1k..500k — it is a sort), so
+the cost floor for any exact method that sorts every element is ~N-bound.
+
+A two-stage form (per-row top-``row_cap`` + one merge, in-jit exactness
+fallback) is kept behind ``row_cap=<int>`` but is NOT the default: the
+DOSE_aug selection (top-k of NEGATED cos) is heavily skewed — at Gowalla
+scale 981 rows own more than 128 winners each and 59 rows more than 512 —
+so the truncation fallback always fires and the two-stage run pays both
+stages (measured 4.9 s vs 4.4 s flat). An exact sub-sort-cost selection
+needs candidate-set reduction BEFORE any sort (threshold prefilter +
+chunk compaction); until that exists, flat is the honest default.
 
 Divergence (documented): the reference splits the flattened matrix into two
 halves and un-flattens the second half's indices with an ``aug_num//2`` offset
@@ -76,7 +79,7 @@ def blockwise_cosine_topk(
     k: int,
     negate_items: bool = False,
     block_rows: int = 512,
-    row_cap: int = 128,
+    row_cap: int | None = None,
 ):
     """Exact top-k (u, i) pairs by cosine similarity, streamed blockwise.
 
@@ -97,6 +100,8 @@ def blockwise_cosine_topk(
     un = jnp.pad(un, ((0, pad_rows), (0, 0)))
     un_blocks = un.reshape(n_blocks, block_rows, -1)
 
+    if row_cap is None:
+        return _flat_topk(un_blocks, itn, n_users, n_items, k, block_rows)
     cap = min(row_cap, n_items)
     if k > n_users * cap or n_items <= cap or k * 4 >= n_users * n_items:
         # two-stage cannot yield k candidates / no reduction to be had
