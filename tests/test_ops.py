@@ -196,3 +196,37 @@ def test_blockwise_cosine_topk_two_stage_exact(rng):
     )
     # and user 3 indeed supplies more than row_cap of the winners
     assert int((np.asarray(uid_a) == 3).sum()) > 8
+
+
+def test_blockwise_cosine_topk_hinted_exact(rng):
+    """The threshold-hinted fast path (measured dead on the real workload —
+    see the module docstring — but kept as an exact, tested probe): every
+    hint regime must reproduce the flat result, including hints that force
+    the fallback (+inf first-epoch, too-high, -inf budget-bust)."""
+    from inductive_recommendation_tpu.ops.cosine_topk import (
+        blockwise_cosine_topk_hinted,
+    )
+
+    n_u, n_i, d, k = 300, 700, 16, 900
+    users = rng.standard_normal((n_u, d)).astype(np.float32)
+    items = rng.standard_normal((n_i, d)).astype(np.float32)
+    ref_v, _, _ = blockwise_cosine_topk(
+        jnp.asarray(users), jnp.asarray(items), k, block_rows=64
+    )
+    kth = float(np.asarray(ref_v)[k - 1])
+    un = users / np.linalg.norm(users, axis=1, keepdims=True)
+    itn = items / np.linalg.norm(items, axis=1, keepdims=True)
+    sims = un @ itn.T
+    for thr in (np.inf, kth - 0.02, kth + 0.5, -np.inf):
+        v, uid, iid = blockwise_cosine_topk_hinted(
+            jnp.asarray(users), jnp.asarray(items), k, thr, block_rows=64,
+            chunk=128, budget_chunks=256, collect_k=4096,
+        )
+        np.testing.assert_allclose(
+            np.sort(np.asarray(v)), np.sort(np.asarray(ref_v)), atol=1e-6,
+            err_msg=f"thr={thr}",
+        )
+        np.testing.assert_allclose(
+            sims[np.asarray(uid), np.asarray(iid)], np.asarray(v),
+            rtol=1e-4, atol=1e-5, err_msg=f"thr={thr}",
+        )
