@@ -24,6 +24,14 @@ Compute term: the measured single-chip edge-mode step time split S ways
 (the step is gather/HBM-bound, which splits with the edge shards). No
 collective/compute overlap is assumed, so efficiencies are LOWER bounds.
 
+Known audit caveat (DOSE): ~40% of its audited data-axis mass is six
+[n_pad/S, C=8, d] all-reduces — the partitioner's lowering of the chunked
+delta's TAIL gathers (graph/views.py _chunked_apply: take(x, t_idx) is
+[n_out+1, C, d]), a choice that may differ at production shapes. The table
+reports what the audited program does; the r5 fused losses fixed the
+BPR/IGCN terms, and a DOSE fusion would have to bring the delta inside the
+manual shard_map (its cross-shard gathers are why it stays auto).
+
 Run:  python benchmarks/comms_model.py   (forces an 8-device CPU mesh; do
 not run in a process that already initialized the TPU backend).
 """
