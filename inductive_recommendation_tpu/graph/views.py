@@ -83,7 +83,7 @@ class BakedView:
     ``ck_fwd``/``ck_bwd``: per-epoch chunked-gather structures for the
     delta (:func:`chunked_segment_structs`, both product directions) — the
     per-step delta then runs scatter-free (:func:`chunked_delta_spmm`,
-    measured 6.6 ms vs segment_sum's 12.8 ms at 1M entries x d=64 on v5e);
+    measured 6.93 ms vs the segment-sum oracle's 13.2 ms at 1M entries x d=64 on v5e, DOSE_BREAKDOWN_r04.json);
     ``None`` for drop-only views (delta_budget 0)."""
 
     base: object  # BucketedSpMM with baked values
@@ -162,7 +162,7 @@ def chunked_segment_structs(d_row, d_col, d_val, n_out: int, C: int = 8):
     Z(bounds[r+1]) − Z(bounds[r]) with Z split into chunk-prefix + in-chunk
     tail): per-step cost is two bucket-style gather-reduces ([B/C, C] chunk
     sums + [n_out+1, C] boundary tails) and a [B/C, d] cumsum — measured
-    6.6 ms vs jax.ops.segment_sum's 12.8 ms at B=1M, d=64 on v5e (1.92x;
+    6.93 ms vs the segment-sum oracle's 13.2 ms at B=1M, d=64 on v5e (1.9x, DOSE_BREAKDOWN_r04.json;
     scatter-add is ~4x the gather transaction floor there). Everything
     data-dependent (boundaries via bincount+cumsum of d_row, tail gather
     indices/values) lives HERE, once per epoch (~75 ms at 1M on v5e, noise
